@@ -1,0 +1,160 @@
+"""Inverted-index build: docID mint, postings, term dictionary, doc stats.
+
+Rebuilds the Lucene primitives every reference plugin consumes:
+- term dictionary + df  (ir.docFreq, MoreLikeThis.java:1013)
+- N                      (ir.numDocs, MoreLikeThis.java:1012)
+- doc length / norms     (DiceDefaultSimilarity.java:90-121 — exact
+  int doclen here, NOT the lossy 1-byte SmallFloat encoding; this is a
+  documented divergence that only affects norm quantization, not BM25)
+- postings               (PostingsEnum, BinaryTermExistsValueSource.java:51-153)
+- forward index / term vectors (ir.getTermVectors, MoreLikeThis.java:1113)
+
+Everything is declarative DataFrame ops so Catalyst handles pushdown,
+partial aggregation and AQE; the packed/segment representation (codec
++ WAND) lives in segments.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import counted_terms, tokenize
+
+
+def mint_doc_ids(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    out_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense int64 docIDs by stable sort on ``order_cols``.
+
+    Scale-safe: NOT a single-partition row_number window. Range-
+    repartition on the order keys, sort within partitions, then add
+    per-partition offsets computed from partition counts (one tiny
+    extra job). Result is a total dense ordering independent of the
+    partition count — the per-turn text-equality invariant
+    (BASELINE.json input_hint) is asserted against this ordering.
+    """
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *order_cols
+    )
+    # persist pins the (sampled) range boundaries so the count pass and
+    # the assign pass see identical partitions
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = with_pid.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(row["_pid"])] = acc
+        acc += int(row["count"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(with_pid.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def assign(batches):
+        carry = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            pdf[out_col] = b_offsets.value[pid] + carry + np.arange(len(pdf), dtype=np.int64)
+            carry += len(pdf)
+            yield pdf
+
+    # mapInPandas preserves in-partition order: rows are already sorted
+    # within each range partition, so ids are dense + globally ordered.
+    return with_pid.mapInPandas(assign, schema=schema).drop("_pid")
+
+
+@dataclass
+class InvertedIndex:
+    """The queryable index: flat postings + dictionary + doc stats.
+
+    postings: (term, doc_id, tf)        — term-hash distributed
+    terms:    (term, df, cf)            — broadcast-join candidate
+    doclen:   (doc_id, dl)              — sort-merge side for scoring
+    n_docs, avgdl: corpus scalars (ir.numDocs / field norms inputs)
+    """
+
+    postings: DataFrame
+    terms: DataFrame
+    doclen: DataFrame
+    n_docs: int
+    avgdl: float
+    docs: DataFrame | None = field(default=None, repr=False)
+
+    def persist(self) -> "InvertedIndex":
+        self.postings = self.postings.persist()
+        self.terms = self.terms.persist()
+        self.doclen = self.doclen.persist()
+        return self
+
+    def unpersist(self) -> None:
+        for d in (self.postings, self.terms, self.doclen):
+            d.unpersist()
+
+
+def build_index(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+    max_len: int = 64,
+    stopwords=None,
+    max_tokens: int | None = None,
+) -> InvertedIndex:
+    """Build the flat inverted index from a corpus DataFrame.
+
+    One shuffle builds postings (explode -> partial+final count agg on
+    (doc_id, term)); terms and doclen derive from postings with
+    map-side partial aggs. All counting stays JVM-side.
+    """
+    tok_kwargs = dict(
+        min_len=min_len, max_len=max_len, stopwords=stopwords, max_tokens=max_tokens
+    )
+    postings = counted_terms(docs, doc_col=doc_col, text_col=text_col, **tok_kwargs)
+    postings = postings.withColumnRenamed(doc_col, "doc_id").persist()
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # N counts every doc, including empty-token docs that have no postings
+    n_docs = docs.count()
+    total_tokens = doclen.agg(F.sum("dl")).collect()[0][0] or 0
+    avgdl = float(total_tokens) / n_docs if n_docs else 0.0
+    return InvertedIndex(
+        postings=postings,
+        terms=terms,
+        doclen=doclen,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        docs=docs,
+    )
+
+
+def forward_index(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text", **tok_kwargs
+) -> DataFrame:
+    """(doc_id, terms: array<struct<term,tf>>, dl) — the term-vector
+    equivalent (MoreLikeThis.java:1113-1179), built once as a
+    materialized view; no re-analysis fallback needed (SURVEY.md §4).
+    """
+    ct = counted_terms(docs, doc_col=doc_col, text_col=text_col, **tok_kwargs)
+    return (
+        ct.groupBy(F.col(doc_col).alias("doc_id"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "tf"))).alias("terms"),
+            F.sum("tf").alias("dl"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Posting-list codec: delta + varint block compression, numpy-vectorized.
+
+The reference consumes Lucene's postings (PostingsEnum iteration with
+``advance(doc)`` skipping, BinaryTermExistsValueSource.java:51-153).
+Lucene's on-disk postings are delta-encoded doc ids in fixed blocks
+with skip data; block-max metadata drives WAND pruning. This module
+rebuilds those primitives as pure-numpy kernels that run inside Arrow
+UDFs — no per-element Python, byte work is vectorized over whole
+arrays.
+
+Layout of ``data`` (bytes) for one posting list of n docs:
+    varint(n) | n x varint(docid delta) | n x varint(tf)
+First doc id is absolute; subsequent are diffs (sorted ascending, so
+diffs >= 1). Block metadata (last doc id + max tf per BLOCK docs) is
+kept alongside as plain array columns — columnar, prunable, and enough
+for block-max WAND skipping without decoding the block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128  # docs per block for block-max metadata
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """LEB128-encode a uint64 array -> uint8 array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.zeros(0, np.uint8)
+    nb = np.ones(v.size, np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    offs = np.zeros(v.size + 1, np.int64)
+    np.cumsum(nb, out=offs[1:])
+    out = np.zeros(offs[-1], np.uint8)
+    cur = v.copy()
+    for k in range(int(nb.max())):
+        active = nb > k
+        idx = offs[:-1][active] + k
+        byte = (cur[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = (nb[active] > k + 1).astype(np.uint8)
+        out[idx] = byte | (more << 7)
+        cur = cur >> np.uint64(7)
+    return out
+
+
+def varint_decode(buf: np.ndarray, offset: int = 0, count: int | None = None):
+    """Decode varints from uint8 array starting at ``offset``.
+
+    Returns (values: uint64 array, end_offset). If ``count`` is given,
+    decodes exactly that many values; else decodes to end of buffer.
+    """
+    b = buf[offset:]
+    if b.size == 0:
+        return np.zeros(0, np.uint64), offset
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if count is not None:
+        ends = ends[:count]
+    starts = np.empty(ends.size, np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    out = np.zeros(ends.size, np.uint64)
+    for k in range(int(lens.max()) if lens.size else 0):
+        active = lens > k
+        vals = b[starts[active] + k].astype(np.uint64) & np.uint64(0x7F)
+        out[active] |= vals << np.uint64(7 * k)
+    end = offset + (int(ends[-1]) + 1 if ends.size else 0)
+    return out, end
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray):
+    """Encode one posting list (sorted unique doc ids + tfs).
+
+    Returns (data: bytes, block_last_doc: int64 array,
+    block_max_tf: int32 array).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    deltas = np.empty(n, np.uint64)
+    if n:
+        deltas[0] = np.uint64(doc_ids[0])
+        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    parts = [
+        varint_encode(np.array([n], np.uint64)),
+        varint_encode(deltas),
+        varint_encode(tfs.astype(np.uint64)),
+    ]
+    data = np.concatenate(parts).tobytes()
+    nblocks = (n + BLOCK - 1) // BLOCK
+    block_last = np.empty(nblocks, np.int64)
+    block_max = np.empty(nblocks, np.int32)
+    for i in range(nblocks):
+        lo, hi = i * BLOCK, min((i + 1) * BLOCK, n)
+        block_last[i] = doc_ids[hi - 1]
+        block_max[i] = tfs[lo:hi].max()
+    return data, block_last, block_max
+
+
+def decode_postings(data: bytes):
+    """Inverse of encode_postings -> (doc_ids int64, tfs int64)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    header, off = varint_decode(buf, 0, 1)
+    n = int(header[0])
+    deltas, off = varint_decode(buf, off, n)
+    tfs, _ = varint_decode(buf, off, n)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    return doc_ids, tfs.astype(np.int64)

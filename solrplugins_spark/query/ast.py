@@ -1,0 +1,74 @@
+"""Boolean query AST.
+
+Node set mirrors the reference AST (parsing/ast/: Operand, And, Or,
+Not, Quote, FieldQuery — Expression.java / operators/*.java), with the
+same ``evaluate()`` rendering used by the reference golden tests
+(TestRecursiveDescentParser.java:16-215):
+  And  -> "(l AND r)"    Or -> "(l OR r)"    Not -> "NOT child"
+  Quote -> '"child"'     FieldQuery -> 'field:(child)'
+``evaluate()`` output is the parity surface; compilation to DataFrame
+plans lives in compiler.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+class Expression:
+    def evaluate(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __str__(self) -> str:
+        return self.evaluate()
+
+
+@dataclass
+class Operand(Expression):
+    value: str
+
+    def evaluate(self) -> str:
+        return self.value
+
+
+@dataclass
+class Or(Expression):
+    left: Expression
+    right: Expression
+
+    def evaluate(self) -> str:
+        return f"({self.left.evaluate()} OR {self.right.evaluate()})"
+
+
+@dataclass
+class And(Expression):
+    left: Expression
+    right: Expression
+
+    def evaluate(self) -> str:
+        return f"({self.left.evaluate()} AND {self.right.evaluate()})"
+
+
+@dataclass
+class Not(Expression):
+    child: Expression
+
+    def evaluate(self) -> str:
+        return f"NOT {self.child.evaluate()}"
+
+
+@dataclass
+class Quote(Expression):
+    child: Expression
+
+    def evaluate(self) -> str:
+        return f'"{self.child.evaluate()}"'
+
+
+@dataclass
+class FieldQuery(Expression):
+    field: str  # includes the trailing ':' (lexer emits it that way)
+    child: Expression
+
+    def evaluate(self) -> str:
+        return f"{self.field}({self.child.evaluate()})"

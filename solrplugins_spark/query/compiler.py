@@ -1,0 +1,184 @@
+"""AST -> DataFrame plan compiler.
+
+Leaves compile to posting-list lookups; internal nodes to set algebra
+on (doc_id, score) frames (SURVEY.md §1.4):
+  Or   -> union + groupBy(doc_id).sum          (BooleanQuery SHOULD)
+  And  -> inner join, scores summed            (MUST clauses,
+          MoreLikeThis.java:1057-1073)
+  Not  -> left_anti against the corpus docset  (MUST_NOT,
+          MoreLikeThisHelper.java:149-175)
+  Quote-> consecutive-token containment post-filter (positions are
+          omitted from the v1 index — documented simplification,
+          SURVEY.md §2.8 "Phrase")
+  FieldQuery -> route to the named field's index
+  `*:*`-> match-all with score 0 (error-recovery wildcard)
+
+Efficiency: ALL positive leaf terms in the tree are scored with ONE
+postings scan (score_terms over the union of terms); each leaf then
+filters its slice from that cached partials frame. The boolean
+algebra is pure joins/aggs — no second pass over the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import tokenize_pandas, tokens_col
+from ..index.builder import InvertedIndex
+from . import ast
+from .parser import parse_query
+from .scorer import BM25, Similarity, score_terms
+
+import pandas as pd
+
+MATCH_ALL = "*:*"
+
+
+def _leaf_terms(node: ast.Expression) -> list[str]:
+    """All analyzed terms under positive + negative leaves."""
+    if isinstance(node, ast.Operand):
+        if node.value == MATCH_ALL:
+            return []
+        return list(tokenize_pandas(pd.Series([node.value]))[0])
+    if isinstance(node, (ast.Or, ast.And)):
+        return _leaf_terms(node.left) + _leaf_terms(node.right)
+    if isinstance(node, (ast.Not, ast.Quote)):
+        return _leaf_terms(node.child)
+    if isinstance(node, ast.FieldQuery):
+        return _leaf_terms(node.child)
+    return []
+
+
+class QueryCompiler:
+    def __init__(
+        self,
+        index: InvertedIndex,
+        sim: Similarity = BM25,
+        field_indexes: dict[str, InvertedIndex] | None = None,
+    ):
+        self.index = index
+        self.sim = sim
+        self.field_indexes = field_indexes or {}
+
+    def compile(self, node: ast.Expression) -> DataFrame:
+        """(doc_id, score) frame for the whole tree.
+
+        One postings scan for all leaf terms, then recursive algebra.
+        """
+        terms = sorted(set(_leaf_terms(node)))
+        partials = None
+        if terms:
+            partials = score_terms(
+                self.index, [(t, 1.0) for t in terms], sim=self.sim
+            ).persist()
+        try:
+            return self._compile(node, partials)
+        finally:
+            pass  # partials stays cached for the action; Spark evicts LRU
+
+    # -- node handlers -------------------------------------------------
+    def _compile(self, node: ast.Expression, partials: DataFrame | None) -> DataFrame:
+        if isinstance(node, ast.Operand):
+            return self._operand(node, partials)
+        if isinstance(node, ast.Or):
+            l = self._compile(node.left, partials)
+            r = self._compile(node.right, partials)
+            return (
+                l.unionByName(r)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        if isinstance(node, ast.And):
+            l = self._compile(node.left, partials)
+            r = self._compile(node.right, partials)
+            # NOT under AND = subtraction, not intersection
+            if isinstance(node.right, ast.Not):
+                return l.join(
+                    self._compile(node.right.child, partials).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+            if isinstance(node.left, ast.Not):
+                return r.join(
+                    self._compile(node.left.child, partials).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+            return (
+                l.unionByName(r)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"), F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") == 2)
+                .drop("_n")
+            )
+        if isinstance(node, ast.Not):
+            # bare NOT: corpus docset minus matches, score 0
+            matches = self._compile(node.child, partials).select("doc_id")
+            all_docs = self.index.doclen.select("doc_id")
+            return all_docs.join(matches, "doc_id", "left_anti").withColumn(
+                "score", F.lit(0.0)
+            )
+        if isinstance(node, ast.Quote):
+            return self._phrase(node)
+        if isinstance(node, ast.FieldQuery):
+            sub_index = self.field_indexes.get(node.field.rstrip(":"), self.index)
+            sub = QueryCompiler(sub_index, self.sim, self.field_indexes)
+            return sub.compile(node.child)
+        raise TypeError(f"unknown AST node: {node!r}")
+
+    def _operand(self, node: ast.Operand, partials: DataFrame | None) -> DataFrame:
+        if node.value == MATCH_ALL:
+            return self.index.doclen.select("doc_id").withColumn("score", F.lit(0.0))
+        toks = sorted(set(tokenize_pandas(pd.Series([node.value]))[0]))
+        if not toks or partials is None:
+            return self.index.doclen.select("doc_id").withColumn(
+                "score", F.lit(0.0)
+            ).limit(0)
+        return (
+            partials.filter(F.col("term").isin(toks))
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"))
+        )
+
+    def _phrase(self, node: ast.Quote) -> DataFrame:
+        """Consecutive-token containment over the stored corpus."""
+        phrase_toks = list(tokenize_pandas(pd.Series([node.child.evaluate()]))[0])
+        if not phrase_toks:
+            return self.index.doclen.select("doc_id").withColumn(
+                "score", F.lit(0.0)
+            ).limit(0)
+        if self.index.docs is None:
+            raise ValueError("phrase queries need the stored corpus (index.docs)")
+        needle = " " + " ".join(phrase_toks) + " "
+        joined = F.concat(
+            F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")
+        )
+        hits = self.index.docs.filter(joined.contains(needle)).select("doc_id")
+        # score phrase docs by the sum of member-term BM25 partials
+        parts = score_terms(self.index, [(t, 1.0) for t in sorted(set(phrase_toks))], self.sim)
+        scores = parts.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+        return hits.join(scores, "doc_id", "left").fillna({"score": 0.0})
+
+
+def compile_ast(
+    index: InvertedIndex, node: ast.Expression, sim: Similarity = BM25
+) -> DataFrame:
+    return QueryCompiler(index, sim).compile(node)
+
+
+def execute_query(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    sim: Similarity = BM25,
+    round_to: int = 5,
+) -> DataFrame:
+    """Parse -> compile -> deterministic top-k (score desc, doc_id asc)."""
+    tree, _errors = parse_query(query)
+    scored = compile_ast(index, tree, sim=sim)
+    return (
+        scored.select("doc_id", F.round("score", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

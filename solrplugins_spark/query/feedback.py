@@ -1,0 +1,61 @@
+"""Unsupervised (pseudo-relevance / blind) feedback — the flagship
+two-phase query (DiceUnsupervisedFeedbackHandler +
+UnsupervisedFeedbackHelper.java:101-131, traced SURVEY.md §3.2):
+
+  1. run the seed query, keep top ``max_seed_docs`` (default 5,
+     DiceUnsupervisedFeedbackHandler.java:64)
+  2. MLT term extraction over those docs (same engine as /mlt)
+  3. final query = seed MUST + expansion SHOULD — candidate set is
+     docs matching the seed query; score = seed score + expansion
+     partials (UnsupervisedFeedbackHelper.java:110-118)
+  4. re-execute -> top-k
+
+Unlike /mlt the seed docs are NOT excluded (the handler re-runs the
+query over the full corpus with the same filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import InvertedIndex
+from .compiler import compile_ast
+from .mlt import MLTParams, interesting_terms
+from .parser import parse_query
+from .scorer import BM25, Similarity, score_terms
+
+
+def unsupervised_feedback(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    max_seed_docs: int = 5,
+    params: MLTParams = MLTParams(),
+    sim: Similarity = BM25,
+    round_to: int = 5,
+) -> DataFrame:
+    tree, _ = parse_query(query)
+    seed_scored = compile_ast(index, tree, sim=sim).persist()
+
+    seeds = (
+        seed_scored.orderBy(
+            F.desc(F.round("score", round_to)), F.asc("doc_id")
+        )
+        .limit(max_seed_docs)
+        .select("doc_id")
+    )
+    terms = interesting_terms(index, seeds, params)
+    boosts = [(r["term"], float(r["score"])) for r in terms.collect()]
+
+    if boosts:
+        partials = score_terms(index, boosts, sim=sim)
+        exp = partials.groupBy("doc_id").agg(F.sum("partial").alias("exp_score"))
+        final = seed_scored.join(exp, "doc_id", "left").fillna({"exp_score": 0.0})
+        final = final.select(
+            "doc_id",
+            F.round(F.col("score") + F.col("exp_score"), round_to).alias("score"),
+        )
+    else:
+        final = seed_scored.select("doc_id", F.round("score", round_to).alias("score"))
+    return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

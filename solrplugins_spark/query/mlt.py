@@ -1,0 +1,134 @@
+"""MoreLikeThis: top-k tf.idf term extraction + expansion query.
+
+Reference pipeline (MoreLikeThis.java:861-989 + MLTTerm.java +
+MLTQuery.java; traced in SURVEY.md §3.1):
+  1. accumulate term freqs across seed docs into one map per field
+     (like(List<Integer>) MoreLikeThis.java:861-881)
+  2. createQueue (:996-1055): skip blank; tf >= minTermFreq (default 1,
+     :162); df >= minDocFreq (default 5, :170); df <= maxDocFreq
+     (:179); weight = useBoost ? (logTf ? ln(tf+1) : tf) * idf : 1
+     (MLTTerm.java:86-101) with classic idf = ln(N/(df+1))+1
+  3. getMostInterestingTerms (:961-989): top maxQueryTermsPerField
+     (default 100, :248) by fieldBoost*weight desc; vectorLength =
+     sqrt(sum weight^2) over the SELECTED terms; if
+     normalizeFieldBoosts (default true, :195) final boost =
+     fieldBoost * weight/vectorLength
+  4. expansion query = boosted SHOULD over the terms with
+     minShouldMatch (MLTQuery.java:46-53), seed docs excluded via
+     MUST_NOT on the unique key (MoreLikeThisHelper.java:152-160)
+
+Plan shape: seed postings are a tiny slice (left-semi on seed ids);
+the df lookup joins the small seed-term set against the term
+dictionary; top-k is ORDER BY + LIMIT (TakeOrderedAndProject). The
+final expansion boosts (<= max_terms rows) are collected to the driver
+— that mirrors the reference building a query object and is bounded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import InvertedIndex
+from .scorer import BM25, Similarity, search_terms
+
+
+@dataclass(frozen=True)
+class MLTParams:
+    min_term_freq: int = 1          # MoreLikeThis.java:162
+    min_doc_freq: int = 5           # :170
+    max_doc_freq: int = 2**31 - 1   # :179
+    max_query_terms: int = 100      # :248
+    boost: bool = True              # :187
+    normalize_boosts: bool = True   # :195
+    log_tf: bool = False            # :203
+    field_boost: float = 1.0
+    min_should_match: int = 1       # DEFAULT_MM "1" :147
+
+
+def interesting_terms(
+    index: InvertedIndex,
+    seed_doc_ids: list[int] | DataFrame,
+    params: MLTParams = MLTParams(),
+    round_to: int = 5,
+) -> DataFrame:
+    """(term, tf, df, score) — the MLT expansion terms, scored and
+    L2-normalized exactly as getMostInterestingTerms does."""
+    spark = index.postings.sparkSession
+    if isinstance(seed_doc_ids, list):
+        seeds = spark.createDataFrame([(int(d),) for d in seed_doc_ids], "doc_id long")
+    else:
+        seeds = seed_doc_ids.select("doc_id")
+
+    # accumulate tf across all seed docs (one bag-of-terms per field)
+    seed_terms = (
+        index.postings.join(F.broadcast(seeds), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    cand = seed_terms.join(index.terms.select("term", "df"), "term")
+    if params.min_term_freq > 0:
+        cand = cand.filter(F.col("tf") >= params.min_term_freq)
+    if params.min_doc_freq > 0:
+        cand = cand.filter(F.col("df") >= params.min_doc_freq)
+    cand = cand.filter(F.col("df") <= params.max_doc_freq)
+
+    idf = F.log(F.lit(float(index.n_docs)) / (F.col("df") + 1.0)) + 1.0
+    tf_val = F.log(F.col("tf") + 1.0) if params.log_tf else F.col("tf").cast("double")
+    weight = (tf_val * idf) if params.boost else F.lit(1.0)
+    cand = cand.withColumn("weight", weight)
+
+    # top-k by fieldBoost*weight desc, term asc tie-break (deterministic)
+    top = (
+        cand.orderBy(F.desc("weight"), F.asc("term"))
+        .limit(params.max_query_terms if params.max_query_terms > 0 else 2**31 - 1)
+    )
+    # vectorLength over the selected terms only
+    veclen = top.agg(F.sqrt(F.sum(F.pow("weight", 2))).alias("_veclen"))
+    top = top.crossJoin(F.broadcast(veclen))
+    final = (
+        F.lit(params.field_boost)
+        * F.col("weight")
+        / (F.col("_veclen") if params.normalize_boosts else F.lit(1.0))
+    )
+    return top.select(
+        "term",
+        "tf",
+        "df",
+        F.round(final, round_to).alias("score"),
+        F.col("weight").alias("raw_weight"),
+    )
+
+
+def more_like_this(
+    index: InvertedIndex,
+    seed_doc_ids: list[int] | DataFrame,
+    params: MLTParams = MLTParams(),
+    k: int = 10,
+    sim: Similarity = BM25,
+) -> DataFrame:
+    """Top-k similar docs: expansion query with seed docs excluded."""
+    spark = index.postings.sparkSession
+    terms = interesting_terms(index, seed_doc_ids, params)
+    boosts = [(r["term"], float(r["raw_weight"])) for r in terms.collect()]
+    if not boosts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    # normalize on the driver (same math; collected rows are <= max_terms)
+    if params.normalize_boosts:
+        veclen = sum(w * w for _, w in boosts) ** 0.5
+        if veclen > 0:
+            boosts = [(t, params.field_boost * w / veclen) for t, w in boosts]
+    if isinstance(seed_doc_ids, list):
+        seeds = spark.createDataFrame([(int(d),) for d in seed_doc_ids], "doc_id long")
+    else:
+        seeds = seed_doc_ids.select("doc_id")
+    return search_terms(
+        index,
+        boosts,
+        k=k,
+        min_should_match=params.min_should_match,
+        sim=sim,
+        exclude_doc_ids=seeds,
+    )

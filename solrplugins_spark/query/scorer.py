@@ -1,0 +1,169 @@
+"""Scoring: BM25 and the reference's similarity variants, as one
+parameterized column expression.
+
+Reference similarities (similarity/*.java, 9 classes) all toggle
+factors of the same product: tf x idf x norm x payload. We model that
+as a ``Similarity`` dataclass compiling to a single Catalyst
+expression — per-field k1/b is the same mechanism Solr 6.x exposes via
+SchemaSimilarityFactory per-field overrides (reference README.md:25).
+
+Formulas:
+- BM25 (Lucene 6 default, what "custom BM25 similarity with per-field
+  k1/b" in the north rule refers to):
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+- ClassicDice (DiceDefaultSimilarity.java):
+    tf = sqrt(tf)                        (:124-127)
+    idf = ln(N/(df+1)) + 1               (:141-145)
+    norm = 1/sqrt(dl)                    (:113-121, exact — not the
+                                          lossy byte315 quantization)
+  with toggles: use_tf (NoLengthNormNoTfSimilarity.java:9-16 drops tf),
+  use_idf (PayloadAwareDefaultSimilarityNoIdf.java:9-23),
+  use_norm (NoLengthNormSimilarity.java:10-18),
+  use_payload (PayloadOnlySimilarity.java:12-29 /
+  PayloadIdfSimilarity.java:12-37); CosineSimilarity.java:11-46 = all
+  norms 1 with raw tf.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import InvertedIndex
+
+
+@dataclass(frozen=True)
+class Similarity:
+    """Parameterized scoring expression over (tf, df, dl, payload)."""
+
+    kind: str = "bm25"  # "bm25" | "classic"
+    k1: float = 1.2
+    b: float = 0.75
+    use_tf: bool = True
+    use_idf: bool = True
+    use_norm: bool = True
+    use_payload: bool = False
+
+    def idf(self, df_col: Column, n_docs: int) -> Column:
+        if not self.use_idf:
+            return F.lit(1.0)
+        n = F.lit(float(n_docs))
+        if self.kind == "bm25":
+            return F.log(F.lit(1.0) + (n - df_col + 0.5) / (df_col + 0.5))
+        return F.log(n / (df_col + 1.0)) + 1.0
+
+    def score_expr(
+        self,
+        tf: Column,
+        df_col: Column,
+        dl: Column,
+        avgdl: float,
+        n_docs: int,
+        payload: Column | None = None,
+    ) -> Column:
+        tfd = tf.cast("double")
+        if self.kind == "bm25":
+            denom = tfd + self.k1 * (1.0 - self.b + self.b * dl.cast("double") / F.lit(avgdl))
+            tf_part = tfd * (self.k1 + 1.0) / denom if self.use_norm else (
+                tfd * (self.k1 + 1.0) / (tfd + self.k1)
+            )
+            if not self.use_tf:
+                tf_part = F.when(tfd > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            score = self.idf(df_col, n_docs) * tf_part
+        else:
+            tf_part = F.sqrt(tfd) if self.use_tf else F.when(tfd > 0, F.lit(1.0)).otherwise(0.0)
+            norm = (F.lit(1.0) / F.sqrt(dl.cast("double"))) if self.use_norm else F.lit(1.0)
+            score = tf_part * self.idf(df_col, n_docs) * norm
+        if self.use_payload and payload is not None:
+            score = score * payload
+        return score
+
+
+BM25 = Similarity(kind="bm25")
+ClassicDice = Similarity(kind="classic")
+
+
+def _query_terms_df(spark, terms_boosts: list[tuple[str, float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(t, float(b)) for t, b in terms_boosts], "term string, boost double"
+    )
+
+
+def score_terms(
+    index: InvertedIndex,
+    terms_boosts: list[tuple[str, float]],
+    sim: Similarity = BM25,
+) -> DataFrame:
+    """Per-(doc, term) partial scores for a weighted term bag.
+
+    This is the posting-list union with boost-weighted scoring
+    (MLTQuery.java:46-53 — boosted SHOULD clauses; the north rule's
+    term-expansion primitive). Plan shape at scale:
+      postings filtered by an isin on the (tiny) query-term set
+      [partition-prunable when postings are bucketed by term]
+      -> broadcast join with the query-term boosts + term dictionary df
+      -> sort-merge/shuffle join with doclen on doc_id
+      -> one codegen'd arithmetic expression.
+    Returns (doc_id, term, boost, partial) — partial = boost * sim().
+    """
+    spark = index.postings.sparkSession
+    qt = _query_terms_df(spark, terms_boosts)
+    term_list = [t for t, _ in terms_boosts]
+    hits = index.postings.filter(F.col("term").isin(term_list))
+    hits = hits.join(F.broadcast(qt), "term")
+    hits = hits.join(F.broadcast(index.terms.filter(F.col("term").isin(term_list))), "term")
+    hits = hits.join(index.doclen, "doc_id")
+    partial = sim.score_expr(
+        F.col("tf"), F.col("df"), F.col("dl"), index.avgdl, index.n_docs
+    )
+    return hits.select(
+        "doc_id", "term", "boost", (F.col("boost") * partial).alias("partial")
+    )
+
+
+def search_terms(
+    index: InvertedIndex,
+    terms_boosts: list[tuple[str, float]],
+    k: int = 10,
+    min_should_match: int = 1,
+    sim: Similarity = BM25,
+    must_doc_ids: DataFrame | None = None,
+    exclude_doc_ids: DataFrame | None = None,
+    round_to: int = 5,
+) -> DataFrame:
+    """Top-k docs for a boosted OR query (BooleanQuery SHOULD +
+    minShouldMatch, MLTQuery.java:46-53; mm default "1"
+    MoreLikeThis.java:147).
+
+    Deterministic tie-break: (score desc, doc_id asc) — required for
+    the rank-identical criterion (SURVEY.md §2.5). Scores are rounded
+    BEFORE ranking so rank order is reproducible across engines and
+    partition counts (float sum order differences live far below
+    1e-5). ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    distributed per-partition top-k then driver merge, never a global
+    sort.
+    """
+    partials = score_terms(index, terms_boosts, sim=sim)
+    scored = partials.groupBy("doc_id").agg(
+        F.round(F.sum("partial"), round_to).alias("score"),
+        F.count(F.lit(1)).alias("matched"),
+    )
+    if min_should_match > 1:
+        scored = scored.filter(F.col("matched") >= min_should_match)
+    if must_doc_ids is not None:
+        scored = scored.join(must_doc_ids.select("doc_id"), "doc_id", "left_semi")
+    if exclude_doc_ids is not None:
+        scored = scored.join(exclude_doc_ids.select("doc_id"), "doc_id", "left_anti")
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def docs_containing(index: InvertedIndex, term: str) -> DataFrame:
+    """DocSet for one term — a semi-joinable (doc_id) frame."""
+    return index.postings.filter(F.col("term") == term).select("doc_id")

@@ -1,0 +1,133 @@
+"""MLT + unsupervised-feedback behavior tests (SURVEY.md §5.4):
+mintf/mindf/maxdf filters, L2 normalization, seed exclusion, and the
+seed-MUST + expansion-SHOULD feedback semantics — engine vs a pandas
+oracle recomputing the reference formulas directly."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from solrplugins_spark import oracle
+from solrplugins_spark.query.mlt import MLTParams, interesting_terms, more_like_this
+from solrplugins_spark.query.feedback import unsupervised_feedback
+from solrplugins_spark.query.scorer import BM25
+from solrplugins_spark.query.compiler import execute_query
+
+
+def oracle_mlt_terms(oi, seed_ids, p: MLTParams):
+    """createQueue + getMostInterestingTerms in pandas
+    (MoreLikeThis.java:996-1055, 961-989)."""
+    seed = oi.postings[oi.postings["doc_id"].isin(seed_ids)]
+    tf = seed.groupby("term")["tf"].sum()
+    rows = []
+    for term, t in tf.items():
+        df = int(oi.df_map[term])
+        if p.min_term_freq > 0 and t < p.min_term_freq:
+            continue
+        if p.min_doc_freq > 0 and df < p.min_doc_freq:
+            continue
+        if df > p.max_doc_freq:
+            continue
+        idf = math.log(oi.n_docs / (df + 1.0)) + 1.0
+        tv = math.log(t + 1.0) if p.log_tf else float(t)
+        w = tv * idf if p.boost else 1.0
+        rows.append((term, int(t), df, w))
+    cand = pd.DataFrame(rows, columns=["term", "tf", "df", "weight"])
+    cand = cand.sort_values(["weight", "term"], ascending=[False, True]).head(
+        p.max_query_terms
+    )
+    veclen = math.sqrt((cand["weight"] ** 2).sum())
+    if veclen <= 0:
+        return cand.assign(score=0.0).head(0)
+    norm = veclen if p.normalize_boosts else 1.0
+    cand["score"] = p.field_boost * cand["weight"] / norm
+    return cand.reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oi(tiny_corpus_pd):
+    return oracle.build_oracle_index(tiny_corpus_pd)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        MLTParams(),
+        MLTParams(min_term_freq=2, min_doc_freq=2),
+        MLTParams(max_doc_freq=50),
+        MLTParams(log_tf=True),
+        MLTParams(boost=False),
+        MLTParams(normalize_boosts=False),
+        MLTParams(max_query_terms=5),
+        MLTParams(field_boost=3.0),
+    ],
+)
+def test_interesting_terms_vs_oracle(tiny_index, oi, params):
+    seeds = [0, 1, 2]
+    got = (
+        interesting_terms(tiny_index, seeds, params)
+        .orderBy("term")
+        .toPandas()
+    )
+    want = oracle_mlt_terms(oi, seeds, params).sort_values("term").reset_index(drop=True)
+    assert list(got["term"]) == list(want["term"])
+    np.testing.assert_allclose(got["score"], np.round(want["score"], 5), atol=1e-5)
+    assert list(got["df"]) == list(want["df"])
+    assert list(got["tf"]) == list(want["tf"])
+
+
+def test_mlt_excludes_seeds(tiny_index):
+    seeds = [5, 6]
+    got = more_like_this(tiny_index, seeds, MLTParams(), k=20).toPandas()
+    assert not set(got["doc_id"]) & set(seeds)
+    assert len(got) > 0
+
+
+def test_mlt_topk_vs_oracle(tiny_index, oi):
+    seeds = [10]
+    p = MLTParams(max_query_terms=8)
+    terms = oracle_mlt_terms(oi, seeds, p)
+    boosts = list(zip(terms["term"], terms["score"]))
+    scored = oracle.score_query(oi, boosts, BM25)
+    scored = scored[~scored["doc_id"].isin(seeds)]
+    want = oracle.topk(scored, 10)
+    got = more_like_this(tiny_index, seeds, p, k=10).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-4)
+
+
+def test_feedback_two_phase(tiny_index, oi):
+    """seed MUST + expansion SHOULD: result docs all match the seed
+    query; scores = seed + expansion partials."""
+    q = "zephyrblade"
+    p = MLTParams(max_query_terms=10)
+    got = unsupervised_feedback(tiny_index, q, k=10, max_seed_docs=5, params=p).toPandas()
+
+    # oracle: phase 1
+    seed_scored = oracle.score_query(oi, [("zephyrblade", 1.0)], BM25)
+    seed_top = oracle.topk(seed_scored, 5)
+    terms = oracle_mlt_terms(oi, list(seed_top["doc_id"]), p)
+    boosts = [(t, round(s, 5)) for t, s in zip(terms["term"], terms["score"])]
+    exp = oracle.score_query(oi, boosts, BM25)
+    exp_map = dict(zip(exp["doc_id"], exp["score"]))
+    final = seed_scored.copy()
+    final["score"] = final.apply(
+        lambda r: r["score"] + exp_map.get(r["doc_id"], 0.0), axis=1
+    )
+    want = oracle.topk(final, 10)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-4)
+    # every result doc matches the seed query
+    assert set(got["doc_id"]) <= set(seed_scored["doc_id"])
+
+
+def test_feedback_improves_recall_shape(tiny_index):
+    """Sanity: feedback returns same count, different/equal ordering."""
+    base = execute_query(tiny_index, "quartzowl", k=10).toPandas()
+    fb = unsupervised_feedback(tiny_index, "quartzowl", k=10).toPandas()
+    assert set(fb["doc_id"]) <= set(
+        execute_query(tiny_index, "quartzowl", k=10**6).toPandas()["doc_id"]
+    )
+    assert len(fb) == len(base)

@@ -1,0 +1,244 @@
+"""Golden-string parser tests ported verbatim from the reference:
+TestLexer.java:14-67, TestQueryLexer.java:13-61,
+TestRecursiveDescentParser.java:16-215 (all 23 reference tests)."""
+
+import pytest
+
+from solrplugins_spark.query.parser import (
+    Lexer,
+    ParserErrors,
+    QueryLexer,
+    RecursiveDescentParser,
+    Sym,
+)
+
+WILDCARD = "*:*"
+
+
+def parse_ok(s: str) -> str:
+    p = RecursiveDescentParser(Lexer(s), WILDCARD)
+    tree = p.parse()
+    assert not p.has_errors(), f"unexpected errors {p.errors} for {s!r}"
+    return tree.evaluate()
+
+
+def parse_err(s: str) -> str:
+    p = RecursiveDescentParser(Lexer(s), WILDCARD)
+    tree = p.parse()
+    assert p.has_errors(), f"expected errors for {s!r}"
+    return tree.evaluate()
+
+
+def one_error(s: str) -> ParserErrors:
+    p = RecursiveDescentParser(Lexer(s), WILDCARD)
+    p.parse()
+    assert p.has_errors()
+    assert len(p.errors) == 1
+    return next(iter(p.errors))
+
+
+# ---- TestLexer.java ------------------------------------------------
+T, A, O, Q, FLD = Sym.TOKEN, Sym.AND, Sym.OR, Sym.QUOTE, Sym.FIELD
+
+
+def test_lexer_ignores_delimiters():
+    assert Lexer.tokenize("java,,,,aNd sql") == [T, A, T]
+    assert Lexer.tokenize("java,and;sql") == [T, A, T]
+    assert Lexer.tokenize("java,AND    sql") == [T, A, T]
+    assert Lexer.tokenize("java   OR    sql") == [T, O, T]
+
+
+def test_lexer_recognizes_quoted_phrases():
+    assert Lexer.tokenize('"java developer"') == [Q, T, T, Q]
+    assert Lexer.tokenize('ruby AND "java developer"') == [T, A, Q, T, T, Q]
+
+
+def test_lexer_tokenizes_field_queries():
+    assert Lexer.tokenize("text:java developer") == [FLD, T, T]
+    assert Lexer.tokenize('text:"java developer"') == [FLD, Q, T, T, Q]
+
+
+def test_lexer_ignores_case():
+    for kw in ("and", "And", "aND", "AND"):
+        assert Lexer.tokenize(f"java {kw} sql") == [T, A, T]
+    for kw in ("or", "OR", "oR", "Or"):
+        assert Lexer.tokenize(f"java {kw} sql") == [T, O, T]
+
+
+# ---- TestQueryLexer.java -------------------------------------------
+@pytest.mark.parametrize(
+    "q",
+    ["java And .net", "java AnD .net", "java anD .net", "java AND .net",
+     "java AND .net sql", "java AND .net AND ruby"],
+)
+def test_identifies_and_query(q):
+    assert QueryLexer(q).is_and_query
+
+
+@pytest.mark.parametrize(
+    "q",
+    ['".net developer"', ".net or developer", ".net And developer",
+     "(.net And php) or developer", "(.net And php)", '"java', "java)",
+     "not java)", '.net developer"', 'java And ".net developer"',
+     'java And ".net developer" or (sql and ruby)'],
+)
+def test_identifies_advanced_query(q):
+    assert QueryLexer(q).is_advanced_query
+
+
+@pytest.mark.parametrize(
+    "q",
+    ["java Or .net", "java OR .net", "java oR .net", "java or .net",
+     "java OR .net sql", "java OR .net Or ruby", "java", "NOT java",
+     '"java developer"', "java OR (sql)", "java OR (sql or ruby)"],
+)
+def test_does_not_identify_and_when_absent(q):
+    assert not QueryLexer(q).is_and_query
+
+
+@pytest.mark.parametrize(
+    "q", ["java", "java .net", "java developer", "java developer with .net"]
+)
+def test_does_not_identify_basic_as_advanced(q):
+    assert not QueryLexer(q).is_advanced_query
+
+
+# ---- TestRecursiveDescentParser.java -------------------------------
+def test_handles_field_queries():
+    assert parse_ok("text:java") == "text:(java)"
+    assert parse_ok('text:"java developer"') == 'text:("java developer")'
+    assert (
+        parse_ok('text:"java developer" title:".net developer"')
+        == '(text:("java developer") OR title:(".net developer"))'
+    )
+    assert (
+        parse_ok('text:"java developer" title:.net')
+        == '(text:("java developer") OR title:(.net))'
+    )
+    assert parse_ok("text:java developer") == "(text:(java) OR developer)"
+    assert parse_ok("text:java Or developer") == "(text:(java) OR developer)"
+    assert parse_ok("sql And text:java Or developer") == "((sql AND text:(java)) OR developer)"
+    assert parse_ok("text:java Or developer And sql") == "(text:(java) OR (developer AND sql))"
+    assert parse_ok("ruby text:java developer") == "((ruby OR text:(java)) OR developer)"
+    assert parse_ok("text:java developer ruby") == "((text:(java) OR developer) OR ruby)"
+    assert parse_err("text:java developer ruby)") == "((text:(java) OR developer) OR ruby)"
+    assert parse_err("(text:java developer ruby") == "((text:(java) OR developer) OR ruby)"
+    assert parse_ok('text:"java developer" title:ruby') == '(text:("java developer") OR title:(ruby))'
+
+
+def test_handles_quotes():
+    assert parse_ok('"java developer" or ruby') == '("java developer" OR ruby)'
+    assert parse_ok('"java developer"') == '"java developer"'
+    assert parse_ok('sql and "java developer"') == '(sql AND "java developer")'
+
+
+def test_handles_empty_quotes():
+    assert parse_err('java AND ""') == '(java AND "")'
+    assert parse_err('java OR ""') == '(java OR "")'
+
+
+def test_inserts_missing_quote():
+    assert parse_ok('"java developer') == '"java developer"'
+    assert parse_ok('"java developer aNd ruby') == '"java developer aNd ruby"'
+    assert parse_ok('"java developer oR ruby') == '"java developer oR ruby"'
+    assert parse_ok('java oR "developer oR ruby') == '(java OR "developer oR ruby")'
+
+
+def test_inserts_missing_left_paren():
+    assert parse_err("java aNd sql)") == "(java AND sql)"
+    assert parse_err("java aNd sql))") == "(java AND sql)"
+    assert parse_err("(java aNd sql) or ruby)") == "((java AND sql) OR ruby)"
+    assert parse_err("ruby or (java aNd sql))") == "(ruby OR (java AND sql))"
+    assert parse_err("ruby or java aNd sql))") == "(ruby OR (java AND sql))"
+
+
+def test_inserts_missing_right_paren():
+    assert parse_err("(java aNd sql") == "(java AND sql)"
+    assert parse_err("sql or (java aNd sql") == "(sql OR (java AND sql))"
+    assert parse_err("(sql or (java aNd sql") == "(sql OR (java AND sql))"
+    assert parse_err("(sql or (java aNd sql)") == "(sql OR (java AND sql))"
+    assert parse_err("(sql or (java aNd sql or ruby") == "(sql OR ((java AND sql) OR ruby))"
+    assert parse_err("(sql or (java aNd sql) or ruby") == "((sql OR (java AND sql)) OR ruby)"
+
+
+def test_inserts_or_when_operators_omitted():
+    assert parse_ok("java sql ruby") == "((java OR sql) OR ruby)"
+    assert parse_ok("java sql") == "(java OR sql)"
+    assert parse_ok("java And sql hadoop") == "(java AND (sql OR hadoop))"
+    assert parse_ok("java OR sql hadoop") == "(java OR (sql OR hadoop))"
+    assert (
+        parse_ok('sql server "java developer" hadoop')
+        == '(((sql OR server) OR "java developer") OR hadoop)'
+    )
+    assert parse_ok('"java developer" hadoop') == '("java developer" OR hadoop)'
+    assert parse_ok('hadoop OR "java developer"') == '(hadoop OR "java developer")'
+    assert parse_ok('hadoop AnD "java developer"') == '(hadoop AND "java developer")'
+    assert parse_ok('"sql server" "java developer"') == '("sql server" OR "java developer")'
+    assert (
+        parse_ok('ruby "sql server" "java developer"')
+        == '((ruby OR "sql server") OR "java developer")'
+    )
+    assert (
+        parse_ok('"sql server" "java developer" python')
+        == '(("sql server" OR "java developer") OR python)'
+    )
+
+
+def test_inserts_wildcard_when_missing_operand():
+    assert parse_err("java And") == f"(java AND {WILDCARD})"
+    assert parse_err("java OR") == f"(java OR {WILDCARD})"
+    assert parse_err("AND java") == f"({WILDCARD} AND java)"
+    assert parse_err("OR java") == f"({WILDCARD} OR java)"
+
+
+@pytest.mark.parametrize(
+    "q",
+    ["java or hadoop)", "(java or hadoop))", "sql AND (java or hadoop))",
+     "hadoop)", "hadoop))", "hadoop)))", "java hadoop)))", "((java hadoop)))"],
+)
+def test_error_missing_left_paren(q):
+    assert one_error(q) == ParserErrors.MissingLeftParen
+
+
+@pytest.mark.parametrize(
+    "q",
+    ["(java or hadoop", "((java or hadoop)", "sql AND (java or hadoop",
+     "(sql AND (java or hadoop", "(hadoop", "((hadoop", "(((hadoop",
+     "(((java hadoop", "(((java hadoop))"],
+)
+def test_error_missing_right_paren(q):
+    assert one_error(q) == ParserErrors.MissingRightParen
+
+
+@pytest.mark.parametrize(
+    "q",
+    ["java NOT", "sql Or java NOT", "java or", "java AND", "AND java", "Or java"],
+)
+def test_error_malformed_expression(q):
+    assert one_error(q) == ParserErrors.MalFormedExpression
+
+
+def test_ignores_delimiters():
+    assert parse_ok("java,,,,aNd sql") == "(java AND sql)"
+    assert parse_ok("java,and;sql") == "(java AND sql)"
+    assert parse_ok("java;AND   sql") == "(java AND sql)"
+    assert parse_ok("java     AND   sql") == "(java AND sql)"
+
+
+def test_ignores_case():
+    for kw in ("and", "aNd", "AND"):
+        assert parse_ok(f"java {kw} sql") == "(java AND sql)"
+    for kw in ("or", "oR", "Or", "OR"):
+        assert parse_ok(f"java {kw} sql") == "(java OR sql)"
+
+
+def test_enforces_operator_precedence():
+    assert parse_ok("java and sql or ruby") == "((java AND sql) OR ruby)"
+    assert parse_ok("java or sql AnD ruby") == "(java OR (sql AND ruby))"
+
+
+def test_parses_not_operator():
+    assert parse_ok("not java") == "NOT java"
+    assert parse_ok("not java and sql") == "(NOT java AND sql)"
+    assert parse_ok("not java and sql or ruby") == "((NOT java AND sql) OR ruby)"
+    assert parse_ok("not (java and sql) or ruby") == "(NOT (java AND sql) OR ruby)"

@@ -1,0 +1,143 @@
+"""Scoring oracle tests (SURVEY.md §5.2): the distributed engine must
+be rank-identical (docIDs + scores to 1e-6 rel tol, ties broken by
+doc_id asc) with the pure-pandas brute-force scorer, for BM25 and each
+Dice similarity variant."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from solrplugins_spark import oracle
+from solrplugins_spark.query.scorer import (
+    BM25,
+    ClassicDice,
+    Similarity,
+    search_terms,
+)
+from solrplugins_spark.query.compiler import execute_query
+from solrplugins_spark.query.parser import parse_query
+
+VARIANTS = {
+    "bm25": BM25,
+    "bm25_k1_0.5_b_0.3": Similarity(kind="bm25", k1=0.5, b=0.3),
+    "classic": ClassicDice,
+    "classic_no_norm": Similarity(kind="classic", use_norm=False),
+    "classic_no_tf_no_norm": Similarity(kind="classic", use_tf=False, use_norm=False),
+    "classic_no_idf": Similarity(kind="classic", use_idf=False),
+    "cosine_like": Similarity(kind="classic", use_norm=False, use_idf=False),
+}
+
+
+@pytest.fixture(scope="module")
+def oi(tiny_corpus_pd):
+    return oracle.build_oracle_index(tiny_corpus_pd)
+
+
+def assert_topk_equal(got: pd.DataFrame, want: pd.DataFrame):
+    assert list(got["doc_id"]) == list(want["doc_id"]), (
+        f"rank mismatch\nengine:\n{got}\noracle:\n{want}"
+    )
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", list(VARIANTS))
+def test_single_term_topk_all_variants(tiny_index, oi, name):
+    sim = VARIANTS[name]
+    got = search_terms(tiny_index, [("w0001", 1.0)], k=10, sim=sim).toPandas()
+    want = oracle.topk(oracle.score_query(oi, [("w0001", 1.0)], sim), 10)
+    assert_topk_equal(got, want)
+
+
+def test_planted_rare_term(tiny_index, oi, tiny_corpus_pd):
+    got = search_terms(tiny_index, [("zephyrblade", 1.0)], k=10).toPandas()
+    want = oracle.topk(oracle.score_query(oi, [("zephyrblade", 1.0)], BM25), 10)
+    assert_topk_equal(got, want)
+    assert len(got) > 0  # the plant exists
+
+
+def test_boosted_or_query(tiny_index, oi):
+    terms = [("w0000", 2.0), ("w0005", 1.0), ("zephyrblade", 4.0)]
+    got = search_terms(tiny_index, terms, k=15).toPandas()
+    want = oracle.topk(oracle.score_query(oi, terms, BM25), 15)
+    assert_topk_equal(got, want)
+
+
+def test_min_should_match(tiny_index, oi):
+    terms = [("w0001", 1.0), ("w0002", 1.0), ("w0003", 1.0)]
+    got = search_terms(tiny_index, terms, k=20, min_should_match=2).toPandas()
+    want = oracle.topk(
+        oracle.score_query(oi, terms, BM25, min_should_match=2), 20
+    )
+    assert_topk_equal(got, want)
+
+
+def test_missing_term_scores_empty(tiny_index):
+    got = search_terms(tiny_index, [("nosuchterm", 1.0)], k=10).toPandas()
+    assert len(got) == 0
+
+
+def test_topk_stable_across_partitions(spark, tiny_corpus_pd):
+    """Rank identity must hold under different parallelism (the
+    distribution hard-part from SURVEY.md §7)."""
+    from solrplugins_spark.index.builder import build_index
+
+    a = build_index(spark.createDataFrame(tiny_corpus_pd).repartition(1))
+    b = build_index(spark.createDataFrame(tiny_corpus_pd).repartition(13))
+    terms = [("w0000", 1.0), ("w0010", 3.0)]
+    ga = search_terms(a, terms, k=10).toPandas()
+    gb = search_terms(b, terms, k=10).toPandas()
+    pd.testing.assert_frame_equal(ga, gb)
+
+
+# ---- boolean query execution ---------------------------------------
+def oracle_boolean(oi, query, k=10):
+    """Tiny reference evaluator for the compiled boolean semantics."""
+    tree, _ = parse_query(query)
+    from solrplugins_spark.query import ast as A
+    from solrplugins_spark.analysis.tokenizer import tokenize_pandas
+
+    def ev(node) -> dict[int, float]:
+        if isinstance(node, A.Operand):
+            if node.value == "*:*":
+                return {d: 0.0 for d in oi.dl_map}
+            toks = sorted(set(tokenize_pandas(pd.Series([node.value]))[0]))
+            s = oracle.score_query(oi, [(t, 1.0) for t in toks], BM25)
+            return dict(zip(s["doc_id"], s["score"]))
+        if isinstance(node, A.Or):
+            l, r = ev(node.left), ev(node.right)
+            return {d: l.get(d, 0) + r.get(d, 0) for d in set(l) | set(r)}
+        if isinstance(node, A.And):
+            if isinstance(node.right, A.Not):
+                l, rneg = ev(node.left), ev(node.right.child)
+                return {d: v for d, v in l.items() if d not in rneg}
+            if isinstance(node.left, A.Not):
+                r, lneg = ev(node.right), ev(node.left.child)
+                return {d: v for d, v in r.items() if d not in lneg}
+            l, r = ev(node.left), ev(node.right)
+            return {d: l[d] + r[d] for d in set(l) & set(r)}
+        if isinstance(node, A.Not):
+            m = ev(node.child)
+            return {d: 0.0 for d in oi.dl_map if d not in m}
+        raise TypeError(node)
+
+    m = ev(tree)
+    s = pd.DataFrame({"doc_id": list(m), "score": list(m.values())})
+    return oracle.topk(s, k)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "w0001",
+        "w0001 w0002 w0003",
+        "w0001 and w0002",
+        "w0001 and w0002 or w0003",
+        "not w0000 and w0001",
+        "w0001 and not w0002",
+        "zephyrblade or quartzowl",
+    ],
+)
+def test_boolean_queries_vs_oracle(tiny_index, oi, q):
+    got = execute_query(tiny_index, q, k=10).toPandas()
+    want = oracle_boolean(oi, q, k=10)
+    assert_topk_equal(got, want)
