@@ -1,0 +1,333 @@
+"""Query registry: every implemented operator exposed as a
+(spark_query, oracle_sql) pair over the driver-provided tables.
+
+The driver runs each Spark query AND its DuckDB oracle side-by-side
+at sf=0.01 and compares row-count + schema + order-insensitive
+value-hash (CORRECTNESS_r{N}.json). Column names and float rounding
+must match exactly on both sides — every computed column is aliased
+identically, scores are round(x, 5) in both engines, and the
+tokenizer grammar ([a-z0-9]+ over lower()) is mirrored in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.builder import InvertedIndex, build_index
+from .query.compiler import execute_query
+from .query.feedback import unsupervised_feedback
+from .query.mlt import MLTParams, interesting_terms
+from .query.scorer import search_terms
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) — the oracle-side tokenizer and
+# BM25 statistics over the `documents` view, identical semantics to
+# analysis/tokenizer.py + index/builder.py
+# ---------------------------------------------------------------------------
+
+TOK_SQL = """
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE len(term) >= 1 GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+)
+"""
+
+BM25_PARTIAL_SQL = """
+partials AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS partial
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    if sf_dir not in _INDEX_CACHE:
+        _INDEX_CACHE[sf_dir] = build_index(_docs(spark, sf_dir)).persist()
+    return _INDEX_CACHE[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns (callable, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+def q_term_stats(spark, sf_dir):
+    """Term dictionary: df/cf per term (ir.docFreq / totalTermFreq)."""
+    return _index(spark, sf_dir).terms.select("term", "df", "cf")
+
+
+SQL_TERM_STATS = f"WITH {TOK_SQL} SELECT term, df, cf FROM dfreq"
+
+
+def q_doclen(spark, sf_dir):
+    """Doc lengths — the exact-norms table (DiceDefaultSimilarity)."""
+    return _index(spark, sf_dir).doclen.select("doc_id", "dl")
+
+
+SQL_DOCLEN = f"WITH {TOK_SQL} SELECT doc_id, dl FROM dl"
+
+
+def q_bm25_single(spark, sf_dir):
+    """Single-term BM25 top-10 (rare planted term 'dup')."""
+    return search_terms(_index(spark, sf_dir), [("dup", 1.0)], k=10)
+
+
+def _sql_topk_for_terms(terms_boosts, k=10, min_should_match=1):
+    sel = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {b}::DOUBLE AS boost" for t, b in terms_boosts
+    )
+    return f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL}, qt AS ({sel}),
+scored AS (
+  SELECT p.doc_id, round(sum(qt.boost * p.partial), 5) AS score,
+         count(*) AS matched
+  FROM partials p JOIN qt USING (term)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE matched >= {min_should_match}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+SQL_BM25_SINGLE = _sql_topk_for_terms([("dup", 1.0)], k=10)
+
+
+def q_bm25_or_boosted(spark, sf_dir):
+    """Boosted SHOULD union — the term-expansion scoring primitive."""
+    return search_terms(
+        _index(spark, sf_dir),
+        [("dup", 2.0), ("batch", 1.0), ("window", 0.5)],
+        k=10,
+    )
+
+
+SQL_BM25_OR_BOOSTED = _sql_topk_for_terms(
+    [("dup", 2.0), ("batch", 1.0), ("window", 0.5)], k=10
+)
+
+
+def q_bm25_mm2(spark, sf_dir):
+    """minShouldMatch=2 over three terms (MLTQuery mm semantics)."""
+    return search_terms(
+        _index(spark, sf_dir),
+        [("dup", 1.0), ("hash", 1.0), ("vector", 1.0)],
+        k=10,
+        min_should_match=2,
+    )
+
+
+SQL_BM25_MM2 = _sql_topk_for_terms(
+    [("dup", 1.0), ("hash", 1.0), ("vector", 1.0)], k=10, min_should_match=2
+)
+
+
+def q_boolean_and(spark, sf_dir):
+    """Parsed boolean query: 'dup and batch' (MUST intersection)."""
+    return execute_query(_index(spark, sf_dir), "dup and batch", k=10)
+
+
+SQL_BOOLEAN_AND = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+l AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'),
+r AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'batch')
+SELECT l.doc_id, round(l.s + r.s, 5) AS score
+FROM l JOIN r USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_boolean_not(spark, sf_dir):
+    """'dup and not batch' (MUST_NOT subtraction)."""
+    return execute_query(_index(spark, sf_dir), "dup and not batch", k=10)
+
+
+SQL_BOOLEAN_NOT = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+l AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'),
+r AS (SELECT doc_id FROM partials WHERE term = 'batch')
+SELECT l.doc_id, round(l.s, 5) AS score
+FROM l ANTI JOIN r USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_boolean_precedence(spark, sf_dir):
+    """'dup and hash or vector' — NOT>AND>OR precedence parse."""
+    return execute_query(_index(spark, sf_dir), "dup and hash or vector", k=10)
+
+
+SQL_BOOLEAN_PRECEDENCE = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+a AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'),
+b AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'hash'),
+c AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'vector'),
+land AS (SELECT a.doc_id, a.s + b.s AS s FROM a JOIN b USING (doc_id)),
+un AS (
+  SELECT doc_id, s FROM land
+  UNION ALL SELECT doc_id, s FROM c
+)
+SELECT doc_id, round(sum(s), 5) AS score FROM un GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+_MLT = MLTParams(min_term_freq=1, min_doc_freq=5, max_query_terms=20)
+
+
+def q_mlt_terms(spark, sf_dir):
+    """MLT interesting terms for seed doc 0: tf/df filters + classic
+    idf weighting + L2-normalized final score."""
+    return interesting_terms(_index(spark, sf_dir), [0], _MLT).select(
+        "term", "tf", "df", "score"
+    )
+
+
+SQL_MLT_TERMS = f"""
+WITH {TOK_SQL},
+seed AS (SELECT term, sum(tf)::BIGINT AS tf FROM tf WHERE doc_id = 0 GROUP BY term),
+cand AS (
+  SELECT s.term, s.tf, d.df,
+         s.tf * (ln(stats.n / (d.df + 1.0)) + 1.0) AS weight
+  FROM seed s JOIN dfreq d USING (term) CROSS JOIN stats
+  WHERE s.tf >= 1 AND d.df >= 5
+),
+top AS (SELECT * FROM cand ORDER BY weight DESC, term ASC LIMIT 20),
+veclen AS (SELECT sqrt(sum(weight * weight)) AS v FROM top)
+SELECT term, tf, df, round(weight / veclen.v, 5) AS score
+FROM top CROSS JOIN veclen
+"""
+
+
+def q_feedback(spark, sf_dir):
+    """Two-phase unsupervised feedback on 'dup' — the flagship query
+    (seed top-5 -> MLT expansion -> seed MUST + expansion SHOULD)."""
+    return unsupervised_feedback(
+        _index(spark, sf_dir), "dup", k=10, max_seed_docs=5, params=_MLT
+    )
+
+
+SQL_FEEDBACK = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+seed_scored AS (
+  SELECT doc_id, sum(partial) AS score FROM partials WHERE term = 'dup' GROUP BY doc_id
+),
+seeds AS (
+  SELECT doc_id FROM seed_scored ORDER BY round(score, 5) DESC, doc_id ASC LIMIT 5
+),
+seed_tf AS (
+  SELECT term, sum(tf)::BIGINT AS tf FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM seeds) GROUP BY term
+),
+cand AS (
+  SELECT s.term, s.tf * (ln(stats.n / (d.df + 1.0)) + 1.0) AS weight
+  FROM seed_tf s JOIN dfreq d USING (term) CROSS JOIN stats
+  WHERE s.tf >= 1 AND d.df >= 5
+),
+top AS (SELECT * FROM cand ORDER BY weight DESC, term ASC LIMIT 20),
+veclen AS (SELECT sqrt(sum(weight * weight)) AS v FROM top),
+boosts AS (
+  SELECT term, round(weight / veclen.v, 5) AS boost FROM top CROSS JOIN veclen
+),
+exp AS (
+  SELECT p.doc_id, sum(b.boost * p.partial) AS exp_score
+  FROM partials p JOIN boosts b USING (term) GROUP BY p.doc_id
+)
+SELECT s.doc_id, round(s.score + coalesce(e.exp_score, 0.0), 5) AS score
+FROM seed_scored s LEFT JOIN exp e USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet counts over a DocSet: lang counts for docs matching
+    'dup' (JointCounts-style facet over filtered docs)."""
+    idx = _index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    match = idx.postings.filter(F.col("term") == "dup").select("doc_id")
+    return (
+        docs.join(match, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_FACET_COUNTS = f"""
+WITH {TOK_SQL},
+match AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM documents d SEMI JOIN match USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+def q_joint_counts(spark, sf_dir):
+    """Joint (pivot) counts lang x source, mincount pruned
+    (JointCounts.doPivots semantics)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+SQL_JOINT_COUNTS = """
+SELECT lang, source, count(*)::BIGINT AS cnt
+FROM documents GROUP BY lang, source HAVING count(*) >= 5
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "term_stats": q_term_stats,
+        "doclen": q_doclen,
+        "bm25_single": q_bm25_single,
+        "bm25_or_boosted": q_bm25_or_boosted,
+        "bm25_mm2": q_bm25_mm2,
+        "boolean_and": q_boolean_and,
+        "boolean_not": q_boolean_not,
+        "boolean_precedence": q_boolean_precedence,
+        "mlt_terms": q_mlt_terms,
+        "feedback": q_feedback,
+        "facet_counts": q_facet_counts,
+        "joint_counts": q_joint_counts,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "term_stats": SQL_TERM_STATS,
+        "doclen": SQL_DOCLEN,
+        "bm25_single": SQL_BM25_SINGLE,
+        "bm25_or_boosted": SQL_BM25_OR_BOOSTED,
+        "bm25_mm2": SQL_BM25_MM2,
+        "boolean_and": SQL_BOOLEAN_AND,
+        "boolean_not": SQL_BOOLEAN_NOT,
+        "boolean_precedence": SQL_BOOLEAN_PRECEDENCE,
+        "mlt_terms": SQL_MLT_TERMS,
+        "feedback": SQL_FEEDBACK,
+        "facet_counts": SQL_FACET_COUNTS,
+        "joint_counts": SQL_JOINT_COUNTS,
+    }
