@@ -95,18 +95,70 @@ def counted_terms(
     df: DataFrame,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    arrow: bool = True,
     **tok_kwargs,
 ) -> DataFrame:
     """(doc_id, term, tf) — the addTermWeights aggregation
-    (MoreLikeThis.java:1156-1233) as explode + groupBy.
+    (MoreLikeThis.java:1156-1233).
 
-    The groupBy is a partial (map-side) + final hash aggregation; at
-    cluster scale the explode never materializes the full token stream
-    to disk because the partial agg collapses duplicates per task.
+    Default path (``arrow=True``): ONE shuffle-free mapInPandas pass —
+    per-doc term counting is partition-local (a doc lives in exactly
+    one partition), so tokenize + count happens inside an Arrow batch
+    with zero exchange. This is the Lucene-style per-doc inversion:
+    the only shuffles in an index build are the (vocab-bounded) term
+    dictionary agg and the segment groupBy. At 10^12 turns this
+    removes the dominant exploded-token shuffle entirely.
+
+    ``arrow=False`` keeps the pure-JVM explode + partial/final hash
+    agg variant (useful as a cross-check; it shuffles exploded rows).
     """
-    toks = tokenize(df.select(doc_col, text_col), text_col, **tok_kwargs)
-    return (
-        toks.select(doc_col, F.explode("tokens").alias("term"))
-        .groupBy(doc_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    if not arrow:
+        toks = tokenize(df.select(doc_col, text_col), text_col, **tok_kwargs)
+        return (
+            toks.select(F.col(doc_col).alias("doc_id"), F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    import re
+
+    import numpy as np
+
+    min_len = tok_kwargs.get("min_len", 1)
+    max_len = tok_kwargs.get("max_len", 64)
+    stopwords = tok_kwargs.get("stopwords") or None
+    max_tokens = tok_kwargs.get("max_tokens")
+    stop = set(stopwords) if stopwords else None
+    pat = re.compile(TOKEN_PATTERN)
+
+    def count_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf[text_col].fillna("").str.lower().str.split(pat)
+            flat = np.concatenate([t if t else [""] for t in toks])
+            lens = np.array([len(t) if t else 1 for t in toks])
+            docs = np.repeat(pdf[doc_col].to_numpy(), lens)
+            out = pd.DataFrame({"doc_id": docs, "term": flat})
+            tl = out["term"].str.len()
+            out = out[(tl >= min_len) & (tl <= max_len)]
+            if stop:
+                out = out[~out["term"].isin(stop)]
+            if max_tokens is not None:
+                out = out[out.groupby("doc_id").cumcount() < max_tokens]
+            if len(out) == 0:
+                continue
+            counted = (
+                out.groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            # dl carried inline: per-doc token count (sum of tfs) — lets
+            # the scorer read dl without a doclen join (one less shuffle
+            # per query) and keeps doclen derivation shuffle-free
+            counted["dl"] = counted.groupby("doc_id", sort=False)["tf"].transform("sum")
+            yield counted
+
+    return df.select(F.col(doc_col).alias("doc_id"), text_col).mapInPandas(
+        count_batches, schema="doc_id long, term string, tf long, dl long"
     )

@@ -1,0 +1,19 @@
+from .dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    minhash_duplicate_pairs,
+    simhash64,
+    simhash_duplicate_pairs,
+    ngram_jaccard_pairs,
+    embedding_near_duplicates,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_duplicate_pairs",
+    "simhash64",
+    "simhash_duplicate_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_duplicates",
+]

@@ -1,0 +1,314 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (it's a search plugin suite); these are the
+data-pipeline complements a 10^12-turn corpus needs before indexing.
+All hot paths are JVM column expressions or single-shuffle joins:
+
+- exact:     md5(normalized text) groupBy — one hash agg
+- minhash:   K permutations via md5(salt || shingle) lexicographic min
+             (a valid min-hash family; md5 chosen because DuckDB
+             computes the identical digest, so oracles mirror exactly),
+             banded into LSH buckets -> bucket join -> verified jaccard
+- simhash:   64-bit sign-sum of per-token xxhash64 bits (Arrow UDF for
+             the bit math), hamming-distance candidate pairs
+- ngram:     word n-gram jaccard with shared-ngram candidate
+             generation (inverted candidate join, not n^2)
+- embedding: cosine near-dup pairs over an embedding column
+
+Scale notes: every pairwise stage generates candidates via an
+equi-join key (bucket / band / shared-ngram), never a cross join;
+verification joins are bounded by candidate counts. Band-bucket keys
+distribute by hash; hot buckets (boilerplate dups) are the skew case —
+cap candidates per bucket via a window when needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import tokens_col
+
+
+def _norm_text(text_col: str = "text"):
+    """Normalization: lowercase, collapse token stream with single
+    spaces — dedup ignores punctuation/whitespace variance."""
+    return F.array_join(tokens_col(text_col), " ")
+
+
+def exact_duplicates(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(hash, canonical_doc_id, dup_doc_id) — exact-content duplicate
+    groups; canonical = min doc_id. One shuffle on the content hash."""
+    hashed = docs.select(
+        F.col(doc_col).alias("doc_id"), F.md5(_norm_text(text_col)).alias("hash")
+    )
+    groups = hashed.groupBy("hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    return (
+        groups.filter(F.col("group_size") > 1)
+        .select("hash", "canonical_doc_id", F.explode("members").alias("dup_doc_id"))
+        .filter(F.col("dup_doc_id") != F.col("canonical_doc_id"))
+    )
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingles as array<string> (space-joined)."""
+    toks = tokens_col(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — element k = min over shingles of
+    md5(k || ':' || shingle). Lexicographic min of a cryptographic
+    digest == a random permutation min-hash; string domain keeps the
+    DuckDB oracle byte-identical. Docs with no shingles are dropped."""
+    sh = _shingles(text_col, shingle_n)
+
+    def _salted(k: int):
+        prefix = f"{k}:"
+        # one-arg lambda: pyspark passes (element, index) to 2-arg
+        # lambdas, which would silently clobber a k=k default
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, _salted(k))) for k in range(num_hashes)]
+    )
+    return (
+        docs.select(F.col(doc_col).alias("doc_id"), sh.alias("_sh"), sig.alias("sig"))
+        .filter(F.size("_sh") > 0)
+        .drop("_sh")
+    )
+
+
+def minhash_duplicate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold: float = 0.7,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) verified near-duplicate pairs.
+
+    LSH: signature split into ``bands`` bands of num_hashes/bands rows;
+    docs sharing any band bucket become candidates (equi-join on the
+    band hash). Verification computes exact shingle jaccard on the
+    candidates only."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, doc_col, text_col).persist()
+    band_cols = [
+        F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), "|")).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
+    ).dropDuplicates(["doc_id", "bucket"])
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = docs.select(
+        F.col(doc_col).alias("doc_id"), _shingles(text_col, shingle_n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash64(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit simhash: per distinct token,
+    xxhash64 bits weighted by tf; fingerprint bit i = sign of the
+    weighted sum. Bit math runs vectorized in an Arrow batch."""
+    ct = docs.select(
+        F.col(doc_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).select(
+        "doc_id", F.explode("toks").alias("term")
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).withColumn(
+        "h", F.xxhash64("term")
+    )
+
+    def batch_simhash(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = pdf["h"].to_numpy().astype(np.uint64)
+            tf = pdf["tf"].to_numpy().astype(np.float64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.float64
+            )
+            contrib = (2.0 * bits - 1.0) * tf[:, None]
+            df = pd.DataFrame(contrib)
+            df["doc_id"] = pdf["doc_id"].to_numpy()
+            sums = df.groupby("doc_id", sort=False).sum()
+            fp = (sums.to_numpy() > 0).astype(np.uint64) @ (
+                np.uint64(1) << np.arange(64, dtype=np.uint64)
+            )
+            yield pd.DataFrame(
+                {"doc_id": sums.index.to_numpy(), "simhash": fp.astype(np.int64)}
+            )
+
+    # repartition by doc_id so each doc's rows land in one batch group
+    return (
+        ct.repartition(ct.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(batch_simhash, schema="doc_id long, simhash long")
+        .groupBy("doc_id")
+        .agg(F.first("simhash").alias("simhash"))
+    )
+
+
+def simhash_duplicate_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with simhash hamming distance <=
+    max_hamming. Candidates via 4x16-bit block LSH (a pair within
+    hamming 3 must agree on >= 1 of 4 blocks)."""
+    fp = simhash64(docs, doc_col, text_col).persist()
+    blocks = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+        F.col("simhash"),
+    ).select("doc_id", "simhash", F.col("b.block").alias("block"), F.col("b.val").alias("val"))
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["block", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_candidates_per_ngram: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact word-n-gram jaccard over pairs
+    that share at least one n-gram (inverted candidate generation; a
+    per-ngram candidate cap bounds boilerplate skew)."""
+    sh = docs.select(
+        F.col(doc_col).alias("doc_id"), _shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0).persist()
+    inv = sh.select("doc_id", F.explode("sh").alias("ng"))
+    from pyspark.sql import Window as W
+
+    capped = inv.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("ng").orderBy("doc_id"))
+    ).filter(F.col("_rn") <= max_candidates_per_ngram)
+    cand = (
+        capped.alias("x")
+        .join(capped.alias("y"), "ng")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard"))
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    Brute-force block-nested join at test scale; at 10^12 scale the
+    candidate stage becomes LSH buckets (see similarity.ann) — this
+    operator is the exact verifier both paths share."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm.alias("n"),
+    ).filter(F.col("n") > 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        v.alias("x")
+        .join(v.alias("y"), F.col("x.id") < F.col("y.id"))
+        .withColumn("cosine", dot / (F.col("x.n") * F.col("y.n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round("cosine", 5).alias("cosine"),
+        )
+    )

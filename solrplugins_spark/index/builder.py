@@ -123,15 +123,54 @@ def build_index(
     tok_kwargs = dict(
         min_len=min_len, max_len=max_len, stopwords=stopwords, max_tokens=max_tokens
     )
-    postings = counted_terms(docs, doc_col=doc_col, text_col=text_col, **tok_kwargs)
-    postings = postings.withColumnRenamed(doc_col, "doc_id").persist()
-    terms = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    postings = counted_terms(
+        docs, doc_col=doc_col, text_col=text_col, **tok_kwargs
+    ).persist()
+
+    # Term dictionary: per-partition partial (term -> df, cf) in Arrow
+    # workers, then a vocab-bounded JVM final agg. String-keyed hash
+    # aggregation is deliberately kept OUT of the JVM: measured on this
+    # box, a 32-thread JVM hash agg over exploded tokens is 50x slower
+    # than pandas partials (allocation/GC contention); python workers
+    # are separate processes and scale linearly.
+    def _partial_term_stats(batches):
+        acc = []
+        for pdf in batches:
+            acc.append(
+                pdf.groupby("term", sort=False)
+                .agg(df=("tf", "size"), cf=("tf", "sum"))
+                .reset_index()
+            )
+        if acc:
+            a = pd.concat(acc)
+            yield a.groupby("term", sort=False).sum().reset_index()
+
+    terms = (
+        postings.mapInPandas(_partial_term_stats, schema="term string, df long, cf long")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+    # doclen: dl rides inline in postings; a doc's rows are contiguous
+    # within one partition, so dedup is partition-local — only batch
+    # boundaries can split a doc, handled by carrying the previous
+    # batch's last doc id. Zero shuffles.
+    def _dedup_doclen(batches):
+        prev_last = None
+        for pdf in batches:
+            out = pdf[["doc_id", "dl"]].drop_duplicates("doc_id")
+            if prev_last is not None:
+                out = out[out["doc_id"] != prev_last]
+            if len(pdf):
+                prev_last = pdf["doc_id"].iloc[-1]
+            if len(out):
+                yield out
+
+    doclen = postings.mapInPandas(_dedup_doclen, schema="doc_id long, dl long")
+
     # N counts every doc, including empty-token docs that have no postings
     n_docs = docs.count()
-    total_tokens = doclen.agg(F.sum("dl")).collect()[0][0] or 0
+    total_tokens = postings.agg(F.sum("tf")).collect()[0][0] or 0
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
     return InvertedIndex(
         postings=postings,
@@ -152,7 +191,7 @@ def forward_index(
     """
     ct = counted_terms(docs, doc_col=doc_col, text_col=text_col, **tok_kwargs)
     return (
-        ct.groupBy(F.col(doc_col).alias("doc_id"))
+        ct.groupBy("doc_id")
         .agg(
             F.sort_array(F.collect_list(F.struct("term", "tf"))).alias("terms"),
             F.sum("tf").alias("dl"),

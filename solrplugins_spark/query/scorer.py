@@ -112,10 +112,12 @@ def score_terms(
     spark = index.postings.sparkSession
     qt = _query_terms_df(spark, terms_boosts)
     term_list = [t for t, _ in terms_boosts]
+    # dl is inlined in postings, so a query is: pruned postings scan +
+    # two broadcast joins (query terms, term dictionary slice) + one
+    # codegen'd arithmetic projection — zero non-broadcast joins.
     hits = index.postings.filter(F.col("term").isin(term_list))
     hits = hits.join(F.broadcast(qt), "term")
     hits = hits.join(F.broadcast(index.terms.filter(F.col("term").isin(term_list))), "term")
-    hits = hits.join(index.doclen, "doc_id")
     partial = sim.score_expr(
         F.col("tf"), F.col("df"), F.col("dl"), index.avgdl, index.n_docs
     )

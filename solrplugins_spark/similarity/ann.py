@@ -1,0 +1,110 @@
+"""Approximate nearest neighbors over an embedding column.
+
+- cosine_topk_bruteforce: exact top-k for a query vector; the dot
+  product is a zip_with/aggregate column expression (JVM codegen, no
+  UDF) — the baseline every approximate path is verified against.
+- lsh_hyperplane_buckets: sign-of-projection LSH with deterministic
+  pseudo-random hyperplanes (splitmix64-seeded, reproducible across
+  runs/partitionings).
+- cosine_topk_lsh: probe the query's bucket (+ optional multi-probe by
+  flipping bits), exact-rank the candidates. Recall is tested against
+  brute force; rank order among returned candidates is exact.
+
+Scale: brute force is a single scan + TakeOrderedAndProject (fine for
+one query at any corpus size — it's the per-query scan cost that
+motivates LSH); the LSH path prunes the scan to matching buckets
+(partition-prunable when the table is written bucketed by `bucket`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(vec_col, qvec: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _norm_expr(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """(id, cosine) exact top-k, ties broken by id asc."""
+    qn = float(np.linalg.norm(query_vec))
+    cos = _dot_expr(F.col(vec_col), query_vec) / (_norm_expr(F.col(vec_col)) * qn)
+    return (
+        emb.select(F.col(id_col).alias("id"), F.round(cos, round_to).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64 mixing —
+    identical on every executor without shipping state."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 0x9E3779B9)
+    x = (idx + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u.reshape(n_planes, dim) * 2.0 - 1.0)
+
+
+def lsh_hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, bucket) — bucket = sign bits of n_planes
+    projections packed into an int. Pure column expressions."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = _dot_expr(F.col(vec_col), list(p))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"),
+        bucket.alias("bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Approximate top-k: probe the query bucket plus ``multiprobe``
+    single-bit-flip neighbors, exact cosine on candidates only."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0))
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(min(multiprobe, n_planes))]
+    bucketed = lsh_hyperplane_buckets(emb, n_planes, seed, id_col, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk_bruteforce(
+        cand, query_vec, k=k, id_col="id", vec_col="embedding", round_to=round_to
+    )

@@ -1,0 +1,18 @@
+from .spellcheck import load_typos, spellcheck_suggest
+from .suggester import (
+    case_variants,
+    case_variant_suggest,
+    canonical_suggest,
+    high_frequency_dictionary,
+    file_dictionary,
+)
+
+__all__ = [
+    "load_typos",
+    "spellcheck_suggest",
+    "case_variants",
+    "case_variant_suggest",
+    "canonical_suggest",
+    "high_frequency_dictionary",
+    "file_dictionary",
+]

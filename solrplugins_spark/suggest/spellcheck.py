@@ -1,0 +1,132 @@
+"""Spellcheck: edit-distance suggestions + typo-override dictionary.
+
+Reference: DiceDirectSolrSpellChecker.java —
+- Lucene DirectSpellChecker config: maxEdits=2, accuracy=.5,
+  minPrefix=1, maxQueryFrequency=.01 (:80-98)
+- typos file `lhs1,lhs2=>rhs`, lhs normalized trim+lower (:118-148)
+- override rule: suggest the mapped correction only when it exists in
+  the index AND is more frequent than the original token
+  (matchFreq > 0 && matchFreq > freq, :265-276)
+
+The candidate generator is a declarative join against the ``terms``
+dictionary: prefix-match + length-window filters prune the scan before
+the levenshtein evaluation (all JVM-side; Catalyst pushes the prefix
+filter into the dictionary scan). At 10^12-doc scale the dictionary is
+vocab-bounded, so this is a broadcast-sized frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import InvertedIndex
+
+
+def load_typos(lines: list[str]) -> dict[str, str]:
+    """Parse `lhs1,lhs2=>rhs` lines; lhs keys normalized trim+lower."""
+    out: dict[str, str] = {}
+    for line in lines:
+        if "=>" not in line:
+            continue
+        lhs, rhs = line.split("=>", 1)
+        rhs = rhs.strip()
+        for key in lhs.split(","):
+            out[key.strip().lower()] = rhs
+    return out
+
+
+def spellcheck_suggest(
+    index: InvertedIndex,
+    tokens: list[str],
+    typos: dict[str, str] | None = None,
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    accuracy: float = 0.5,
+    max_query_frequency: float = 0.01,
+    count: int = 5,
+) -> DataFrame:
+    """(token, suggestion, freq, distance) ranked per token.
+
+    Suggestions come from the term dictionary: same ``min_prefix``
+    prefix, levenshtein <= max_edits, string similarity >= accuracy
+    (1 - dist/max(len)), more frequent than the token. Tokens whose own
+    df exceeds maxQueryFrequency*N are considered correctly spelled and
+    get no edit-distance suggestions (DirectSpellChecker semantics).
+    Typo overrides bypass the edit-distance limit but obey the
+    matchFreq>freq rule.
+    """
+    spark = index.terms.sparkSession
+    tok_df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    tok_freq = (
+        tok_df.join(
+            index.terms.select(F.col("term").alias("token"), F.col("df").alias("token_df")),
+            "token",
+            "left",
+        ).fillna({"token_df": 0})
+    )
+    freq_cap = max_query_frequency * index.n_docs
+
+    cand = F.broadcast(tok_freq).crossJoin(index.terms.select("term", "df"))
+    cand = cand.filter(
+        (F.col("token_df") <= freq_cap)
+        & (F.col("term") != F.col("token"))
+        & (
+            F.substring("term", 1, min_prefix)
+            == F.substring("token", 1, min_prefix)
+        )
+        & (F.abs(F.length("term") - F.length("token")) <= max_edits)
+    )
+    dist = F.levenshtein("term", "token")
+    sim = 1.0 - dist / F.greatest(F.length("term"), F.length("token"))
+    edits = (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= max_edits)
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= accuracy)
+        .filter(F.col("df") > F.col("token_df"))
+        .select("token", F.col("term").alias("suggestion"), F.col("df").alias("freq"), "distance")
+    )
+
+    if typos:
+        typo_df = spark.createDataFrame(
+            [(k, v) for k, v in typos.items()], "norm_token string, correction string"
+        )
+        overrides = (
+            tok_freq.withColumn("norm_token", F.lower(F.trim("token")))
+            .join(F.broadcast(typo_df), "norm_token")
+            .join(
+                index.terms.select(
+                    F.col("term").alias("correction"), F.col("df").alias("freq")
+                ),
+                "correction",
+            )
+            # matchFreq > 0 && matchFreq > freq (:265-276)
+            .filter((F.col("freq") > 0) & (F.col("freq") > F.col("token_df")))
+            .select(
+                "token",
+                F.col("correction").alias("suggestion"),
+                "freq",
+                F.lit(-1).cast("int").alias("distance"),  # override marker
+            )
+        )
+        edits = edits.unionByName(overrides)
+
+    from pyspark.sql import Window as W
+
+    # a correction can surface via both the typo override and the
+    # edit-distance path — keep one row (the override marker wins)
+    edits = (
+        edits.groupBy("token", "suggestion")
+        .agg(F.max("freq").alias("freq"), F.min("distance").alias("distance"))
+    )
+    w = W.partitionBy("token").orderBy(
+        F.asc(F.when(F.col("distance") < 0, -1).otherwise(F.col("distance"))),
+        F.desc("freq"),
+        F.asc("suggestion"),
+    )
+    return (
+        edits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= count)
+        .select("token", "suggestion", "freq", "distance", "rank")
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM column expressions (codegen'd single scan per operator); the
+rolling-hash fingerprint variant is a numpy Arrow kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import tokens_col
+
+# small built-in stopword/function-word sets — the n-gram/stopword-hit
+# language heuristic (no external models in this container)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "que", "une", "dans", "pour", "pas"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu", "auf"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "una", "en", "por", "para", "con"],
+}
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """argmax over per-language stopword hit counts; 'und' when no
+    language scores a hit. Deterministic tie-break: language name asc."""
+    toks = tokens_col(text_col)
+    scores = []
+
+    def _hits_in(sw):
+        # one-arg lambda required: pyspark passes (element, index) to
+        # 2-arg lambdas, which would clobber a default-arg capture
+        return lambda t: F.array_contains(sw, t)
+
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, _hits_in(sw)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # max of (hits, -lang) — array_max on struct gives lexicographic max;
+    # for asc tie-break on lang we pick max hits then min lang via sort
+    arr = F.array(*scores)
+    best_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    best = F.array_min(
+        F.transform(
+            F.filter(arr, lambda s: s["hits"] == best_hits), lambda s: s["lang"]
+        )
+    )
+    pred = F.when(best_hits > 0, best).otherwise(F.lit("und"))
+    return docs.withColumn(out_col, pred)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds: n_chars_q, n_tokens_q, mean_token_len, stopword_ratio,
+    alnum_ratio, quality_score (a simple monotone composite).
+
+    The composite: docs score higher for having enough tokens, typical
+    word lengths, some function words, and mostly-alphanumeric text."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("double")
+    tok_chars = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+    mean_len = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0))
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_arr = F.array(*[F.lit(w) for w in all_sw])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).cast("double")
+    sw_ratio = F.when(n_tokens > 0, sw_hits / n_tokens).otherwise(F.lit(0.0))
+    alnum = F.length(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]", ""))
+    alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / 20.0, F.lit(1.0)) * 0.4
+        + F.when((mean_len >= 3) & (mean_len <= 10), 0.3).otherwise(0.0)
+        + F.least(sw_ratio * 5.0, F.lit(1.0)) * 0.1
+        + alnum_ratio * 0.2
+    )
+    return (
+        docs.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens_q", n_tokens)
+        .withColumn("mean_token_len", F.round(mean_len, 5))
+        .withColumn("stopword_ratio", F.round(sw_ratio, 5))
+        .withColumn("alnum_ratio", F.round(alnum_ratio, 5))
+        .withColumn("quality_score", F.round(score, 5))
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ws_tokens (whitespace split) and bpe_ish_tokens (a BPE-like
+    subword proxy: alnum runs + punctuation marks each count as one)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(F.filter(F.split(txt, "\\s+"), lambda t: F.length(t) > 0)).cast("long")
+    bpe = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(txt), "([^a-z0-9\\s])", " $1 "), "\\s+"
+            ),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+    return docs.withColumn("ws_tokens", ws).withColumn("bpe_ish_tokens", bpe)
+
+
+def fingerprint_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the normalized (lowercase,
+    token-joined) text — the SQL-mirrorable fingerprint."""
+    return docs.withColumn(
+        "fingerprint", F.md5(F.array_join(tokens_col(text_col), " "))
+    )
+
+
+def rolling_fingerprint(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """(doc_id, fp: long) — min of polynomial rolling hashes over
+    token windows (a shift-resistant winnowing-style fingerprint),
+    computed in one Arrow batch kernel."""
+    B = np.uint64(1099511628211)
+
+    def kernel(batches):
+        import re
+
+        pat = re.compile("[^a-z0-9]+")
+        for pdf in batches:
+            fps = np.zeros(len(pdf), np.int64)
+            docs_np = pdf[doc_col].to_numpy()
+            for i, s in enumerate(pdf[text_col].fillna("")):
+                toks = [t for t in pat.split(s.lower()) if t]
+                if not toks:
+                    fps[i] = 0
+                    continue
+                th = np.array(
+                    [hash(t) & 0x7FFFFFFFFFFFFFFF for t in toks], dtype=np.uint64
+                )
+                # NOTE: python hash() is salted per-process; use fnv instead
+                th = np.zeros(len(toks), np.uint64)
+                for j, t in enumerate(toks):
+                    h = np.uint64(14695981039346656037)
+                    for ch in t.encode():
+                        h = (h ^ np.uint64(ch)) * B
+                    th[j] = h
+                w = min(window, len(th))
+                roll = np.zeros(len(th) - w + 1, np.uint64)
+                for j in range(len(roll)):
+                    h = np.uint64(0)
+                    for x in th[j : j + w]:
+                        h = h * B + x
+                    roll[j] = h
+                fps[i] = np.int64(roll.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+            yield pd.DataFrame({"doc_id": docs_np, "fp": fps})
+
+    return docs.select(F.col(doc_col).alias(doc_col), text_col).mapInPandas(
+        kernel, schema=f"{doc_col} long, fp long"
+    )

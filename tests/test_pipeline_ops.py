@@ -1,0 +1,205 @@
+"""Dedup / ANN / text-analysis / multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from solrplugins_spark.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_duplicate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_duplicate_pairs,
+)
+from solrplugins_spark.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    lsh_hyperplane_buckets,
+)
+from solrplugins_spark.text import (
+    fingerprint_md5,
+    language_id,
+    quality_features,
+    rolling_fingerprint,
+    token_counts,
+)
+from solrplugins_spark.multimodal import (
+    decode_media,
+    extract_features,
+    media_table_from_docs,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "The quick  brown FOX jumps over the lazy dog!"),  # exact after norm
+        (2, "the quick brown fox jumps over the lazy cat"),    # near-dup
+        (3, "completely different text about spark sql engines"),
+        (4, "totally unrelated words banana apple cherry"),
+        (5, "the quick brown fox jumps over the lazy dog"),    # exact
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_exact_duplicates(dup_docs):
+    got = exact_duplicates(dup_docs).toPandas()
+    assert set(zip(got["canonical_doc_id"], got["dup_doc_id"])) == {(0, 1), (0, 5)}
+
+
+def test_minhash_signatures_deterministic(dup_docs, spark):
+    a = minhash_signatures(dup_docs).orderBy("doc_id").toPandas()
+    b = minhash_signatures(dup_docs.repartition(7)).orderBy("doc_id").toPandas()
+    assert [list(s) for s in a["sig"]] == [list(s) for s in b["sig"]]
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    # identical docs -> identical signatures
+    sig = a.set_index("doc_id")["sig"]
+    assert list(sig[0]) == list(sig[1]) == list(sig[5])
+
+
+def test_minhash_pairs_find_near_dups(dup_docs):
+    # 8 bands of 2 rows: detection prob at jaccard 0.6 is ~97%
+    got = minhash_duplicate_pairs(
+        dup_docs, num_hashes=16, bands=8, threshold=0.5
+    ).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert (0, 2) in pairs  # near-dup above 0.5 bigram jaccard
+    assert not any(3 in p or 4 in p for p in pairs)
+    # verified jaccard values are exact
+    j = dict(zip(zip(got["doc_a"], got["doc_b"]), got["jaccard"]))
+    assert j[(0, 1)] == 1.0
+
+
+def test_simhash_properties(dup_docs):
+    got = simhash64(dup_docs).toPandas().set_index("doc_id")["simhash"]
+    assert got[0] == got[1] == got[5]  # identical token bags
+    ham = bin(int(got[0]) ^ int(got[2])).count("1")
+    assert ham <= 12  # near-dup stays close
+    far = bin(int(got[0]) ^ int(got[3])).count("1")
+    assert far > ham
+
+
+def test_simhash_pairs(dup_docs):
+    got = simhash_duplicate_pairs(dup_docs, max_hamming=0).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert {(0, 1), (0, 5), (1, 5)} <= pairs
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    got = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.4).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs and (0, 5) in pairs
+
+
+# ---- ANN ------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").persist()
+
+
+def test_cosine_topk_bruteforce(emb):
+    row = emb.first()
+    q = list(row["embedding"])
+    got = cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    assert got.iloc[0]["id"] == row["vec_id"]
+    assert abs(got.iloc[0]["cosine"] - 1.0) < 1e-4
+    assert list(got["cosine"]) == sorted(got["cosine"], reverse=True)
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy())
+    q = M[7]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -np.round(cos, 5)))[:10]
+    want = list(pdf["vec_id"].to_numpy()[order])
+    got = cosine_topk_bruteforce(emb, list(q), k=10).toPandas()
+    assert list(got["id"]) == want
+
+
+def test_lsh_buckets_deterministic_and_recall(emb):
+    b1 = lsh_hyperplane_buckets(emb, n_planes=6).orderBy("id").toPandas()
+    b2 = lsh_hyperplane_buckets(emb.repartition(5), n_planes=6).orderBy("id").toPandas()
+    assert list(b1["bucket"]) == list(b2["bucket"])
+    q = list(emb.first()["embedding"])
+    exact = set(cosine_topk_bruteforce(emb, q, k=5).toPandas()["id"])
+    # random high-dim vectors spread across buckets: use few planes +
+    # multiprobe so candidates cover ~3/4 of the corpus -> high recall
+    approx = set(cosine_topk_lsh(emb, q, k=5, n_planes=2, multiprobe=2).toPandas()["id"])
+    assert len(exact & approx) >= 3
+    # the query's own vector is always in its probe bucket
+    assert emb.first()["vec_id"] in approx
+
+
+def test_embedding_near_duplicates(emb, spark):
+    # plant an exact duplicate pair
+    dup = emb.limit(1).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    with_dup = emb.unionByName(dup)
+    got = embedding_near_duplicates(with_dup, threshold=0.9999).toPandas()
+    first_id = emb.first()["vec_id"]
+    assert (first_id, first_id + 10000) in set(zip(got["id_a"], got["id_b"]))
+
+
+# ---- text analysis --------------------------------------------------
+def test_language_id(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "le chat est dans la maison et il est dans le jardin"),
+        (2, "der hund ist nicht in der schule und das ist gut"),
+        (3, "el perro es grande y la casa es bonita"),
+        (4, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = language_id(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert got[0] == "en" and got[1] == "fr" and got[2] == "de" and got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_quality_features(spark):
+    rows = [(0, "the quick brown fox jumps over the lazy dog " * 3), (1, "x"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = quality_features(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "quality_score"] > got.loc[1, "quality_score"]
+    assert got.loc[2, "n_tokens_q"] == 0
+    assert got.loc[0, "stopword_ratio"] > 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "Hello, world! It's 42.")], "doc_id long, text string")
+    got = token_counts(df).toPandas().iloc[0]
+    assert got["ws_tokens"] == 4
+    # hello , world ! it ' s 42 . -> 9 bpe-ish tokens
+    assert got["bpe_ish_tokens"] == 9
+
+
+def test_fingerprints(spark, dup_docs):
+    got = fingerprint_md5(dup_docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert got[0] == got[1] == got[5]
+    assert got[0] != got[2]
+    rf = rolling_fingerprint(dup_docs, window=4).toPandas().set_index("doc_id")["fp"]
+    assert rf[0] == rf[1] == rf[5]
+    rf2 = rolling_fingerprint(dup_docs.repartition(3), window=4).toPandas().set_index("doc_id")["fp"]
+    assert dict(rf) == dict(rf2)
+
+
+# ---- multimodal plumbing --------------------------------------------
+def test_multimodal_pipeline(spark, dup_docs):
+    media = media_table_from_docs(dup_docs)
+    assert media.schema["media"].dataType.typeName() == "binary"
+    dec = decode_media(media, decoder="fake", dim=32).toPandas()
+    assert all(len(v) == 32 for v in dec["decoded"])
+    # determinism: same payload -> same decode
+    d = dec.set_index("media_id")["decoded"]
+    assert list(d[0]) == list(d[5])
+    feats = extract_features(media, dim=32, n_features=8).toPandas()
+    assert all(len(v) == 8 for v in feats["features"])
+    frames = sample_frames(media, every_ms=250).toPandas()
+    assert set(frames[frames["media_id"] == 0]["offset_ms"]) == {0, 250, 500, 750}
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        decode_media(media, decoder="real").collect()

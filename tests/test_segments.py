@@ -1,0 +1,103 @@
+"""Segment build + pruned query tests (SURVEY.md §5.3/§5.5):
+- packed search is rank-identical to the exhaustive flat scorer
+- resumability: kill after group i, resume, byte-identical index
+- manifest carries lineage + throughput metrics."""
+
+import glob
+import hashlib
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from solrplugins_spark.index.segments import (
+    SegmentIndex,
+    build_segments,
+    wand_search,
+)
+from solrplugins_spark.query.scorer import search_terms
+
+
+@pytest.fixture(scope="module")
+def seg_index(tiny_index, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segs") / "idx")
+    return build_segments(tiny_index, out, seg_size=64, groups=3)
+
+
+QUERIES = [
+    [("w0001", 1.0)],
+    [("zephyrblade", 1.0)],
+    [("w0000", 2.0), ("w0005", 1.0), ("zephyrblade", 4.0)],
+    [("w0001", 1.0), ("w0002", 1.0), ("w0003", 1.0), ("w0010", 0.5)],
+    [("nosuchterm", 1.0)],
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES)
+def test_wand_rank_identical_to_flat(spark, tiny_index, seg_index, terms):
+    got = wand_search(spark, seg_index, terms, k=10).toPandas()
+    want = search_terms(tiny_index, terms, k=10).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_wand_k_larger_than_matches(spark, tiny_index, seg_index):
+    got = wand_search(spark, seg_index, [("zephyrblade", 1.0)], k=10_000).toPandas()
+    want = search_terms(tiny_index, [("zephyrblade", 1.0)], k=10_000).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _dir_hash(path: str) -> dict[str, str]:
+    out = {}
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+        # hash parquet CONTENT via pandas (file bytes embed write times)
+        df = pd.read_parquet(f)
+        key = os.path.relpath(f, path).rsplit("part-", 1)[0]
+        for c in df.columns:
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else str(v)
+            )
+        h = hashlib.sha256(
+            pd.util.hash_pandas_object(
+                df.sort_values(list(df.columns)).reset_index(drop=True)
+            ).values.tobytes()
+        ).hexdigest()
+        out[key] = h
+    return out
+
+
+def test_resume_is_identical(tiny_index, tmp_path):
+    full = str(tmp_path / "full")
+    build_segments(tiny_index, full, seg_size=64, groups=3)
+
+    part = str(tmp_path / "part")
+    # simulate a kill: build, then strip the last 2 groups from the manifest
+    build_segments(tiny_index, part, seg_size=64, groups=3)
+    mp = os.path.join(part, "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["completed_groups"] = m["completed_groups"][:1]
+    m["lineage"] = m["lineage"][:1]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="incomplete"):
+        SegmentIndex.load(part)
+    resumed = build_segments(tiny_index, part, seg_size=64, groups=3, resume=True)
+    assert _dir_hash(os.path.join(full, "postings")) == _dir_hash(
+        os.path.join(part, "postings")
+    )
+    assert _dir_hash(os.path.join(full, "doclens")) == _dir_hash(
+        os.path.join(part, "doclens")
+    )
+    loaded = SegmentIndex.load(part)
+    assert loaded.n_docs == resumed.n_docs
+
+
+def test_manifest_lineage_and_metrics(seg_index):
+    with open(os.path.join(seg_index.path, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["codec_version"] == 1
+    assert sorted(m["completed_groups"]) == list(range(m["n_groups"]))
+    for entry in m["lineage"]:
+        assert entry["docs_per_sec"] is None or entry["docs_per_sec"] > 0
+        assert "segments" in entry and "seconds" in entry

@@ -1,0 +1,120 @@
+"""Suggester + spellcheck behavior tests (SURVEY.md §5.4):
+case-variant generation/merge, canonical merge, typo-override rules
+(matchFreq>0 && matchFreq>freq)."""
+
+import pandas as pd
+import pytest
+
+from solrplugins_spark.index.builder import build_index
+from solrplugins_spark.suggest import (
+    case_variants,
+    case_variant_suggest,
+    canonical_suggest,
+    high_frequency_dictionary,
+    load_typos,
+    spellcheck_suggest,
+)
+
+
+def test_case_variants_basic():
+    vs = case_variants("hadoop")
+    assert {"hadoop", "HADOOP", "Hadoop"} <= set(vs)
+
+
+def test_case_variants_max_len():
+    # third token beyond maxLen=2 keeps original case
+    vs = case_variants("apache hadoop Cluster", max_len=2)
+    assert "apache hadoop Cluster" in vs
+    assert "Apache Hadoop Cluster" in vs
+    assert "APACHE HADOOP Cluster" in vs
+    # no variant lowercases the third token
+    assert all(v.split(" ")[2] == "Cluster" for v in vs)
+
+
+def test_case_variants_title_dedup():
+    # single-char token: Title == UPPER, so only 2 case branches
+    vs = case_variants("a")
+    assert set(vs) == {"a", "A"}
+
+
+@pytest.fixture(scope="module")
+def suggest_dict(spark):
+    rows = [
+        ("hadoop", 10), ("Hadoop", 25), ("HADOOP", 5),
+        ("Apache Hadoop", 40), ("apache hadoop", 3),
+        ("python", 50), ("ruby", 7),
+    ]
+    return spark.createDataFrame(rows, "phrase string, freq long")
+
+
+def test_case_variant_suggest_merges(spark, suggest_dict):
+    got = case_variant_suggest(suggest_dict, "hadoop").toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["suggestion"] == "Hadoop"  # most frequent surface
+    assert r["freq"] == 25
+    assert r["count"] == 40  # 10+25+5 summed across variants
+
+
+def test_case_variant_suggest_popular_order(spark, suggest_dict):
+    got = case_variant_suggest(suggest_dict, "Apache Hadoop", popular=True).toPandas()
+    assert got.iloc[0]["suggestion"] == "Apache Hadoop"
+    assert got.iloc[0]["count"] == 43
+
+
+def test_canonical_suggest(spark, suggest_dict):
+    got = canonical_suggest(suggest_dict, "had", count=5).toPandas()
+    assert list(got["suggestion"]) == ["Hadoop"]
+    assert list(got["count"]) == [40]
+
+
+def test_high_frequency_dictionary(tiny_index):
+    hf = high_frequency_dictionary(tiny_index, threshold=0.5).toPandas()
+    lo = high_frequency_dictionary(tiny_index, threshold=0.0).toPandas()
+    assert len(hf) < len(lo)
+    assert all(hf["freq"] >= 0.5 * tiny_index.n_docs)
+
+
+def test_load_typos():
+    t = load_typos(["develope,developr=>developer", "pyton => python", "junk"])
+    assert t == {"develope": "developer", "developr": "developer", "pyton": "python"}
+
+
+@pytest.fixture(scope="module")
+def spell_index(spark):
+    rows = []
+    did = 0
+    for word, n in [("developer", 40), ("develop", 10), ("devops", 6),
+                    ("python", 30), ("ruby", 20), ("rare", 1)]:
+        for _ in range(n):
+            rows.append((did, word))
+            did += 1
+    return build_index(spark.createDataFrame(rows, "doc_id long, text string")).persist()
+
+
+def test_spellcheck_edit_distance(spell_index):
+    got = spellcheck_suggest(spell_index, ["developr"]).toPandas()
+    assert "developer" in list(got["suggestion"])
+    top = got[got["rank"] == 1].iloc[0]
+    assert top["suggestion"] == "developer"
+
+
+def test_spellcheck_respects_max_query_frequency(spell_index):
+    # 'python' df=30 of 107 docs >> 1% — treated as correctly spelled
+    got = spellcheck_suggest(spell_index, ["python"]).toPandas()
+    assert len(got[got["distance"] >= 0]) == 0
+
+
+def test_spellcheck_typo_override_rules(spell_index):
+    typos = load_typos([
+        "develope=>developer",   # accepted: in corpus, more frequent
+        "pyton=>notacorpusword", # rejected: not in corpus
+        "rubby=>rare",           # accepted: rare df=1 > rubby df=0
+    ])
+    got = spellcheck_suggest(
+        spell_index, ["develope", "pyton", "rubby"], typos=typos
+    ).toPandas()
+    overrides = got[got["distance"] == -1]
+    assert ("develope", "developer") in set(zip(overrides["token"], overrides["suggestion"]))
+    assert "notacorpusword" not in set(got["suggestion"])
+    assert ("rubby", "rare") in set(zip(overrides["token"], overrides["suggestion"]))
