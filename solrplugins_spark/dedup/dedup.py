@@ -59,13 +59,17 @@ def exact_duplicates(
 
 
 def _shingles(text_col: str, n: int):
-    """Word n-gram shingles as array<string> (space-joined)."""
+    """Word n-gram shingles as array<string> (space-joined); empty
+    array when the doc has fewer than n tokens."""
     toks = tokens_col(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
+    idxs = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.array_distinct(
         F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -300,7 +300,9 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from .registry_ext import EXT_QUERIES
+
+    base = {
         "term_stats": q_term_stats,
         "doclen": q_doclen,
         "bm25_single": q_bm25_single,
@@ -314,10 +316,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "joint_counts": q_joint_counts,
     }
+    base.update(EXT_QUERIES)
+    return base
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from .registry_ext import ext_oracle_sql
+
+    base = {
         "term_stats": SQL_TERM_STATS,
         "doclen": SQL_DOCLEN,
         "bm25_single": SQL_BM25_SINGLE,
@@ -331,3 +337,5 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": SQL_FACET_COUNTS,
         "joint_counts": SQL_JOINT_COUNTS,
     }
+    base.update(ext_oracle_sql())
+    return base

@@ -1,0 +1,739 @@
+"""Extended query registry: function queries, suggest/spellcheck,
+analytics, dedup, ANN, text analysis — each as (Spark query, DuckDB
+oracle) over the driver tables. See registry.py for the rules
+(identical aliases, round(x,5) floats, mirrored tokenizer grammar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .index.builder import forward_index
+from .functions import (
+    field_len,
+    field_val,
+    term_intersect,
+    term_overlap,
+)
+from .registry import TOK_SQL, BM25_PARTIAL_SQL, _docs, _index
+
+# ---------------------------------------------------------------------------
+# forward-index cache (function queries)
+# ---------------------------------------------------------------------------
+
+_FWD_CACHE: dict[str, object] = {}
+
+
+def _fwd(spark, sf_dir):
+    if sf_dir not in _FWD_CACHE:
+        _FWD_CACHE[sf_dir] = forward_index(_docs(spark, sf_dir)).persist()
+    return _FWD_CACHE[sf_dir]
+
+
+# ---- function queries ------------------------------------------------
+
+def q_fq_termfreq(spark, sf_dir):
+    """termfreq('dup') per doc (docs containing it)."""
+    from .functions import term_freq
+
+    fwd = _fwd(spark, sf_dir)
+    return fwd.select("doc_id", term_freq("dup").alias("tf")).filter(F.col("tf") > 0)
+
+
+SQL_FQ_TERMFREQ = f"WITH {TOK_SQL} SELECT doc_id, tf FROM tf WHERE term = 'dup'"
+
+
+def q_fq_fieldlen(spark, sf_dir):
+    fwd = _fwd(spark, sf_dir)
+    return fwd.select(
+        "doc_id",
+        field_len().alias("fl_unique"),
+        field_len(unique=False).alias("fl_total"),
+    )
+
+
+SQL_FQ_FIELDLEN = f"""
+WITH {TOK_SQL}
+SELECT doc_id, count(*)::BIGINT AS fl_unique, sum(tf)::BIGINT AS fl_total
+FROM tf GROUP BY doc_id
+"""
+
+
+def q_fq_fieldval(spark, sf_dir):
+    fwd = _fwd(spark, sf_dir)
+    return fwd.filter(F.col("doc_id") < 50).select(
+        "doc_id", field_val().alias("fieldval")
+    )
+
+
+SQL_FQ_FIELDVAL = f"""
+WITH {TOK_SQL}
+SELECT doc_id, string_agg(DISTINCT term, '||' ORDER BY term) AS fieldval
+FROM tf WHERE doc_id < 50 GROUP BY doc_id
+"""
+
+_TI_PARAMS = ["dup", "batch", "window"]
+
+
+def q_fq_termintersect(spark, sf_dir):
+    fwd = _fwd(spark, sf_dir)
+    return fwd.select(
+        "doc_id",
+        F.round(term_intersect(_TI_PARAMS, "jaccard"), 5).alias("jaccard"),
+        F.round(term_intersect(_TI_PARAMS, "doc"), 5).alias("bydoc"),
+        F.round(term_intersect(_TI_PARAMS, "param"), 5).alias("byparam"),
+        F.round(term_intersect(_TI_PARAMS, "dice"), 5).alias("dice"),
+    )
+
+
+SQL_FQ_TERMINTERSECT = f"""
+WITH {TOK_SQL},
+per_doc AS (
+  SELECT doc_id,
+         count(*)::DOUBLE AS n_uniq,
+         count(*) FILTER (WHERE term IN ('dup','batch','window'))::DOUBLE AS inter
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       round(inter / (n_uniq + 3 - inter), 5) AS jaccard,
+       round(inter / n_uniq, 5) AS bydoc,
+       round(inter / 3, 5) AS byparam,
+       round(2 * inter / (n_uniq + 3), 5) AS dice
+FROM per_doc
+"""
+
+
+def q_fq_termoverlap(spark, sf_dir):
+    fwd = _fwd(spark, sf_dir)
+    return fwd.select(
+        "doc_id",
+        F.round(term_overlap(_TI_PARAMS, use_doc_length=False), 5).alias("ovl_param"),
+        F.round(term_overlap(_TI_PARAMS, use_doc_length=True), 5).alias("ovl_doc"),
+    )
+
+
+SQL_FQ_TERMOVERLAP = f"""
+WITH {TOK_SQL},
+per_doc AS (
+  SELECT doc_id,
+         count(*)::DOUBLE AS n_uniq,
+         count(*) FILTER (WHERE term IN ('dup','batch','window'))::DOUBLE AS inter
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       round(inter / 3, 5) AS ovl_param,
+       round(inter / n_uniq, 5) AS ovl_doc
+FROM per_doc
+"""
+
+
+# ---- spellcheck / suggest -------------------------------------------
+
+_SPELL_TOKENS = ["bacth", "wind0w", "dup", "batc"]
+_SPELL_TYPOS = {"bacth": "batch"}
+
+
+def q_spellcheck(spark, sf_dir):
+    from .suggest import spellcheck_suggest
+
+    return spellcheck_suggest(
+        _index(spark, sf_dir), _SPELL_TOKENS, typos=_SPELL_TYPOS
+    )
+
+
+SQL_SPELLCHECK = f"""
+WITH {TOK_SQL},
+toks AS (
+  SELECT * FROM (VALUES ('bacth'), ('wind0w'), ('dup'), ('batc')) t(token)
+),
+tok_freq AS (
+  SELECT t.token, coalesce(d.df, 0) AS token_df
+  FROM toks t LEFT JOIN dfreq d ON d.term = t.token
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+edits AS (
+  SELECT tf2.token, d.term AS suggestion, d.df AS freq,
+         levenshtein(d.term, tf2.token) AS distance
+  FROM tok_freq tf2 CROSS JOIN dfreq d CROSS JOIN n
+  WHERE tf2.token_df <= 0.01 * n.n
+    AND d.term <> tf2.token
+    AND substr(d.term, 1, 1) = substr(tf2.token, 1, 1)
+    AND abs(len(d.term) - len(tf2.token)) <= 2
+    AND levenshtein(d.term, tf2.token) <= 2
+    AND 1.0 - levenshtein(d.term, tf2.token)::DOUBLE
+          / greatest(len(d.term), len(tf2.token)) >= 0.5
+    AND d.df > tf2.token_df
+),
+overrides AS (
+  SELECT tf2.token, 'batch' AS suggestion, d.df AS freq, -1 AS distance
+  FROM tok_freq tf2 JOIN dfreq d ON d.term = 'batch'
+  WHERE lower(trim(tf2.token)) = 'bacth' AND d.df > 0 AND d.df > tf2.token_df
+),
+all_sugg AS (
+  SELECT token, suggestion, max(freq) AS freq, min(distance) AS distance
+  FROM (SELECT * FROM edits UNION ALL SELECT * FROM overrides)
+  GROUP BY token, suggestion
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY token
+      ORDER BY (CASE WHEN distance < 0 THEN -1 ELSE distance END) ASC,
+               freq DESC, suggestion ASC) AS rank
+  FROM all_sugg
+)
+SELECT token, suggestion, freq, distance, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_suggest_canonical(spark, sf_dir):
+    """Canonicalizing suggest over a mixed-case dictionary built from
+    the high-frequency terms (synthetic Title-case surfaces)."""
+    from .suggest import canonical_suggest, high_frequency_dictionary
+
+    hf = high_frequency_dictionary(_index(spark, sf_dir), threshold=0.5)
+    title = hf.select(
+        F.concat(
+            F.upper(F.substring("phrase", 1, 1)), F.expr("substring(phrase, 2)")
+        ).alias("phrase"),
+        (F.col("freq") + 1).alias("freq"),
+    )
+    return canonical_suggest(hf.unionByName(title), "s", count=10)
+
+
+SQL_SUGGEST_CANONICAL = f"""
+WITH {TOK_SQL},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+hf AS (
+  SELECT term AS phrase, df AS freq FROM dfreq CROSS JOIN n WHERE df >= 0.5 * n.n
+),
+dict AS (
+  SELECT phrase, freq FROM hf
+  UNION ALL
+  SELECT upper(substr(phrase,1,1)) || substr(phrase,2), freq + 1 FROM hf
+),
+cand AS (SELECT * FROM dict WHERE lower(phrase) LIKE 's%'),
+merged AS (
+  SELECT lower(phrase) AS key,
+         max(struct_pack(freq := freq, phrase := phrase)) AS best,
+         sum(freq) AS count
+  FROM cand GROUP BY lower(phrase)
+)
+SELECT key, best.phrase AS suggestion, count
+FROM merged ORDER BY count DESC, key ASC LIMIT 10
+"""
+
+
+# ---- analytics -------------------------------------------------------
+
+def q_nb_classify(spark, sf_dir):
+    """Naive-bayes: classify docs by lang from their text."""
+    from .analytics.naivebayes import naive_bayes_classify, naive_bayes_model
+
+    docs = _docs(spark, sf_dir)
+    priors, conds = naive_bayes_model(docs, "lang")
+    return naive_bayes_classify(
+        docs.select("doc_id", "text"), priors, conds, top_n=1
+    ).select("doc_id", "cls")
+
+
+SQL_NB_CLASSIFY = f"""
+WITH {TOK_SQL},
+labeled AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.lang AS cls
+  FROM tf JOIN documents d USING (doc_id)
+),
+joints AS (SELECT term, cls, count(*)::BIGINT AS joint_cnt FROM labeled GROUP BY term, cls),
+prior_cnt AS (SELECT lang AS cls, count(*)::BIGINT AS prior_cnt FROM documents GROUP BY lang),
+tot AS (SELECT sum(prior_cnt + 0.01) AS t FROM prior_cnt),
+priors AS (
+  SELECT cls, prior_cnt, (prior_cnt + 0.01) / tot.t AS prior_p FROM prior_cnt CROSS JOIN tot
+),
+vocab AS (SELECT DISTINCT term FROM joints),
+dense AS (
+  SELECT v.term, p.cls,
+         (coalesce(j.joint_cnt, 0) + 0.01) / (p.prior_cnt + 0.01) AS cond_p
+  FROM vocab v CROSS JOIN priors p
+  LEFT JOIN joints j ON j.term = v.term AND j.cls = p.cls
+),
+scored AS (
+  SELECT tf.doc_id, d.cls,
+         sum(ln(tf.tf * d.cond_p)) AS loglik
+  FROM tf JOIN dense d USING (term)
+  GROUP BY tf.doc_id, d.cls
+),
+final AS (
+  SELECT s.doc_id, s.cls, ln(p.prior_p) + s.loglik AS score,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY ln(p.prior_p) + s.loglik DESC, s.cls ASC) AS rank
+  FROM scored s JOIN priors p USING (cls)
+)
+SELECT doc_id, cls FROM final WHERE rank = 1
+"""
+
+
+def q_stumps(spark, sf_dir):
+    """Entropy-ranked decision stumps: features = terms with df>=300,
+    labels = lang."""
+    from .analytics.stumps import extract_features, learn_stumps
+
+    docs = _docs(spark, sf_dir)
+    idx = _index(spark, sf_dir)
+    feats = extract_features(docs, idx.terms, min_df=300)
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    out = learn_stumps(feats, labels)
+    return out.select(
+        "feature", "predicted", F.round("entropy", 5).alias("entropy"), "size"
+    )
+
+
+SQL_STUMPS = f"""
+WITH {TOK_SQL},
+eligible AS (SELECT term FROM dfreq WHERE df >= 300),
+feats AS (
+  SELECT tf.doc_id, tf.term AS feature FROM tf SEMI JOIN eligible e ON tf.term = e.term
+),
+dist AS (
+  SELECT f.feature, d.lang AS label, count(*)::BIGINT AS cnt
+  FROM feats f JOIN documents d USING (doc_id)
+  GROUP BY f.feature, d.lang
+),
+totals AS (SELECT feature, sum(cnt)::BIGINT AS size FROM dist GROUP BY feature),
+ent AS (
+  SELECT d.feature, sum(-(d.cnt::DOUBLE / t.size) * ln(d.cnt::DOUBLE / t.size)) AS entropy
+  FROM dist d JOIN totals t USING (feature) GROUP BY d.feature
+),
+best AS (
+  SELECT feature, max(struct_pack(cnt := cnt, label := label)) AS b
+  FROM dist GROUP BY feature
+)
+SELECT t.feature, best.b.label AS predicted, round(e.entropy, 5) AS entropy, t.size
+FROM totals t JOIN ent e USING (feature) JOIN best USING (feature)
+"""
+
+
+def q_joint_probability(spark, sf_dir):
+    """Smoothed conditionals p(lang|source) for observed pairs."""
+    from .analytics.jointcounts import build_joint_probability_model
+
+    docs = _docs(spark, sf_dir)
+    m = build_joint_probability_model(docs, "lang", "source", alpha=0.01)
+    rows = []
+    for (ka, kb) in m.joints:
+        fa, a = ka
+        fb, b = kb
+        lang, source = (a, b) if fa == "lang" else (b, a)
+        rows.append(
+            (lang, source, round(m.conditional("lang", lang, "source", source), 5))
+        )
+    return spark.createDataFrame(rows, "lang string, source string, cond double")
+
+
+SQL_JOINT_PROBABILITY = """
+WITH joints AS (
+  SELECT lang, source, count(*)::BIGINT AS cnt FROM documents GROUP BY lang, source
+),
+priors AS (
+  SELECT value, cnt FROM (
+    SELECT lang AS value, count(*)::BIGINT AS cnt FROM documents GROUP BY lang
+    UNION ALL
+    SELECT source AS value, count(*)::BIGINT AS cnt FROM documents GROUP BY source
+  )
+),
+tp AS (SELECT sum(cnt + 0.01) AS t FROM priors),
+tj AS (SELECT sum(cnt + 0.01) AS t FROM joints),
+src AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source)
+SELECT j.lang, j.source,
+       round(((j.cnt + 0.01) / tj.t) / ((s.cnt + 0.01) / tp.t), 5) AS cond
+FROM joints j JOIN src s USING (source) CROSS JOIN tp CROSS JOIN tj
+"""
+
+
+# ---- dedup -----------------------------------------------------------
+
+def _docs_with_planted_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(20)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir)).select(
+        "canonical_doc_id", "dup_doc_id"
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+),
+hashed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> len(x) >= 1 AND len(x) <= 64), ' ')) AS hash
+  FROM all_docs
+),
+groups AS (
+  SELECT hash, min(doc_id) AS canonical_doc_id, count(*) AS n, list(doc_id) AS members
+  FROM hashed GROUP BY hash
+)
+SELECT canonical_doc_id, dup_doc_id FROM (
+  SELECT canonical_doc_id, unnest(members) AS dup_doc_id
+  FROM groups WHERE n > 1
+) WHERE dup_doc_id <> canonical_doc_id
+"""
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    from .dedup import minhash_signatures
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    return sigs.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("sig0"),
+        F.element_at("sig", 4).alias("sig3"),
+        F.element_at("sig", 8).alias("sig7"),
+    )
+
+
+SQL_DEDUP_MINHASH_SIG = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents WHERE doc_id < 30
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS shs
+  FROM base WHERE len(toks) >= 2
+),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM grams)
+SELECT doc_id,
+       min(md5('0:' || shingle)) AS sig0,
+       min(md5('3:' || shingle)) AS sig3,
+       min(md5('7:' || shingle)) AS sig7
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+
+
+SQL_NGRAM_JACCARD = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents WHERE doc_id < 60
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS ngs
+  FROM base WHERE len(toks) >= 3
+),
+sh AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+  FROM sh a JOIN sh b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i / (sa.n + sb.n - i.i), 5) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.03
+"""
+
+
+# ---- ANN -------------------------------------------------------------
+
+def q_ann_cosine(spark, sf_dir):
+    from .similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    return cosine_topk_bruteforce(emb, q, k=10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+dots AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) AS dot,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS n,
+         sqrt(list_dot_product(q.qv, q.qv)) AS qn
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id AS id, round(dot / (n * qn), 5) AS cosine
+FROM dots ORDER BY cosine DESC, id ASC LIMIT 10
+"""
+
+
+# ---- text analysis ---------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    from .text import language_id
+
+    return (
+        language_id(_docs(spark, sf_dir))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sql_lang_id() -> str:
+    from .text.analysis import STOPWORDS
+
+    lang_rows = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        lang_rows.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> x IN ({words}))) AS hits FROM base"
+        )
+    union = " UNION ALL ".join(lang_rows)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents
+),
+hits AS ({union}),
+ranked AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+  FROM ranked WHERE rn = 1
+)
+SELECT lang_pred, count(*)::BIGINT AS cnt FROM pred GROUP BY lang_pred
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from .text import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens"
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> len(x) > 0))::BIGINT AS ws_tokens,
+       len(list_filter(regexp_split_to_array(
+             regexp_replace(lower(coalesce(text, '')), '([^a-z0-9\\s])', ' \\1 ', 'g'),
+             '\\s+'),
+           x -> len(x) > 0))::BIGINT AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from .text import fingerprint_md5
+
+    return fingerprint_md5(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> len(x) >= 1 AND len(x) <= 64), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    from .text import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "mean_token_len", "stopword_ratio", "alnum_ratio", "quality_score"
+    )
+
+
+def _sql_quality() -> str:
+    from .text.analysis import STOPWORDS
+
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    words = ", ".join(f"'{w}'" for w in all_sw)
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(lower(coalesce(text, ''))
+                     , '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(t)::DOUBLE AS n_chars,
+         len(toks)::DOUBLE AS n_tokens,
+         list_reduce(list_prepend(0.0, [len(x)::DOUBLE for x in toks]), (a, b) -> a + b) AS tok_chars,
+         len(list_filter(toks, x -> x IN ({words})))::DOUBLE AS sw_hits,
+         len(regexp_replace(lower(t), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum
+  FROM base
+),
+calc AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_len,
+         CASE WHEN n_tokens > 0 THEN sw_hits / n_tokens ELSE 0.0 END AS sw_ratio,
+         CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0.0 END AS alnum_ratio,
+         n_tokens
+  FROM feat
+)
+SELECT doc_id,
+       round(mean_len, 5) AS mean_token_len,
+       round(sw_ratio, 5) AS stopword_ratio,
+       round(alnum_ratio, 5) AS alnum_ratio,
+       round(least(n_tokens / 20.0, 1.0) * 0.4
+             + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.3 ELSE 0.0 END)
+             + least(sw_ratio * 5.0, 1.0) * 0.1
+             + alnum_ratio * 0.2, 5) AS quality_score
+FROM calc
+"""
+
+
+# ---- packed-segment (WAND) query path --------------------------------
+
+_SEG_CACHE: dict[str, object] = {}
+
+
+def _segments(spark, sf_dir):
+    if sf_dir not in _SEG_CACHE:
+        import tempfile
+
+        from .index.segments import build_segments
+
+        out = tempfile.mkdtemp(prefix="registry_segs_")
+        _SEG_CACHE[sf_dir] = build_segments(
+            _index(spark, sf_dir), f"{out}/idx", seg_size=128, groups=2
+        )
+    return _SEG_CACHE[sf_dir]
+
+
+def q_wand_single(spark, sf_dir):
+    """Packed-postings block-max path; same oracle as bm25_single —
+    proves the compressed/pruned path is rank-identical."""
+    from .index.segments import wand_search
+
+    return wand_search(spark, _segments(spark, sf_dir), [("dup", 1.0)], k=10)
+
+
+def q_wand_or(spark, sf_dir):
+    from .index.segments import wand_search
+
+    return wand_search(
+        spark,
+        _segments(spark, sf_dir),
+        [("dup", 2.0), ("batch", 1.0), ("window", 0.5)],
+        k=10,
+    )
+
+
+def q_mlt_docs(spark, sf_dir):
+    """Full MLT: top-10 similar docs for seed 0, seed excluded."""
+    from .query.mlt import MLTParams, more_like_this
+
+    return more_like_this(
+        _index(spark, sf_dir),
+        [0],
+        MLTParams(min_term_freq=1, min_doc_freq=5, max_query_terms=20),
+        k=10,
+    )
+
+
+SQL_MLT_DOCS = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+seed_tf AS (
+  SELECT term, sum(tf)::BIGINT AS tf FROM tf WHERE doc_id = 0 GROUP BY term
+),
+cand AS (
+  SELECT s.term, s.tf * (ln(stats.n / (d.df + 1.0)) + 1.0) AS weight
+  FROM seed_tf s JOIN dfreq d USING (term) CROSS JOIN stats
+  WHERE s.tf >= 1 AND d.df >= 5
+),
+top AS (SELECT * FROM cand ORDER BY weight DESC, term ASC LIMIT 20),
+veclen AS (SELECT sqrt(sum(weight * weight)) AS v FROM top),
+boosts AS (SELECT term, weight / veclen.v AS boost FROM top CROSS JOIN veclen),
+scored AS (
+  SELECT p.doc_id, round(sum(b.boost * p.partial), 5) AS score
+  FROM partials p JOIN boosts b USING (term)
+  WHERE p.doc_id <> 0
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+EXT_QUERIES = {
+    "fq_termfreq": q_fq_termfreq,
+    "fq_fieldlen": q_fq_fieldlen,
+    "fq_fieldval": q_fq_fieldval,
+    "fq_termintersect": q_fq_termintersect,
+    "fq_termoverlap": q_fq_termoverlap,
+    "spellcheck": q_spellcheck,
+    "suggest_canonical": q_suggest_canonical,
+    "nb_classify": q_nb_classify,
+    "stumps": q_stumps,
+    "joint_probability": q_joint_probability,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_cosine": q_ann_cosine,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "quality": q_quality,
+    "wand_single": q_wand_single,
+    "wand_or": q_wand_or,
+    "mlt_docs": q_mlt_docs,
+}
+
+
+def ext_oracle_sql() -> dict[str, str]:
+    from .registry import SQL_BM25_SINGLE, SQL_BM25_OR_BOOSTED
+
+    return {
+        "fq_termfreq": SQL_FQ_TERMFREQ,
+        "fq_fieldlen": SQL_FQ_FIELDLEN,
+        "fq_fieldval": SQL_FQ_FIELDVAL,
+        "fq_termintersect": SQL_FQ_TERMINTERSECT,
+        "fq_termoverlap": SQL_FQ_TERMOVERLAP,
+        "spellcheck": SQL_SPELLCHECK,
+        "suggest_canonical": SQL_SUGGEST_CANONICAL,
+        "nb_classify": SQL_NB_CLASSIFY,
+        "stumps": SQL_STUMPS,
+        "joint_probability": SQL_JOINT_PROBABILITY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ann_cosine": SQL_ANN_COSINE,
+        "lang_id": _sql_lang_id(),
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprint": SQL_FINGERPRINT,
+        "quality": _sql_quality(),
+        "wand_single": SQL_BM25_SINGLE,
+        "wand_or": SQL_BM25_OR_BOOSTED,
+        "mlt_docs": SQL_MLT_DOCS,
+    }
