@@ -84,6 +84,14 @@ class Similarity:
 
 BM25 = Similarity(kind="bm25")
 ClassicDice = Similarity(kind="classic")
+# PayloadOnlySimilarity.java:12-29 — score is the (average) payload alone
+PayloadOnly = Similarity(
+    kind="classic", use_tf=False, use_idf=False, use_norm=False, use_payload=True
+)
+# PayloadIdfSimilarity.java:12-37 — payload x idf
+PayloadIdf = Similarity(
+    kind="classic", use_tf=False, use_idf=True, use_norm=False, use_payload=True
+)
 
 
 def _query_terms_df(spark, terms_boosts: list[tuple[str, float]]) -> DataFrame:
@@ -118,8 +126,10 @@ def score_terms(
     hits = index.postings.filter(F.col("term").isin(term_list))
     hits = hits.join(F.broadcast(qt), "term")
     hits = hits.join(F.broadcast(index.terms.filter(F.col("term").isin(term_list))), "term")
+    payload = F.col("payload") if "payload" in index.postings.columns else None
     partial = sim.score_expr(
-        F.col("tf"), F.col("df"), F.col("dl"), index.avgdl, index.n_docs
+        F.col("tf"), F.col("df"), F.col("dl"), index.avgdl, index.n_docs,
+        payload=payload,
     )
     return hits.select(
         "doc_id", "term", "boost", (F.col("boost") * partial).alias("partial")

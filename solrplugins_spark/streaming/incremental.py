@@ -1,0 +1,100 @@
+"""Incremental index builds via Structured Streaming.
+
+The reference has no streams (SURVEY.md §2.9); its nearest analogues
+are suggester rebuild-on-commit listeners
+(DiceSpellCheckComponent.java:661-720) and NB model TTL refresh
+(NaiveBayesComponent.java:386-388). The engine's upgrade is an
+incremental build: new transcript partitions arrive -> each microbatch
+becomes an index DELTA (postings + stats for its docs) appended as a
+new segment generation; readers merge stats across generations.
+
+Shape: ``readStream`` (file source or any streaming source) ->
+``foreachBatch`` -> the SAME deterministic batch build path
+(counted_terms), written parquet-partitioned by generation. Exactly
+the north rule's resumable per-partition checkpointing: the streaming
+checkpoint tracks consumed input, the manifest tracks emitted
+generations, and a killed job resumes without recomputing finished
+generations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import counted_terms
+
+
+def incremental_index_build(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Start a streaming index build; returns the StreamingQuery.
+
+    Each microbatch appends:
+      postings/gen=<batch_id>/   (doc_id, term, tf, dl)
+      terms/gen=<batch_id>/      (term, df, cf) partials
+    and a manifest line with lineage + throughput (north-rule metrics).
+    """
+    os.makedirs(out_path, exist_ok=True)
+    manifest = os.path.join(out_path, "stream_manifest.jsonl")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        n = batch_df.count()
+        if n == 0:
+            return
+        postings = counted_terms(batch_df, doc_col=doc_col, text_col=text_col)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(out_path, "postings", f"gen={batch_id}")
+        )
+        terms = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        )
+        terms.write.mode("overwrite").parquet(
+            os.path.join(out_path, "terms", f"gen={batch_id}")
+        )
+        elapsed = time.time() - t0
+        with open(manifest, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "generation": int(batch_id),
+                        "docs": int(n),
+                        "seconds": round(elapsed, 3),
+                        "docs_per_sec": round(n / elapsed, 1) if elapsed else None,
+                    }
+                )
+                + "\n"
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_segment_stats(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merged term dictionary across all generations — the sorted
+    segment-merge of SURVEY.md §7.9 expressed as a partial->final agg
+    over generation partials (df/cf are additive because doc sets of
+    generations are disjoint)."""
+    terms = spark.read.option("basePath", os.path.join(out_path, "terms")).parquet(
+        os.path.join(out_path, "terms")
+    )
+    return terms.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )

@@ -1,0 +1,113 @@
+"""Incremental (streaming) index build + payload scoring tests."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from solrplugins_spark.analysis.payloads import (
+    build_payload_index,
+    parse_payload_tokens,
+)
+from solrplugins_spark.corpus import transcripts_pandas
+from solrplugins_spark.index.builder import build_index
+from solrplugins_spark.query.scorer import (
+    PayloadIdf,
+    PayloadOnly,
+    search_terms,
+)
+from solrplugins_spark.streaming import (
+    incremental_index_build,
+    merge_segment_stats,
+)
+
+
+def test_parse_payload_tokens():
+    assert parse_payload_tokens("java^2.0 sql^0.5 ruby") == [
+        ("java", 2.0), ("sql", 0.5), ("ruby", 1.0),
+    ]
+    assert parse_payload_tokens("") == []
+    assert parse_payload_tokens("x^notanumber") == [("x^notanumber", 1.0)]
+
+
+def test_payload_only_scoring(spark):
+    rows = [
+        (0, "java^2.0 java^4.0 sql^0.5"),
+        (1, "java^1.0"),
+        (2, "sql^3.0 ruby"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_payload_index(docs)
+    got = search_terms(idx, [("java", 1.0)], k=10, sim=PayloadOnly).toPandas()
+    scores = dict(zip(got["doc_id"], got["score"]))
+    # avg payload: doc0 (2+4)/2=3.0, doc1 1.0
+    assert scores == {0: 3.0, 1: 1.0}
+    # boost multiplies the payload score
+    got2 = search_terms(idx, [("java", 2.0)], k=10, sim=PayloadOnly).toPandas()
+    assert dict(zip(got2["doc_id"], got2["score"])) == {0: 6.0, 1: 2.0}
+
+
+def test_payload_idf_scoring(spark):
+    import math
+
+    rows = [(0, "java^2.0"), (1, "java^1.0"), (2, "sql^3.0")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_payload_index(docs)
+    got = search_terms(idx, [("java", 1.0)], k=10, sim=PayloadIdf).toPandas()
+    idf = math.log(3 / (2 + 1.0)) + 1.0  # classic idf, df=2, N=3
+    scores = dict(zip(got["doc_id"], got["score"]))
+    assert abs(scores[0] - round(2.0 * idf, 5)) < 1e-6
+    assert abs(scores[1] - round(1.0 * idf, 5)) < 1e-6
+
+
+def test_incremental_build_matches_batch(spark, tmp_path):
+    """Stream 3 file chunks -> merged term stats identical to one batch
+    build; manifest carries per-generation lineage + throughput."""
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = transcripts_pandas(600)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    for i in range(3):
+        chunk = spark.createDataFrame(pdf.iloc[i * 200 : (i + 1) * 200])
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk{i}"))
+
+    out = str(tmp_path / "inc_idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "chunk0")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    q = incremental_index_build(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    merged = merge_segment_stats(spark, out).orderBy("term").toPandas()
+    batch = (
+        build_index(spark.createDataFrame(pdf))
+        .terms.orderBy("term")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        merged.astype({"df": "int64", "cf": "int64"}),
+        batch.astype({"df": "int64", "cf": "int64"}),
+        check_dtype=False,
+    )
+    with open(os.path.join(out, "stream_manifest.jsonl")) as f:
+        gens = [json.loads(line) for line in f]
+    assert sum(g["docs"] for g in gens) == 600
+    assert all(g["docs_per_sec"] > 0 for g in gens)
+
+    # resumability: restarting with the same checkpoint adds nothing
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(str(src / "chunk0")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    q2 = incremental_index_build(stream2, out, ckpt)
+    q2.awaitTermination(60)
+    with open(os.path.join(out, "stream_manifest.jsonl")) as f:
+        gens2 = [json.loads(line) for line in f]
+    assert sum(g["docs"] for g in gens2) == 600
