@@ -23,7 +23,7 @@ from ..index.builder import InvertedIndex
 from .compiler import compile_ast
 from .mlt import MLTParams, interesting_terms
 from .parser import parse_query
-from .scorer import BM25, Similarity, score_terms
+from .scorer import BM25, Similarity, score_terms_df
 
 
 def unsupervised_feedback(
@@ -46,16 +46,14 @@ def unsupervised_feedback(
         .select("doc_id")
     )
     terms = interesting_terms(index, seeds, params)
-    boosts = [(r["term"], float(r["score"])) for r in terms.collect()]
-
-    if boosts:
-        partials = score_terms(index, boosts, sim=sim)
-        exp = partials.groupBy("doc_id").agg(F.sum("partial").alias("exp_score"))
-        final = seed_scored.join(exp, "doc_id", "left").fillna({"exp_score": 0.0})
-        final = final.select(
-            "doc_id",
-            F.round(F.col("score") + F.col("exp_score"), round_to).alias("score"),
-        )
-    else:
-        final = seed_scored.select("doc_id", F.round("score", round_to).alias("score"))
+    # expansion boosts stay a (broadcast) DataFrame — the whole
+    # two-phase query compiles into one lazy plan, no driver collect
+    boosts_df = terms.select("term", F.col("score").alias("boost"))
+    partials = score_terms_df(index, boosts_df, sim=sim)
+    exp = partials.groupBy("doc_id").agg(F.sum("partial").alias("exp_score"))
+    final = seed_scored.join(exp, "doc_id", "left").fillna({"exp_score": 0.0})
+    final = final.select(
+        "doc_id",
+        F.round(F.col("score") + F.col("exp_score"), round_to).alias("score"),
+    )
     return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

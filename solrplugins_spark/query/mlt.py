@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index.builder import InvertedIndex
-from .scorer import BM25, Similarity, search_terms
+from .scorer import BM25, Similarity, score_terms_df
 
 
 @dataclass(frozen=True)
@@ -112,23 +112,23 @@ def more_like_this(
     """Top-k similar docs: expansion query with seed docs excluded."""
     spark = index.postings.sparkSession
     terms = interesting_terms(index, seed_doc_ids, params)
-    boosts = [(r["term"], float(r["raw_weight"])) for r in terms.collect()]
-    if not boosts:
-        return spark.createDataFrame([], "doc_id long, score double")
-    # normalize on the driver (same math; collected rows are <= max_terms)
-    if params.normalize_boosts:
-        veclen = sum(w * w for _, w in boosts) ** 0.5
-        if veclen > 0:
-            boosts = [(t, params.field_boost * w / veclen) for t, w in boosts]
+    # boosts stay a broadcast DataFrame: MLT is ONE lazy plan, the
+    # <=max_terms expansion frame never round-trips the driver
+    boosts_df = terms.select("term", F.col("score").alias("boost"))
     if isinstance(seed_doc_ids, list):
         seeds = spark.createDataFrame([(int(d),) for d in seed_doc_ids], "doc_id long")
     else:
         seeds = seed_doc_ids.select("doc_id")
-    return search_terms(
-        index,
-        boosts,
-        k=k,
-        min_should_match=params.min_should_match,
-        sim=sim,
-        exclude_doc_ids=seeds,
+    partials = score_terms_df(index, boosts_df, sim=sim)
+    scored = partials.groupBy("doc_id").agg(
+        F.round(F.sum("partial"), 5).alias("score"),
+        F.count(F.lit(1)).alias("matched"),
+    )
+    if params.min_should_match > 1:
+        scored = scored.filter(F.col("matched") >= params.min_should_match)
+    scored = scored.join(seeds, "doc_id", "left_anti")
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )

@@ -100,6 +100,29 @@ def _query_terms_df(spark, terms_boosts: list[tuple[str, float]]) -> DataFrame:
     )
 
 
+def score_terms_df(
+    index: InvertedIndex,
+    boosts_df: DataFrame,
+    sim: Similarity = BM25,
+) -> DataFrame:
+    """score_terms with the query terms as a (term, boost) DataFrame.
+
+    Keeps the whole pipeline lazy (no driver collect): the boosts frame
+    is broadcast into the postings join, so an expansion query built
+    from another query's output (MLT/feedback) runs as ONE Spark job
+    instead of collect + re-submit."""
+    hits = index.postings.join(F.broadcast(boosts_df), "term")
+    hits = hits.join(F.broadcast(index.terms.join(F.broadcast(boosts_df.select("term")), "term", "left_semi")), "term")
+    payload = F.col("payload") if "payload" in index.postings.columns else None
+    partial = sim.score_expr(
+        F.col("tf"), F.col("df"), F.col("dl"), index.avgdl, index.n_docs,
+        payload=payload,
+    )
+    return hits.select(
+        "doc_id", "term", "boost", (F.col("boost") * partial).alias("partial")
+    )
+
+
 def score_terms(
     index: InvertedIndex,
     terms_boosts: list[tuple[str, float]],

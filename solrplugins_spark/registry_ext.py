@@ -675,7 +675,7 @@ cand AS (
 ),
 top AS (SELECT * FROM cand ORDER BY weight DESC, term ASC LIMIT 20),
 veclen AS (SELECT sqrt(sum(weight * weight)) AS v FROM top),
-boosts AS (SELECT term, weight / veclen.v AS boost FROM top CROSS JOIN veclen),
+boosts AS (SELECT term, round(weight / veclen.v, 5) AS boost FROM top CROSS JOIN veclen),
 scored AS (
   SELECT p.doc_id, round(sum(b.boost * p.partial), 5) AS score
   FROM partials p JOIN boosts b USING (term)
@@ -686,7 +686,114 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+# ---- pivot rollup -----------------------------------------------------
+
+def q_pivot_rollup(spark, sf_dir):
+    from .analytics.jointcounts import pivot_counts
+
+    return pivot_counts(_docs(spark, sf_dir), ["lang", "source"], min_count=2)
+
+
+SQL_PIVOT_ROLLUP = """
+SELECT lang, source, count(*)::BIGINT AS cnt,
+       (CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS depth
+FROM documents GROUP BY ROLLUP(lang, source) HAVING count(*) >= 2
+"""
+
+
+def q_suggest_case_variant(spark, sf_dir):
+    """Case-variant suggester: merge hits across {scan, SCAN, Scan}."""
+    from .suggest import case_variant_suggest, high_frequency_dictionary
+
+    hf = high_frequency_dictionary(_index(spark, sf_dir), threshold=0.5)
+    title = hf.select(
+        F.concat(
+            F.upper(F.substring("phrase", 1, 1)), F.expr("substring(phrase, 2)")
+        ).alias("phrase"),
+        (F.col("freq") + 1).alias("freq"),
+    )
+    return case_variant_suggest(hf.unionByName(title), "Scan", popular=True)
+
+
+SQL_SUGGEST_CASE_VARIANT = f"""
+WITH {TOK_SQL},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+hf AS (SELECT term AS phrase, df AS freq FROM dfreq CROSS JOIN n WHERE df >= 0.5 * n.n),
+dict AS (
+  SELECT phrase, freq FROM hf
+  UNION ALL
+  SELECT upper(substr(phrase,1,1)) || substr(phrase,2), freq + 1 FROM hf
+),
+hits AS (SELECT * FROM dict WHERE phrase IN ('scan', 'SCAN', 'Scan')),
+merged AS (
+  SELECT lower(phrase) AS key,
+         max(struct_pack(freq := freq, phrase := phrase)) AS best,
+         sum(freq) AS count
+  FROM hits GROUP BY lower(phrase)
+)
+SELECT key, best.phrase AS suggestion, best.freq AS freq, count
+FROM merged ORDER BY count DESC, key ASC
+"""
+
+
+def q_payload_search(spark, sf_dir):
+    """PayloadIdf scoring over a payload-decorated corpus (every token
+    of doc d carries weight d%3+1)."""
+    from .analysis.payloads import build_payload_index
+    from .analysis.tokenizer import tokens_col
+    from .query.scorer import PayloadIdf, search_terms
+
+    docs = _docs(spark, sf_dir)
+    w = (F.col("doc_id") % 3 + 1).cast("string")
+    decorated = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(tokens_col("text"), lambda t: F.concat(t, F.lit("^"), w)),
+            " ",
+        ).alias("text"),
+    )
+    pidx = build_payload_index(decorated)
+    return search_terms(pidx, [("dup", 1.0)], k=10, sim=PayloadIdf)
+
+
+SQL_PAYLOAD_SEARCH = f"""
+WITH {TOK_SQL},
+hits AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df AS (SELECT count(*)::DOUBLE AS df FROM hits)
+SELECT h.doc_id,
+       round((h.doc_id % 3 + 1) * (ln(n.n / (df.df + 1.0)) + 1.0), 5) AS score
+FROM hits h CROSS JOIN n CROSS JOIN df
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit simhash fingerprints (non-SQL-expressible: 64-bit bit
+    arithmetic over xxhash64 token hashes; rows-only check)."""
+    from .dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (non-SQL-expressible:
+    approximate candidate set; verified against brute force in
+    tests/test_pipeline_ops.py; rows-only check)."""
+    from .similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    return cosine_topk_lsh(emb, q, k=10, n_planes=2, multiprobe=2)
+
+
 EXT_QUERIES = {
+    "pivot_rollup": q_pivot_rollup,
+    "suggest_case_variant": q_suggest_case_variant,
+    "payload_search": q_payload_search,
+    "simhash": q_simhash,
+    "ann_lsh": q_ann_lsh,
     "fq_termfreq": q_fq_termfreq,
     "fq_fieldlen": q_fq_fieldlen,
     "fq_fieldval": q_fq_fieldval,
@@ -715,6 +822,10 @@ def ext_oracle_sql() -> dict[str, str]:
     from .registry import SQL_BM25_SINGLE, SQL_BM25_OR_BOOSTED
 
     return {
+        "pivot_rollup": SQL_PIVOT_ROLLUP,
+        "suggest_case_variant": SQL_SUGGEST_CASE_VARIANT,
+        "payload_search": SQL_PAYLOAD_SEARCH,
+        # simhash / ann_lsh intentionally omitted: non-SQL-expressible
         "fq_termfreq": SQL_FQ_TERMFREQ,
         "fq_fieldlen": SQL_FQ_FIELDLEN,
         "fq_fieldval": SQL_FQ_FIELDVAL,
