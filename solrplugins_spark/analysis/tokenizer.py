@@ -96,6 +96,7 @@ def counted_terms(
     doc_col: str = "doc_id",
     text_col: str = "text",
     arrow: bool = True,
+    positions: bool = False,
     **tok_kwargs,
 ) -> DataFrame:
     """(doc_id, term, tf) — the addTermWeights aggregation
@@ -148,17 +149,32 @@ def counted_terms(
                 out = out[out.groupby("doc_id").cumcount() < max_tokens]
             if len(out) == 0:
                 continue
-            counted = (
-                out.groupby(["doc_id", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
-            )
+            if positions:
+                # token position within the doc (post-filter index) —
+                # powers exact phrase adjacency (Lucene positions)
+                out = out.assign(pos=out.groupby("doc_id", sort=False).cumcount())
+                counted = (
+                    out.groupby(["doc_id", "term"], sort=False)
+                    .agg(tf=("pos", "size"), positions=("pos", list))
+                    .reset_index()
+                )
+            else:
+                counted = (
+                    out.groupby(["doc_id", "term"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                )
             # dl carried inline: per-doc token count (sum of tfs) — lets
             # the scorer read dl without a doclen join (one less shuffle
             # per query) and keeps doclen derivation shuffle-free
             counted["dl"] = counted.groupby("doc_id", sort=False)["tf"].transform("sum")
+            if positions:
+                counted = counted[["doc_id", "term", "tf", "dl", "positions"]]
             yield counted
 
+    schema = "doc_id long, term string, tf long, dl long"
+    if positions:
+        schema += ", positions array<int>"
     return df.select(F.col(doc_col).alias("doc_id"), text_col).mapInPandas(
-        count_batches, schema="doc_id long, term string, tf long, dl long"
+        count_batches, schema=schema
     )

@@ -113,6 +113,7 @@ def build_index(
     max_len: int = 64,
     stopwords=None,
     max_tokens: int | None = None,
+    positions: bool = False,
 ) -> InvertedIndex:
     """Build the flat inverted index from a corpus DataFrame.
 
@@ -124,7 +125,7 @@ def build_index(
         min_len=min_len, max_len=max_len, stopwords=stopwords, max_tokens=max_tokens
     )
     postings = counted_terms(
-        docs, doc_col=doc_col, text_col=text_col, **tok_kwargs
+        docs, doc_col=doc_col, text_col=text_col, positions=positions, **tok_kwargs
     ).persist()
 
     # Term dictionary: per-partition partial (term -> df, cf) in Arrow

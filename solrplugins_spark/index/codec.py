@@ -76,8 +76,16 @@ def varint_decode(buf: np.ndarray, offset: int = 0, count: int | None = None):
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray):
     """Encode one posting list (sorted unique doc ids + tfs).
 
+    Layout (codec v2, block-addressable):
+        varint(n) | per block: [varint deltas... | varint tfs...]
+    The first delta of each block is relative to the PREVIOUS block's
+    last doc id (block 0: absolute), so any block decodes given only
+    its byte range and base doc id — that is what lets block-max WAND
+    skip the decode of pruned blocks entirely.
+
     Returns (data: bytes, block_last_doc: int64 array,
-    block_max_tf: int32 array).
+    block_max_tf: int32 array, block_off: int64 array) where
+    block_off[i] is the byte offset of block i's start within data.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -86,28 +94,71 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray):
     if n:
         deltas[0] = np.uint64(doc_ids[0])
         deltas[1:] = np.diff(doc_ids).astype(np.uint64)
-    parts = [
-        varint_encode(np.array([n], np.uint64)),
-        varint_encode(deltas),
-        varint_encode(tfs.astype(np.uint64)),
-    ]
-    data = np.concatenate(parts).tobytes()
     nblocks = (n + BLOCK - 1) // BLOCK
+    header = varint_encode(np.array([n], np.uint64))
+    parts = [header]
     block_last = np.empty(nblocks, np.int64)
     block_max = np.empty(nblocks, np.int32)
+    block_off = np.empty(nblocks, np.int64)
+    pos = header.size
     for i in range(nblocks):
         lo, hi = i * BLOCK, min((i + 1) * BLOCK, n)
         block_last[i] = doc_ids[hi - 1]
         block_max[i] = tfs[lo:hi].max()
-    return data, block_last, block_max
+        block_off[i] = pos
+        enc_d = varint_encode(deltas[lo:hi])
+        enc_t = varint_encode(tfs[lo:hi].astype(np.uint64))
+        parts.append(enc_d)
+        parts.append(enc_t)
+        pos += enc_d.size + enc_t.size
+    data = np.concatenate(parts).tobytes() if parts else b""
+    return data, block_last, block_max, block_off
 
 
 def decode_postings(data: bytes):
-    """Inverse of encode_postings -> (doc_ids int64, tfs int64)."""
+    """Decode the full posting list -> (doc_ids int64, tfs int64)."""
     buf = np.frombuffer(data, dtype=np.uint8)
     header, off = varint_decode(buf, 0, 1)
     n = int(header[0])
-    deltas, off = varint_decode(buf, off, n)
-    tfs, _ = varint_decode(buf, off, n)
-    doc_ids = np.cumsum(deltas.astype(np.int64))
-    return doc_ids, tfs.astype(np.int64)
+    docs = np.empty(n, np.int64)
+    tfs = np.empty(n, np.int64)
+    base = np.int64(0)
+    pos = 0
+    while pos < n:
+        cnt = min(BLOCK, n - pos)
+        deltas, off = varint_decode(buf, off, cnt)
+        btfs, off = varint_decode(buf, off, cnt)
+        block_docs = base + np.cumsum(deltas.astype(np.int64))
+        docs[pos : pos + cnt] = block_docs
+        tfs[pos : pos + cnt] = btfs.astype(np.int64)
+        base = block_docs[-1]
+        pos += cnt
+    return docs, tfs
+
+
+def decode_blocks(
+    data: bytes,
+    block_ids: np.ndarray,
+    block_off: np.ndarray,
+    block_last: np.ndarray,
+    n_total: int,
+):
+    """Decode ONLY the given blocks (sorted ids) -> (doc_ids, tfs).
+
+    base doc id of block i is block_last[i-1] (0 for block 0); sizes
+    are BLOCK except the final block. This is the posting-skip path
+    (PostingsEnum.advance analogue, BinaryTermExistsValueSource
+    .java:128-147) — pruned blocks cost zero decode work.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out_docs, out_tfs = [], []
+    for i in np.asarray(block_ids, dtype=np.int64):
+        cnt = min(BLOCK, n_total - int(i) * BLOCK)
+        base = np.int64(0) if i == 0 else block_last[i - 1]
+        deltas, off = varint_decode(buf, int(block_off[i]), cnt)
+        btfs, _ = varint_decode(buf, off, cnt)
+        out_docs.append(base + np.cumsum(deltas.astype(np.int64)))
+        out_tfs.append(btfs.astype(np.int64))
+    if not out_docs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(out_docs), np.concatenate(out_tfs)

@@ -39,13 +39,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .builder import InvertedIndex
-from .codec import decode_postings, encode_postings, varint_decode, varint_encode
+from .codec import (
+    decode_blocks,
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
 
-CODEC_VERSION = 1
+CODEC_VERSION = 2
 
 POSTINGS_SCHEMA = (
     "seg int, term string, df long, cf long, "
-    "block_last array<long>, block_max array<int>, data binary"
+    "block_last array<long>, block_max array<int>, block_off array<long>, "
+    "data binary"
 )
 DOCLEN_SCHEMA = "seg int, doc_lo long, n int, dl_data binary"
 
@@ -144,7 +151,7 @@ def build_segments(
         sort = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         docs = pdf["doc_id"].to_numpy()[sort]
         tfs = pdf["tf"].to_numpy()[sort]
-        data, block_last, block_max = encode_postings(docs, tfs)
+        data, block_last, block_max, block_off = encode_postings(docs, tfs)
         return pd.DataFrame(
             {
                 "seg": [seg],
@@ -153,6 +160,7 @@ def build_segments(
                 "cf": [int(tfs.sum())],
                 "block_last": [block_last.tolist()],
                 "block_max": [block_max.tolist()],
+                "block_off": [block_off.tolist()],
                 "data": [data],
             }
         )
@@ -297,15 +305,23 @@ def _segment_topk(
         else:
             # non-essential term: no new doc it introduces can reach the
             # k-th score, so only contributions to existing candidates
-            # matter. block_max gives a per-block score bound — blocks
-            # whose bound plus remaining ub can't reach theta AND that
-            # hold no candidate are skippable. (Byte-level decode skip
-            # needs per-block offsets — codec v2; v1 decodes then masks,
-            # which already skips the merge/score work.)
+            # matter — decode ONLY blocks that hold a candidate
+            # (codec v2 per-block byte offsets; the PostingsEnum.advance
+            # skip, BinaryTermExistsValueSource.java:128-147).
             block_last = np.asarray(row["block_last"], dtype=np.int64)
             if len(acc_docs) == 0 or len(block_last) == 0:
                 continue
-            docs, tfs = decode_postings(row["data"])
+            need = np.unique(np.searchsorted(block_last, acc_docs))
+            need = need[need < len(block_last)]
+            if len(need) == 0:
+                continue
+            docs, tfs = decode_blocks(
+                row["data"],
+                need,
+                np.asarray(row["block_off"], dtype=np.int64),
+                block_last,
+                int(row["df"]),
+            )
             mask = np.isin(docs, acc_docs, assume_unique=True)
             docs, tfs = docs[mask], tfs[mask]
             if len(docs) == 0:
@@ -379,7 +395,9 @@ def wand_search(
         "seg",
         F.lit("post").alias("_kind"),
         "term",
+        "df",
         "block_last",
+        "block_off",
         F.lit(None).cast("long").alias("doc_lo"),
         "data",
     ).unionByName(
@@ -387,7 +405,9 @@ def wand_search(
             "seg",
             F.lit("dl").alias("_kind"),
             F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("df"),
             F.lit(None).cast("array<long>").alias("block_last"),
+            F.lit(None).cast("array<long>").alias("block_off"),
             "doc_lo",
             F.col("dl_data").alias("data"),
         )

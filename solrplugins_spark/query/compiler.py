@@ -35,6 +35,35 @@ import pandas as pd
 MATCH_ALL = "*:*"
 
 
+def phrase_match_docs(index: InvertedIndex, phrase_terms: list[str]) -> DataFrame:
+    """DocSet containing the exact phrase, from positional postings.
+
+    For phrase t0..tn: docs where intersect(pos(t0), pos(t1)-1, ...,
+    pos(tn)-n) is non-empty. n-1 joins on doc_id over posting slices —
+    each slice is one term's postings, so the plan is n pruned scans +
+    broadcast/sort-merge joins, never a corpus scan."""
+    base = index.postings
+    cur = (
+        base.filter(F.col("term") == phrase_terms[0])
+        .select("doc_id", F.col("positions").alias("_p"))
+    )
+    def _shift(offset: int):
+        # one-arg lambda: pyspark feeds (element, index) to 2-arg lambdas
+        return lambda x: x - F.lit(offset)
+
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = base.filter(F.col("term") == t).select(
+            "doc_id",
+            F.transform("positions", _shift(i)).alias("_pi"),
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select("doc_id", F.array_intersect("_p", "_pi").alias("_p"))
+            .filter(F.size("_p") > 0)
+        )
+    return cur.select("doc_id")
+
+
 def _leaf_terms(node: ast.Expression) -> list[str]:
     """All analyzed terms under positive + negative leaves."""
     if isinstance(node, ast.Operand):
@@ -142,19 +171,31 @@ class QueryCompiler:
         )
 
     def _phrase(self, node: ast.Quote) -> DataFrame:
-        """Consecutive-token containment over the stored corpus."""
+        """Exact consecutive-token phrase match.
+
+        Positional index present -> postings-only adjacency
+        (intersect position lists shifted by offset — the Lucene
+        SpanNearQuery/PhraseQuery mechanism; no corpus scan).
+        Otherwise -> containment check over the stored text (same
+        adjacency semantics under this tokenizer, but scans the
+        corpus; the v1 fallback documented in SURVEY.md §2.8)."""
         phrase_toks = list(tokenize_pandas(pd.Series([node.child.evaluate()]))[0])
         if not phrase_toks:
             return self.index.doclen.select("doc_id").withColumn(
                 "score", F.lit(0.0)
             ).limit(0)
-        if self.index.docs is None:
-            raise ValueError("phrase queries need the stored corpus (index.docs)")
-        needle = " " + " ".join(phrase_toks) + " "
-        joined = F.concat(
-            F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")
-        )
-        hits = self.index.docs.filter(joined.contains(needle)).select("doc_id")
+        if "positions" in self.index.postings.columns:
+            hits = phrase_match_docs(self.index, phrase_toks)
+        else:
+            if self.index.docs is None:
+                raise ValueError(
+                    "phrase queries need positions or the stored corpus"
+                )
+            needle = " " + " ".join(phrase_toks) + " "
+            joined = F.concat(
+                F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")
+            )
+            hits = self.index.docs.filter(joined.contains(needle)).select("doc_id")
         # score phrase docs by the sum of member-term BM25 partials
         parts = score_terms(self.index, [(t, 1.0) for t in sorted(set(phrase_toks))], self.sim)
         scores = parts.groupBy("doc_id").agg(F.sum("partial").alias("score"))

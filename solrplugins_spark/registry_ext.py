@@ -686,6 +686,52 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+# ---- phrase query (positional index) ----------------------------------
+
+_POS_INDEX_CACHE: dict[str, object] = {}
+
+
+def _pos_index(spark, sf_dir):
+    if sf_dir not in _POS_INDEX_CACHE:
+        from .index.builder import build_index
+
+        _POS_INDEX_CACHE[sf_dir] = build_index(
+            _docs(spark, sf_dir), positions=True
+        ).persist()
+    return _POS_INDEX_CACHE[sf_dir]
+
+
+def q_phrase(spark, sf_dir):
+    """Quoted-phrase query over the positional index: exact adjacency
+    via position-list intersection, scored by member-term BM25."""
+    from .query.compiler import execute_query
+
+    return execute_query(_pos_index(spark, sf_dir), '"table hash"', k=10)
+
+
+SQL_PHRASE = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+  FROM base WHERE len(toks) >= 2
+),
+hits AS (SELECT DISTINCT doc_id FROM bigrams WHERE bg = 'table hash'),
+scores AS (
+  SELECT doc_id, sum(partial) AS s FROM partials
+  WHERE term IN ('table', 'hash') GROUP BY doc_id
+)
+SELECT h.doc_id, round(coalesce(s.s, 0.0), 5) AS score
+FROM hits h LEFT JOIN scores s USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---- pivot rollup -----------------------------------------------------
 
 def q_pivot_rollup(spark, sf_dir):
@@ -789,6 +835,7 @@ def q_ann_lsh(spark, sf_dir):
 
 
 EXT_QUERIES = {
+    "phrase_query": q_phrase,
     "pivot_rollup": q_pivot_rollup,
     "suggest_case_variant": q_suggest_case_variant,
     "payload_search": q_payload_search,
@@ -822,6 +869,7 @@ def ext_oracle_sql() -> dict[str, str]:
     from .registry import SQL_BM25_SINGLE, SQL_BM25_OR_BOOSTED
 
     return {
+        "phrase_query": SQL_PHRASE,
         "pivot_rollup": SQL_PIVOT_ROLLUP,
         "suggest_case_variant": SQL_SUGGEST_CASE_VARIANT,
         "payload_search": SQL_PAYLOAD_SEARCH,
