@@ -732,6 +732,55 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+# ---- per-field routing ------------------------------------------------
+
+_LANG_INDEX_CACHE: dict[str, object] = {}
+
+
+def q_field_query(spark, sf_dir):
+    """FieldQuery routing: 'lang:en and dup' — the lang clause scores
+    against a per-field index (per-field df/dl/avgdl, the per-field
+    similarity mechanism), intersected with the text clause."""
+    from .index.builder import build_index
+    from .query.compiler import QueryCompiler
+    from .query.parser import parse_query
+
+    if sf_dir not in _LANG_INDEX_CACHE:
+        _LANG_INDEX_CACHE[sf_dir] = build_index(
+            _docs(spark, sf_dir), text_col="lang"
+        ).persist()
+    compiler = QueryCompiler(
+        _index(spark, sf_dir), field_indexes={"lang": _LANG_INDEX_CACHE[sf_dir]}
+    )
+    tree, _ = parse_query("lang:en and dup")
+    scored = compiler.compile(tree)
+    return (
+        scored.select("doc_id", F.round("score", 5).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_FIELD_QUERY = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+-- lang field: every doc has exactly 1 token => dl=1, avgdl=1, tf=1,
+-- so the BM25 tf-part is exactly 1 and the clause score is the idf
+lang_df AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en'),
+lang_scored AS (
+  SELECT d.doc_id,
+         ln(1.0 + (stats.n - lang_df.df + 0.5) / (lang_df.df + 0.5)) AS s
+  FROM documents d CROSS JOIN lang_df CROSS JOIN stats
+  WHERE d.lang = 'en'
+),
+text_scored AS (
+  SELECT doc_id, sum(partial) AS s FROM partials WHERE term = 'dup' GROUP BY doc_id
+)
+SELECT l.doc_id, round(l.s + t.s, 5) AS score
+FROM lang_scored l JOIN text_scored t USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---- pivot rollup -----------------------------------------------------
 
 def q_pivot_rollup(spark, sf_dir):
@@ -836,6 +885,7 @@ def q_ann_lsh(spark, sf_dir):
 
 EXT_QUERIES = {
     "phrase_query": q_phrase,
+    "field_query": q_field_query,
     "pivot_rollup": q_pivot_rollup,
     "suggest_case_variant": q_suggest_case_variant,
     "payload_search": q_payload_search,
@@ -870,6 +920,7 @@ def ext_oracle_sql() -> dict[str, str]:
 
     return {
         "phrase_query": SQL_PHRASE,
+        "field_query": SQL_FIELD_QUERY,
         "pivot_rollup": SQL_PIVOT_ROLLUP,
         "suggest_case_variant": SQL_SUGGEST_CASE_VARIANT,
         "payload_search": SQL_PAYLOAD_SEARCH,
