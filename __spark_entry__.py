@@ -8,9 +8,13 @@ oracle_sql()   — matching DuckDB ANSI-SQL oracles (same column names,
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from solrplugins_spark import registry
 

@@ -78,3 +78,37 @@ def test_empty_text_docs_counted_in_n(spark):
     idx = build_index(spark.createDataFrame(pdf))
     assert idx.n_docs == 3
     assert idx.doclen.count() == 1
+
+
+def test_salted_term_agg_matches_direct(spark, tiny_corpus_pd, tiny_index):
+    """Explicit head-term salting: two-phase (term, salt) agg must be
+    value-identical to the direct dictionary."""
+    from solrplugins_spark.index.skew import salted_term_agg
+
+    direct = tiny_index.terms.orderBy("term").toPandas()
+    salted = (
+        salted_term_agg(tiny_index.postings, n_salts=8)
+        .orderBy("term")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        direct[["term", "df", "cf"]].reset_index(drop=True),
+        salted[["term", "df", "cf"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # hot/cold split variant agrees too
+    mixed = (
+        salted_term_agg(
+            tiny_index.postings,
+            n_salts=8,
+            salt_threshold_df=50,
+            terms_df=tiny_index.terms,
+        )
+        .orderBy("term")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        direct[["term", "df", "cf"]].reset_index(drop=True),
+        mixed[["term", "df", "cf"]].reset_index(drop=True),
+        check_dtype=False,
+    )
