@@ -1,0 +1,100 @@
+"""Request-handler orchestration: the /mlt and /uf response shapes.
+
+Reference: DiceMoreLikeThisHandler.handleRequestBody (traced SURVEY.md
+§3.1) assembles docs + interestingTerms (list|details) + facets +
+debug; DiceUnsupervisedFeedbackHandler (§3.2) adds the expansion terms
+to the feedback response. Both support a multiplicative function boost
+(boostFn -> BoostedQuery, MoreLikeThisHelper.java:131-145).
+
+Here a handler returns a dict of DataFrames — the Spark-native
+NamedList. ``boost_fn`` is any Column over the corpus row (the
+function-query library in ``functions`` composes here), applied
+multiplicatively AFTER clause scoring, exactly like BoostedQuery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import InvertedIndex
+from .feedback import unsupervised_feedback
+from .mlt import MLTParams, interesting_terms, more_like_this
+
+
+def _apply_boost_fn(
+    index: InvertedIndex, scored: DataFrame, boost_fn: Column | None, k: int,
+    round_to: int = 5,
+) -> DataFrame:
+    if boost_fn is None:
+        return scored
+    if index.docs is None:
+        raise ValueError("boost_fn needs the stored corpus (index.docs)")
+    docs_boost = index.docs.select("doc_id", boost_fn.alias("_bf"))
+    return (
+        scored.join(docs_boost, "doc_id")
+        .select(
+            "doc_id", F.round(F.col("score") * F.col("_bf"), round_to).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def mlt_handler(
+    index: InvertedIndex,
+    seed_doc_ids: list[int],
+    params: MLTParams = MLTParams(),
+    k: int = 10,
+    facet_fields: list[str] | None = None,
+    boost_fn: Column | None = None,
+    interesting_terms_detail: bool = True,
+) -> dict[str, DataFrame]:
+    """/mlt response: docs + interestingTerms + facets.
+
+    facets are counts over the RESULT docset (match+facet,
+    DiceMoreLikeThisHandler.java:263-271)."""
+    result = more_like_this(index, seed_doc_ids, params, k=k)
+    result = _apply_boost_fn(index, result, boost_fn, k)
+    terms = interesting_terms(index, seed_doc_ids, params)
+    if not interesting_terms_detail:
+        terms = terms.select("term", "score")  # mlt.interestingTerms=list
+    out: dict[str, DataFrame] = {"docs": result, "interesting_terms": terms}
+    if facet_fields:
+        if index.docs is None:
+            raise ValueError("facets need the stored corpus (index.docs)")
+        hits = result.select("doc_id")
+        for field in facet_fields:
+            out[f"facet_{field}"] = (
+                index.docs.join(hits, "doc_id", "left_semi")
+                .groupBy(field)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+    return out
+
+
+def feedback_handler(
+    index: InvertedIndex,
+    query: str,
+    params: MLTParams = MLTParams(),
+    k: int = 10,
+    max_seed_docs: int = 5,
+    boost_fn: Column | None = None,
+) -> dict[str, DataFrame]:
+    """/uf response: re-executed docs + the expansion terms used."""
+    result = unsupervised_feedback(
+        index, query, k=k, max_seed_docs=max_seed_docs, params=params
+    )
+    result = _apply_boost_fn(index, result, boost_fn, k)
+    from .compiler import compile_ast
+    from .parser import parse_query
+
+    tree, _ = parse_query(query)
+    seeds = (
+        compile_ast(index, tree)
+        .orderBy(F.desc(F.round("score", 5)), F.asc("doc_id"))
+        .limit(max_seed_docs)
+        .select("doc_id")
+    )
+    terms = interesting_terms(index, seeds, params)
+    return {"docs": result, "interesting_terms": terms}

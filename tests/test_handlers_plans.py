@@ -1,0 +1,100 @@
+"""Handler response shapes, boostFn semantics, arrow/JVM tokenizer
+cross-check, and physical-plan regression guards."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from solrplugins_spark.analysis.tokenizer import counted_terms
+from solrplugins_spark.query.handlers import feedback_handler, mlt_handler
+from solrplugins_spark.query.mlt import MLTParams
+from solrplugins_spark.query.scorer import search_terms
+
+
+@pytest.fixture(scope="module")
+def handler_corpus(spark):
+    rows = [
+        (i, f"w{i % 5:04d} common shared w0001", f"cat{i % 2}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, cat string")
+
+
+@pytest.fixture(scope="module")
+def handler_index(handler_corpus):
+    from solrplugins_spark.index.builder import build_index
+
+    return build_index(handler_corpus).persist()
+
+
+def test_mlt_handler_response_shape(handler_index):
+    p = MLTParams(min_doc_freq=1)
+    out = mlt_handler(
+        handler_index, [0], p, k=5, facet_fields=["cat"]
+    )
+    assert set(out) == {"docs", "interesting_terms", "facet_cat"}
+    docs = out["docs"].toPandas()
+    assert len(docs) == 5 and 0 not in set(docs["doc_id"])
+    terms = out["interesting_terms"].toPandas()
+    assert {"term", "tf", "df", "score"} <= set(terms.columns)
+    facets = out["facet_cat"].toPandas()
+    assert facets["cnt"].sum() == 5  # facet over the RESULT docset
+
+
+def test_mlt_handler_boost_fn(handler_index):
+    """boostFn is multiplicative AFTER clause scoring (BoostedQuery)."""
+    p = MLTParams(min_doc_freq=1)
+    plain = mlt_handler(handler_index, [0], p, k=40)["docs"].toPandas()
+    boosted = mlt_handler(
+        handler_index, [0], p, k=40,
+        boost_fn=F.when(F.col("doc_id") % 2 == 0, 10.0).otherwise(1.0),
+    )["docs"].toPandas()
+    pm = dict(zip(plain["doc_id"], plain["score"]))
+    bm = dict(zip(boosted["doc_id"], boosted["score"]))
+    for d, s in bm.items():
+        want = pm[d] * (10.0 if d % 2 == 0 else 1.0)
+        assert abs(s - round(want, 5)) < 1e-4
+
+
+def test_feedback_handler_shape(handler_index):
+    out = feedback_handler(handler_index, "w0001", MLTParams(min_doc_freq=1), k=5)
+    assert set(out) == {"docs", "interesting_terms"}
+    assert len(out["docs"].toPandas()) == 5
+
+
+def test_arrow_and_jvm_tokenizer_paths_agree(spark, tiny_corpus):
+    a = (
+        counted_terms(tiny_corpus, arrow=True)
+        .select("doc_id", "term", "tf")
+        .orderBy("doc_id", "term")
+        .toPandas()
+    )
+    b = (
+        counted_terms(tiny_corpus, arrow=False)
+        .orderBy("doc_id", "term")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---- plan-shape regression guards -----------------------------------
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_query_plan_shapes(handler_index):
+    plan = _plan(search_terms(handler_index, [("w0001", 1.0), ("common", 2.0)], k=10))
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+    assert plan.count("BroadcastHashJoin") >= 2, "term joins must broadcast"
+    assert "SortMergeJoin" not in plan, "no shuffle joins in the query path"
+    # exactly one exchange on the main path (the doc_id aggregation);
+    # anything after the first BroadcastExchange belongs to broadcast /
+    # cached-dictionary subtrees, not the per-query data path
+    main = plan.split("BroadcastExchange")[0]
+    n_exchanges = main.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 main-path shuffle, got {n_exchanges}"
+
+
+def test_build_plan_no_posting_shuffle(spark, tiny_corpus):
+    plan = _plan(counted_terms(tiny_corpus))
+    assert "Exchange" not in plan, "per-doc inversion must be shuffle-free"
