@@ -64,6 +64,18 @@ def phrase_match_docs(index: InvertedIndex, phrase_terms: list[str]) -> DataFram
     return cur.select("doc_id")
 
 
+def _leaf_count(node: ast.Expression) -> int:
+    if isinstance(node, ast.Operand):
+        return 1
+    if isinstance(node, (ast.Or, ast.And)):
+        return _leaf_count(node.left) + _leaf_count(node.right)
+    if isinstance(node, (ast.Not, ast.Quote)):
+        return _leaf_count(node.child)
+    if isinstance(node, ast.FieldQuery):
+        return _leaf_count(node.child)
+    return 0
+
+
 def _leaf_terms(node: ast.Expression) -> list[str]:
     """All analyzed terms under positive + negative leaves."""
     if isinstance(node, ast.Operand):
@@ -95,16 +107,18 @@ class QueryCompiler:
 
         One postings scan for all leaf terms, then recursive algebra.
         """
-        terms = sorted(set(_leaf_terms(node)))
+        all_terms = _leaf_terms(node)
+        terms = sorted(set(all_terms))
         partials = None
         if terms:
             partials = score_terms(
                 self.index, [(t, 1.0) for t in terms], sim=self.sim
-            ).persist()
-        try:
-            return self._compile(node, partials)
-        finally:
-            pass  # partials stays cached for the action; Spark evicts LRU
+            )
+            # cache only when multiple leaves will re-read the frame —
+            # a persist on a single-use frame just adds a barrier
+            if len(all_terms) > len(terms) or _leaf_count(node) > 1:
+                partials = partials.persist()
+        return self._compile(node, partials)
 
     # -- node handlers -------------------------------------------------
     def _compile(self, node: ast.Expression, partials: DataFrame | None) -> DataFrame:

@@ -87,6 +87,50 @@ def incremental_index_build(
     return writer.start()
 
 
+def compact_generations(
+    spark: SparkSession,
+    inc_path: str,
+    out_path: str,
+    seg_size: int = 65536,
+    groups: int = 4,
+):
+    """Compact all streamed generations into packed segments.
+
+    The sorted segment merge of SURVEY.md §7.9: generation posting
+    frames are disjoint doc sets, so compaction is a union + the
+    standard (resumable) packed build. N comes from the stream
+    manifest (it counts every ingested doc, including token-less ones
+    that left no postings). Query results over the compacted index are
+    identical to a from-scratch batch build (tests).
+    """
+    import glob as _glob
+
+    from ..index.builder import InvertedIndex
+    from ..index.segments import build_segments
+    from pyspark.sql import functions as F  # noqa: F811
+
+    manifest = os.path.join(inc_path, "stream_manifest.jsonl")
+    n_docs = 0
+    with open(manifest) as f:
+        for line in f:
+            n_docs += json.loads(line)["docs"]
+
+    postings = spark.read.option(
+        "basePath", os.path.join(inc_path, "postings")
+    ).parquet(os.path.join(inc_path, "postings")).drop("gen").persist()
+    terms = merge_segment_stats(spark, inc_path)
+    doclen = postings.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    total = postings.agg(F.sum("tf")).collect()[0][0] or 0
+    idx = InvertedIndex(
+        postings=postings,
+        terms=terms,
+        doclen=doclen,
+        n_docs=n_docs,
+        avgdl=float(total) / n_docs if n_docs else 0.0,
+    )
+    return build_segments(idx, out_path, seg_size=seg_size, groups=groups)
+
+
 def merge_segment_stats(spark: SparkSession, out_path: str) -> DataFrame:
     """Merged term dictionary across all generations — the sorted
     segment-merge of SURVEY.md §7.9 expressed as a partial->final agg

@@ -111,3 +111,37 @@ def test_incremental_build_matches_batch(spark, tmp_path):
     with open(os.path.join(out, "stream_manifest.jsonl")) as f:
         gens2 = [json.loads(line) for line in f]
     assert sum(g["docs"] for g in gens2) == 600
+
+
+def test_compaction_matches_batch_segments(spark, tmp_path):
+    """Streamed generations compacted into packed segments answer
+    queries identically to a from-scratch batch segment build."""
+    from solrplugins_spark.index.segments import build_segments, wand_search
+    from solrplugins_spark.streaming.incremental import compact_generations
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    pdf = transcripts_pandas(600)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[i * 200 : (i + 1) * 200]).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"c{i}"))
+    inc = str(tmp_path / "inc2")
+    q = incremental_index_build(
+        spark.readStream.schema(spark.read.parquet(str(src / "c0")).schema)
+        .option("maxFilesPerTrigger", "1").parquet(str(src / "c*")),
+        inc, str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+
+    compacted = compact_generations(spark, inc, str(tmp_path / "seg_inc"), seg_size=64, groups=2)
+    batch_idx = build_index(spark.createDataFrame(pdf))
+    batch_seg = build_segments(batch_idx, str(tmp_path / "seg_batch"), seg_size=64, groups=2)
+
+    assert compacted.n_docs == batch_seg.n_docs
+    assert abs(compacted.avgdl - batch_seg.avgdl) < 1e-9
+    for terms in ([("zephyrblade", 1.0)], [("w0000", 2.0), ("w0005", 1.0)]):
+        a = wand_search(spark, compacted, terms, k=10).toPandas()
+        b = wand_search(spark, batch_seg, terms, k=10).toPandas()
+        pd.testing.assert_frame_equal(a, b)
