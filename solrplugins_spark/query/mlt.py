@@ -80,25 +80,46 @@ def interesting_terms(
     weight = (tf_val * idf) if params.boost else F.lit(1.0)
     cand = cand.withColumn("weight", weight)
 
-    # top-k by fieldBoost*weight desc, term asc tie-break (deterministic)
-    top = (
-        cand.orderBy(F.desc("weight"), F.asc("term"))
-        .limit(params.max_query_terms if params.max_query_terms > 0 else 2**31 - 1)
-    )
-    # vectorLength over the selected terms only
-    veclen = top.agg(F.sqrt(F.sum(F.pow("weight", 2))).alias("_veclen"))
-    top = top.crossJoin(F.broadcast(veclen))
-    final = (
-        F.lit(params.field_boost)
-        * F.col("weight")
-        / (F.col("_veclen") if params.normalize_boosts else F.lit(1.0))
-    )
-    return top.select(
-        "term",
-        "tf",
-        "df",
-        F.round(final, round_to).alias("score"),
-        F.col("weight").alias("raw_weight"),
+    # PQ-pop + L2 normalization fused in ONE Arrow stage over the
+    # (vocab-bounded) candidate frame — replaces a global TakeOrdered
+    # plus a broadcast crossJoin of the veclen aggregate; the candidate
+    # set is at most the seed docs' distinct terms.
+    max_terms = params.max_query_terms if params.max_query_terms > 0 else 2**31 - 1
+    field_boost = params.field_boost
+    normalize = params.normalize_boosts
+
+    def select_top(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        top = pdf.sort_values(
+            ["weight", "term"], ascending=[False, True], kind="stable"
+        ).head(max_terms)
+        veclen = float(np.sqrt((top["weight"].to_numpy() ** 2).sum()))
+        if veclen <= 0.0:
+            return top.head(0)[["term", "tf", "df", "weight", "weight"]].set_axis(
+                ["term", "tf", "df", "score", "raw_weight"], axis=1
+            )
+        norm = veclen if normalize else 1.0
+        return pd.DataFrame(
+            {
+                "term": top["term"],
+                "tf": top["tf"],
+                "df": top["df"],
+                "score": np.round(field_boost * top["weight"] / norm, round_to),
+                "raw_weight": top["weight"],
+            }
+        )
+
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    return (
+        cand.select("term", "tf", "df", "weight")
+        .withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: select_top(pdf.drop(columns=["_g"], errors="ignore")),
+            schema="term string, tf long, df long, score double, raw_weight double",
+        )
     )
 
 
