@@ -126,9 +126,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         fn().collect()  # warm (plan + code paths), not timed
-        t0 = time.time()
-        fn().collect()
-        timings[name] = round(time.time() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the host shows 2-3x run noise
+            t0 = time.time()
+            fn().collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 4)
 
     lat = sorted(timings.values())
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
