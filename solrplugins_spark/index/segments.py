@@ -350,6 +350,42 @@ def _segment_topk(
     )
 
 
+def wand_search_multi(
+    spark: SparkSession,
+    seg_indexes: list[SegmentIndex],
+    terms_boosts: list[tuple[str, float]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+) -> DataFrame:
+    """Top-k across MULTIPLE packed indexes (e.g. streamed generations
+    before compaction) with GLOBAL statistics.
+
+    Generations hold disjoint doc sets, so df sums and avgdl is the
+    token-weighted mean; each generation's segments are scored
+    independently (seg ids namespaced per generation) and the k-row
+    partials merge globally. Results equal a compacted/batch index
+    (tests/test_streaming_payloads.py) — querying never has to wait
+    for compaction.
+    """
+    n_docs = sum(s.n_docs for s in seg_indexes)
+    total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    merged = SegmentIndex(
+        path="", n_docs=n_docs, avgdl=avgdl,
+        n_segments=sum(s.n_segments for s in seg_indexes),
+        seg_size=max(s.seg_size for s in seg_indexes),
+    )
+    return _wand_search_frames(
+        spark,
+        [(i, s) for i, s in enumerate(seg_indexes)],
+        merged,
+        terms_boosts,
+        k=k, k1=k1, b=b, round_to=round_to,
+    )
+
+
 def wand_search(
     spark: SparkSession,
     seg_index: SegmentIndex,
@@ -367,29 +403,54 @@ def wand_search(
     is the query fast path: work per segment is bounded by the query's
     posting sizes, the merge is k rows per segment.
     """
+    return _wand_search_frames(
+        spark, [(0, seg_index)], seg_index, terms_boosts,
+        k=k, k1=k1, b=b, round_to=round_to,
+    )
+
+
+def _wand_search_frames(
+    spark: SparkSession,
+    gens: list[tuple[int, SegmentIndex]],
+    stats: SegmentIndex,
+    terms_boosts: list[tuple[str, float]],
+    k: int,
+    k1: float,
+    b: float,
+    round_to: int,
+) -> DataFrame:
     term_list = sorted({t for t, _ in terms_boosts})
     boosts: dict[str, float] = {}
     for t, w in terms_boosts:
         boosts[t] = boosts.get(t, 0.0) + float(w)
 
-    posts = (
-        spark.read.option("basePath", os.path.join(seg_index.path, "postings"))
-        .parquet(os.path.join(seg_index.path, "postings"))
-        .filter(F.col("term").isin(term_list))
-    )
-    # global df per term for idf (sum over segments) — tiny aggregate
+    posts = None
+    dls = None
+    for gen_id, si in gens:
+        p = (
+            spark.read.option("basePath", os.path.join(si.path, "postings"))
+            .parquet(os.path.join(si.path, "postings"))
+            .filter(F.col("term").isin(term_list))
+            # namespace segment ids per generation so groups don't collide
+            .withColumn("seg", F.col("seg") + F.lit(gen_id * 1_000_000))
+        )
+        d = (
+            spark.read.option("basePath", os.path.join(si.path, "doclens"))
+            .parquet(os.path.join(si.path, "doclens"))
+            .withColumn("seg", F.col("seg") + F.lit(gen_id * 1_000_000))
+        )
+        posts = p if posts is None else posts.unionByName(p)
+        dls = d if dls is None else dls.unionByName(d)
+
+    # global df per term for idf (sum over segments + generations)
     df_rows = posts.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    n = seg_index.n_docs
+    n = stats.n_docs
     idfs = {
         r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
         for r in df_rows
     }
     if not idfs:
         return spark.createDataFrame([], "doc_id long, score double")
-
-    dls = spark.read.option(
-        "basePath", os.path.join(seg_index.path, "doclens")
-    ).parquet(os.path.join(seg_index.path, "doclens"))
 
     unified = posts.select(
         "seg",
@@ -413,7 +474,7 @@ def wand_search(
         )
     )
 
-    avgdl = seg_index.avgdl
+    avgdl = stats.avgdl
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk(pdf, boosts, idfs, k, k1, b, avgdl)

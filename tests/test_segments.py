@@ -101,3 +101,20 @@ def test_manifest_lineage_and_metrics(seg_index):
     for entry in m["lineage"]:
         assert entry["docs_per_sec"] is None or entry["docs_per_sec"] > 0
         assert "segments" in entry and "seconds" in entry
+
+
+def test_wand_search_multi_matches_single(spark, tiny_corpus_pd, tiny_index, seg_index, tmp_path):
+    """Querying two packed indexes (disjoint doc halves) with global
+    stats equals querying one index over the full corpus."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import wand_search_multi
+
+    half_a = spark.createDataFrame(tiny_corpus_pd[tiny_corpus_pd["doc_id"] < 200])
+    half_b = spark.createDataFrame(tiny_corpus_pd[tiny_corpus_pd["doc_id"] >= 200])
+    seg_a = build_segments(build_index(half_a), str(tmp_path / "a"), seg_size=64, groups=2)
+    seg_b = build_segments(build_index(half_b), str(tmp_path / "b"), seg_size=64, groups=2)
+
+    for terms in ([("zephyrblade", 1.0)], [("w0000", 2.0), ("w0005", 1.0)]):
+        multi = wand_search_multi(spark, [seg_a, seg_b], terms, k=10).toPandas()
+        single = wand_search(spark, seg_index, terms, k=10).toPandas()
+        pd.testing.assert_frame_equal(multi, single)
