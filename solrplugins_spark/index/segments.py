@@ -145,25 +145,49 @@ def build_segments(
     with_seg = index.postings.withColumn("seg", seg_col)
     dl_with_seg = index.doclen.withColumn("seg", seg_col)
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["seg"].iloc[0])
-        term = pdf["term"].iloc[0]
-        sort = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        docs = pdf["doc_id"].to_numpy()[sort]
-        tfs = pdf["tf"].to_numpy()[sort]
-        data, block_last, block_max, block_off = encode_postings(docs, tfs)
+    def _encode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Encode every (seg, term) group in one pandas frame (rows
+        already sorted by seg, term, doc_id)."""
+        rows = []
+        for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
+            docs = g["doc_id"].to_numpy()
+            tfs = g["tf"].to_numpy()
+            data, block_last, block_max, block_off = encode_postings(docs, tfs)
+            rows.append(
+                (
+                    int(seg), term, len(docs), int(tfs.sum()),
+                    block_last.tolist(), block_max.tolist(),
+                    block_off.tolist(), data,
+                )
+            )
         return pd.DataFrame(
-            {
-                "seg": [seg],
-                "term": [term],
-                "df": [len(docs)],
-                "cf": [int(tfs.sum())],
-                "block_last": [block_last.tolist()],
-                "block_max": [block_max.tolist()],
-                "block_off": [block_off.tolist()],
-                "data": [data],
-            }
+            rows,
+            columns=[
+                "seg", "term", "df", "cf",
+                "block_last", "block_max", "block_off", "data",
+            ],
         )
+
+    def encode_partition(batches):
+        """ONE python stage per partition: Arrow batches can split a
+        (seg, term) group, so the trailing group of each batch is
+        carried into the next. 20k+ tiny applyInPandas groups become
+        ~#partitions mapInPandas calls (measured ~10x on 2 cores)."""
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_seg = pdf["seg"].iloc[-1]
+            last_term = pdf["term"].iloc[-1]
+            tail_mask = (pdf["seg"] == last_seg) & (pdf["term"] == last_term)
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if len(head):
+                yield _encode_rows(head)
+        if carry is not None and len(carry):
+            yield _encode_rows(carry)
 
     def encode_doclens(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["seg"].iloc[0])
@@ -188,14 +212,18 @@ def build_segments(
         t0 = time.time()
         segs_in_group = [s for s in range(n_segments) if s % groups == g]
         pg = with_seg.filter(F.col("seg") % groups == g)
-        packed = pg.groupBy("seg", "term").applyInPandas(
-            encode_group, schema=POSTINGS_SCHEMA
+        # hash-repartition on seg (a segment never splits across tasks
+        # -> one parquet file per seg dir), sort by (seg, term, doc_id)
+        # so the single-pass encoder sees contiguous groups AND parquet
+        # row-group stats enable term-predicate pushdown at query time
+        packed = (
+            pg.repartition("seg")
+            .sortWithinPartitions("seg", "term", "doc_id")
+            .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
         )
-        # sort by term within files => parquet row-group stats enable
-        # term-predicate pushdown at query time
-        packed.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
-            "seg"
-        ).parquet(os.path.join(out_path, "postings", f"group={g}"))
+        packed.write.mode("overwrite").partitionBy("seg").parquet(
+            os.path.join(out_path, "postings", f"group={g}")
+        )
 
         dg = dl_with_seg.filter(F.col("seg") % groups == g)
         dg.groupBy("seg").applyInPandas(
