@@ -56,7 +56,13 @@ def payload_boost_tokens(terms: pd.Series, weights: pd.Series) -> pd.Series:
     """
     out = []
     for t, w in zip(terms, weights):
-        if w is None or float(w) == 0.0 or _SCI_NOTATION.match(repr(float(w))):
+        # pandas renders missing weights as NaN, not None
+        if (
+            w is None
+            or (isinstance(w, float) and w != w)  # NaN
+            or float(w) == 0.0
+            or _SCI_NOTATION.match(repr(float(w)))
+        ):
             out.append(t)
         else:
             out.append(f"{t}^{float(w):g}")
