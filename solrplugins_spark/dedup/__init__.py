@@ -5,6 +5,7 @@ from .dedup import (
     simhash64,
     simhash_duplicate_pairs,
     ngram_jaccard_pairs,
+    ngram_cap_dropped,
     embedding_near_duplicates,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "simhash64",
     "simhash_duplicate_pairs",
     "ngram_jaccard_pairs",
+    "ngram_cap_dropped",
     "embedding_near_duplicates",
 ]

@@ -155,44 +155,71 @@ def minhash_duplicate_pairs(
 def simhash64(
     docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit simhash: per distinct token,
-    xxhash64 bits weighted by tf; fingerprint bit i = sign of the
-    weighted sum. Bit math runs vectorized in an Arrow batch."""
-    ct = docs.select(
-        F.col(doc_col).alias("doc_id"), tokens_col(text_col).alias("toks")
-    ).select(
-        "doc_id", F.explode("toks").alias("term")
-    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).withColumn(
-        "h", F.xxhash64("term")
+    """(doc_id, simhash: long) — 64-bit simhash: per distinct token, a
+    64-bit hash weighted by tf; fingerprint bit i = sign of the
+    weighted sum, packed as a signed int64 (two's complement).
+
+    The token hash is the top 16 hex chars of md5(term) parsed as two
+    32-bit halves — md5 is byte-identical in DuckDB, so the whole
+    fingerprint (not just row counts) is verified by the SQL oracle.
+    Bit math runs vectorized in Arrow batches; sign-of-sum is NOT
+    mergeable, so a doc whose rows straddle an Arrow batch boundary is
+    carried into the next batch (same pattern as the segment encoder) —
+    never finalized from a partial group.
+    """
+    ct = (
+        docs.select(F.col(doc_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("_md5", F.md5("term"))
+        # conv() yields the decimal string of a 32-bit half: exact in long
+        .withColumn("h_hi", F.conv(F.substring("_md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("h_lo", F.conv(F.substring("_md5", 9, 8), 16, 10).cast("long"))
+        .drop("_md5")
     )
 
+    def _finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = (pdf["h_hi"].to_numpy().astype(np.uint64) << np.uint64(32)) | pdf[
+            "h_lo"
+        ].to_numpy().astype(np.uint64)
+        tf = pdf["tf"].to_numpy().astype(np.float64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.float64
+        )
+        contrib = (2.0 * bits - 1.0) * tf[:, None]
+        df = pd.DataFrame(contrib)
+        df["doc_id"] = pdf["doc_id"].to_numpy()
+        sums = df.groupby("doc_id", sort=False).sum()
+        fp = (sums.to_numpy() > 0).astype(np.uint64) @ (
+            np.uint64(1) << np.arange(64, dtype=np.uint64)
+        )
+        return pd.DataFrame(
+            {"doc_id": sums.index.to_numpy(), "simhash": fp.astype(np.int64)}
+        )
+
     def batch_simhash(batches):
+        carry: pd.DataFrame | None = None
         for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
-            h = pdf["h"].to_numpy().astype(np.uint64)
-            tf = pdf["tf"].to_numpy().astype(np.float64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.float64
-            )
-            contrib = (2.0 * bits - 1.0) * tf[:, None]
-            df = pd.DataFrame(contrib)
-            df["doc_id"] = pdf["doc_id"].to_numpy()
-            sums = df.groupby("doc_id", sort=False).sum()
-            fp = (sums.to_numpy() > 0).astype(np.uint64) @ (
-                np.uint64(1) << np.arange(64, dtype=np.uint64)
-            )
-            yield pd.DataFrame(
-                {"doc_id": sums.index.to_numpy(), "simhash": fp.astype(np.int64)}
-            )
+            last = pdf["doc_id"].iloc[-1]
+            tail = pdf["doc_id"] == last
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _finalize(head)
+        if carry is not None and len(carry):
+            yield _finalize(carry)
 
-    # repartition by doc_id so each doc's rows land in one batch group
+    # repartition + sort: all of a doc's rows are contiguous within one
+    # partition; batch_simhash carries the trailing doc across batches
     return (
         ct.repartition(ct.sparkSession.sparkContext.defaultParallelism, "doc_id")
         .sortWithinPartitions("doc_id")
         .mapInPandas(batch_simhash, schema="doc_id long, simhash long")
-        .groupBy("doc_id")
-        .agg(F.first("simhash").alias("simhash"))
     )
 
 
@@ -288,31 +315,90 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    Brute-force block-nested join at test scale; at 10^12 scale the
-    candidate stage becomes LSH buckets (see similarity.ann) — this
-    operator is the exact verifier both paths share."""
+    Candidates come from ``n_tables`` independent hyperplane-LSH
+    tables (similarity.ann buckets; different seed per table) joined
+    on the (table, bucket) equi-key — the banded-LSH shape of
+    minhash_duplicate_pairs applied to vectors; NEVER an all-pairs
+    cross join (a physical-plan test asserts no
+    BroadcastNestedLoopJoin). Exact cosine verification runs on the
+    candidate pairs only.
+
+    Recall: a pair at angle θ shares one table's bucket with prob
+    (1-θ/π)^n_planes; with defaults (8 planes, 4 tables) a 0.95-cosine
+    pair is caught with ~0.89 probability, an exact duplicate with
+    certainty. Raise n_tables (or lower n_planes) for higher recall;
+    raise n_planes to shrink buckets at corpus scale.
+    """
+    from ..similarity.ann import lsh_hyperplane_buckets
+
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm.alias("n"),
-    ).filter(F.col("n") > 0)
+    ).filter(F.col("n") > 0).persist()
+    dim = len(v.select("v").first()[0])
+
+    buckets = None
+    for t in range(n_tables):
+        b = lsh_hyperplane_buckets(
+            v, n_planes=n_planes, seed=seed + 7919 * t,
+            id_col="id", vec_col="v", dim=dim,
+        ).select(F.lit(t).alias("tbl"), "id", "bucket")
+        buckets = b if buckets is None else buckets.unionByName(b)
+
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a * b),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     return (
-        v.alias("x")
-        .join(v.alias("y"), F.col("x.id") < F.col("y.id"))
-        .withColumn("cosine", dot / (F.col("x.n") * F.col("y.n")))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.round("cosine", 5).alias("cosine"),
+        cand.join(
+            v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+            "id_a",
         )
+        .join(
+            v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+    )
+
+
+def ngram_cap_dropped(
+    docs: DataFrame,
+    n: int = 3,
+    max_candidates_per_ngram: int = 1000,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Telemetry for the ngram_jaccard_pairs per-ngram candidate cap:
+    (ng, df, dropped) for every n-gram whose posting exceeds the cap.
+    The cap is a correctness-affecting knob under extreme boilerplate
+    skew — this counter makes the dropped volume observable instead of
+    silent (sum(dropped) == docs removed from candidate generation)."""
+    sh = docs.select(
+        F.col(doc_col).alias("doc_id"), _shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.explode("sh").alias("ng"))
+    return (
+        inv.groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_candidates_per_ngram)
+        .select("ng", "df", (F.col("df") - max_candidates_per_ngram).alias("dropped"))
     )

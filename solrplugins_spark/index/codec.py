@@ -23,16 +23,24 @@ import numpy as np
 BLOCK = 128  # docs per block for block-max metadata
 
 
-def varint_encode(values: np.ndarray) -> np.ndarray:
-    """LEB128-encode a uint64 array -> uint8 array (vectorized)."""
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte counts (int64 array) — lets callers place
+    block byte offsets without encoding twice."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return np.zeros(0, np.uint8)
     nb = np.ones(v.size, np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
         nb += tmp > 0
         tmp = tmp >> np.uint64(7)
+    return nb
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """LEB128-encode a uint64 array -> uint8 array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.zeros(0, np.uint8)
+    nb = varint_sizes(v)
     offs = np.zeros(v.size + 1, np.int64)
     np.cumsum(nb, out=offs[1:])
     out = np.zeros(offs[-1], np.uint8)
@@ -134,6 +142,73 @@ def decode_postings(data: bytes):
         base = block_docs[-1]
         pos += cnt
     return docs, tfs
+
+
+def encode_positions(pos_lists, tfs: np.ndarray):
+    """Codec v3 positions sub-stream for one posting list.
+
+    ``pos_lists`` is the per-doc position arrays (ascending ints,
+    len == tf of that doc), aligned with the posting's doc order.
+    Layout: one flat varint stream — per doc, first position absolute,
+    the rest deltas (the Lucene proximity-data shape). Returns
+    (pos_data: bytes, pos_off: int64 array) with pos_off[i] the byte
+    offset where posting BLOCK i's positions begin, so a block-pruned
+    reader can skip straight to its blocks.
+    """
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    if tfs.size == 0:
+        return b"", np.zeros(0, np.int64)
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+        if len(pos_lists)
+        else np.zeros(0, np.int64)
+    )
+    starts = np.zeros(tfs.size, np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[starts] = flat[starts]  # doc-initial positions stay absolute
+    sizes = varint_sizes(deltas.astype(np.uint64))
+    byte_pos = np.zeros(deltas.size + 1, np.int64)
+    np.cumsum(sizes, out=byte_pos[1:])
+    # value index where each posting block begins = sum of tfs before it
+    n_docs = tfs.size
+    nblocks = (n_docs + BLOCK - 1) // BLOCK
+    doc_cum = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(tfs, out=doc_cum[1:])
+    block_doc_starts = np.arange(nblocks, dtype=np.int64) * BLOCK
+    pos_off = byte_pos[doc_cum[block_doc_starts]]
+    return varint_encode(deltas.astype(np.uint64)).tobytes(), pos_off
+
+
+def decode_positions(pos_data: bytes, tfs: np.ndarray):
+    """Decode the FULL positions stream -> flat int64 array of absolute
+    positions (len == tfs.sum()); per-doc slices are
+    [cumsum(tfs)[i-1] : cumsum(tfs)[i]]. Used by phrase scoring, which
+    needs every doc of every member term anyway."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    buf = np.frombuffer(pos_data, dtype=np.uint8)
+    deltas, _ = varint_decode(buf, 0, total)
+    vals = deltas.astype(np.int64)
+    c = np.cumsum(vals)
+    starts = np.zeros(tfs.size, np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    # subtract the running total just before each doc's first value so
+    # the in-doc cumsum restarts from the absolute first position
+    base_per_doc = np.where(starts > 0, c[starts - 1], 0)
+    return c - np.repeat(base_per_doc, tfs)
+
+
+def encode_payloads(payloads: np.ndarray) -> bytes:
+    """Codec v3 payload sub-stream: one float64 mean payload per
+    posting, raw little-endian (fixed width -> block i's slice is
+    [8*BLOCK*i, ...), no offsets needed)."""
+    return np.ascontiguousarray(payloads, dtype="<f8").tobytes()
+
+
+def decode_payloads(pay_data: bytes) -> np.ndarray:
+    return np.frombuffer(pay_data, dtype="<f8")
 
 
 def decode_blocks(

@@ -41,18 +41,27 @@ from pyspark.sql import functions as F
 from .builder import InvertedIndex
 from .codec import (
     decode_blocks,
+    decode_payloads,
+    decode_positions,
     decode_postings,
+    encode_payloads,
+    encode_positions,
     encode_postings,
     varint_decode,
     varint_encode,
 )
 
-CODEC_VERSION = 2
+# v3: optional positions (pos_data/pos_off) + payload (pay_data)
+# sub-streams per posting row, so phrase and payload queries run on
+# the packed/WAND path (reference consumes these via Lucene postings:
+# PayloadAwareDefaultSimilarity.java:10-16, RecursiveDescentParser
+# .java:90-107 quoted phrases).
+CODEC_VERSION = 3
 
 POSTINGS_SCHEMA = (
     "seg int, term string, df long, cf long, "
     "block_last array<long>, block_max array<int>, block_off array<long>, "
-    "data binary"
+    "data binary, pos_off array<long>, pos_data binary, pay_data binary"
 )
 DOCLEN_SCHEMA = "seg int, doc_lo long, n int, dl_data binary"
 
@@ -140,6 +149,11 @@ def build_segments(
         assert m["n_docs"] == n_docs and m["seg_size"] == seg_size, (
             "resume with different corpus/params — wipe the output dir"
         )
+        # a different `groups` would change the seg%groups assignment
+        # and re-write segments already covered by completed groups
+        # into new group=* dirs — duplicated postings at query time.
+        # Derive groups from the manifest so resume is always safe.
+        groups = m["n_groups"]
 
     seg_col = (F.col("doc_id") / seg_size).cast("int")
     with_seg = index.postings.withColumn("seg", seg_col)
@@ -147,17 +161,26 @@ def build_segments(
 
     def _encode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         """Encode every (seg, term) group in one pandas frame (rows
-        already sorted by seg, term, doc_id)."""
+        already sorted by seg, term, doc_id). Optional `positions` /
+        `payload` input columns become the v3 sub-streams."""
+        has_pos = "positions" in pdf.columns
+        has_pay = "payload" in pdf.columns
         rows = []
         for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
             docs = g["doc_id"].to_numpy()
             tfs = g["tf"].to_numpy()
             data, block_last, block_max, block_off = encode_postings(docs, tfs)
+            pos_off, pos_data, pay_data = None, None, None
+            if has_pos:
+                pos_data, po = encode_positions(list(g["positions"]), tfs)
+                pos_off = po.tolist()
+            if has_pay:
+                pay_data = encode_payloads(g["payload"].to_numpy())
             rows.append(
                 (
                     int(seg), term, len(docs), int(tfs.sum()),
                     block_last.tolist(), block_max.tolist(),
-                    block_off.tolist(), data,
+                    block_off.tolist(), data, pos_off, pos_data, pay_data,
                 )
             )
         return pd.DataFrame(
@@ -165,6 +188,7 @@ def build_segments(
             columns=[
                 "seg", "term", "df", "cf",
                 "block_last", "block_max", "block_off", "data",
+                "pos_off", "pos_data", "pay_data",
             ],
         )
 
@@ -251,6 +275,21 @@ def build_segments(
         )
         _write_manifest(out_path, m)
 
+    # term->df sidecar, sorted by term: query-time idf comes from a
+    # driver-side pyarrow row-group-pruned read (O(query terms)), NOT a
+    # per-query Spark job over postings metadata — a WAND query is ONE
+    # Spark job. Written after all groups (df is global), resumable via
+    # the manifest flag.
+    if not m.get("termstats"):
+        (
+            index.terms.select("term", "df")
+            .orderBy("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, "termstats"))
+        )
+        m["termstats"] = True
+        _write_manifest(out_path, m)
+
     return SegmentIndex(
         path=out_path,
         n_docs=n_docs,
@@ -295,12 +334,25 @@ def _segment_topk(
                              "score": pd.Series([], dtype="float64")})
     doc_lo = int(dl_row["doc_lo"].iloc[0])
     dls = _decode_doclens(dl_row["data"].iloc[0])
+    # tightest dl any posting in this segment can have (dl=0 docs have
+    # no postings) — the per-segment dl lower bound for admission
+    nonzero = dls[dls > 0]
+    dl_min = float(nonzero.min()) if len(nonzero) else 1.0
 
     posts = pdf[pdf["_kind"] == "post"]
     terms = []
     for _, r in posts.iterrows():
         t = r["term"]
-        ub = boosts[t] * idfs[t] * (k1 + 1.0)
+        # per-term upper bound: BM25 tf-part is increasing in tf and
+        # decreasing in dl, so tf_part(max block tf, min dl) bounds any
+        # doc's contribution — tighter than the (k1+1) supremum, so
+        # more terms fall below theta and skip to block-decode-only
+        bm = r["block_max"]
+        max_tf = float(max(bm)) if bm is not None and len(bm) else 1.0
+        tf_part = max_tf * (k1 + 1.0) / (
+            max_tf + k1 * (1.0 - b + b * dl_min / avgdl)
+        )
+        ub = boosts[t] * idfs[t] * tf_part
         terms.append((ub, t, r))
     terms.sort(key=lambda x: (-x[0], x[1]))
     total_ub = sum(u for u, _, _ in terms)
@@ -378,6 +430,187 @@ def _segment_topk(
     )
 
 
+def _sim_scores_np(sim, tf, dl, df, n, avgdl, payload=None):
+    """Vectorized Similarity.score_expr (query/scorer.py) in numpy —
+    identical formulas so packed-path results are rank-identical to
+    the flat path for every similarity variant."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    if sim.kind == "bm25":
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)) if sim.use_idf else 1.0
+        if sim.use_tf:
+            if sim.use_norm:
+                tfp = tf * (sim.k1 + 1.0) / (
+                    tf + sim.k1 * (1.0 - sim.b + sim.b * dl / avgdl)
+                )
+            else:
+                tfp = tf * (sim.k1 + 1.0) / (tf + sim.k1)
+        else:
+            tfp = (tf > 0).astype(np.float64)
+        s = idf * tfp
+    else:
+        idf = np.log(n / (df + 1.0)) + 1.0 if sim.use_idf else 1.0
+        tfp = np.sqrt(tf) if sim.use_tf else (tf > 0).astype(np.float64)
+        norm = 1.0 / np.sqrt(dl) if sim.use_norm else 1.0
+        s = tfp * idf * norm
+    if sim.use_payload and payload is not None:
+        s = s * payload
+    return s
+
+
+def _topk_frame(acc_docs: np.ndarray, acc_scores: np.ndarray, k: int) -> pd.DataFrame:
+    if len(acc_docs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    top = min(k, len(acc_docs))
+    idx = np.argpartition(-acc_scores, top - 1)[:top]
+    sel_docs, sel_scores = acc_docs[idx], acc_scores[idx]
+    order = np.lexsort((sel_docs, -np.round(sel_scores, 12)))
+    return pd.DataFrame({"doc_id": sel_docs[order], "score": sel_scores[order]})
+
+
+def _segment_topk_sim(
+    pdf: pd.DataFrame,
+    boosts: dict[str, float],
+    dfs: dict[str, int],
+    k: int,
+    sim,
+    n: int,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Exact per-segment top-k for an arbitrary Similarity (payload /
+    classic / toggle variants) — decodes the full posting (+ payload
+    sub-stream when the similarity uses it) per query term. The
+    block-max pruned path stays specialized to BM25; these variants
+    are exact by construction."""
+    dl_row = pdf[pdf["_kind"] == "dl"]
+    posts = pdf[pdf["_kind"] == "post"]
+    if len(dl_row) == 0 or len(posts) == 0:
+        return _topk_frame(np.array([], np.int64), np.array([], np.float64), k)
+    doc_lo = int(dl_row["doc_lo"].iloc[0])
+    dls = _decode_doclens(dl_row["data"].iloc[0])
+
+    acc_docs = np.array([], dtype=np.int64)
+    acc_scores = np.array([], dtype=np.float64)
+    for _, row in posts.iterrows():
+        t = row["term"]
+        docs, tfs = decode_postings(row["data"])
+        payload = None
+        if sim.use_payload and row["pay_data"] is not None:
+            payload = decode_payloads(row["pay_data"])
+        scores = boosts[t] * _sim_scores_np(
+            sim, tfs, dls[docs - doc_lo], float(dfs[t]), float(n), avgdl,
+            payload=payload,
+        )
+        all_docs = np.concatenate([acc_docs, docs])
+        all_scores = np.concatenate([acc_scores, scores])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        summed = np.zeros(len(uniq), np.float64)
+        np.add.at(summed, inv, all_scores)
+        acc_docs, acc_scores = uniq, summed
+    return _topk_frame(acc_docs, acc_scores, k)
+
+
+def _segment_phrase_topk(
+    pdf: pd.DataFrame,
+    phrase: list[str],
+    dfs: dict[str, int],
+    k: int,
+    k1: float,
+    b: float,
+    n: int,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Per-segment exact phrase match + member-term BM25 scoring.
+
+    Adjacency via position-set intersection: encode (local_doc, pos-i)
+    as a single int64 key per phrase slot i; a doc contains the phrase
+    iff the key intersection over all slots is non-empty — the
+    PhraseQuery/SpanNearQuery mechanism (RecursiveDescentParser
+    .java:90-107 quoted semantics) vectorized over the whole segment.
+    Scores match the flat compiler._phrase: sum of member-term BM25
+    partials (query/compiler.py)."""
+    dl_row = pdf[pdf["_kind"] == "dl"]
+    posts = pdf[pdf["_kind"] == "post"]
+    empty = _topk_frame(np.array([], np.int64), np.array([], np.float64), k)
+    if len(dl_row) == 0 or len(posts) == 0:
+        return empty
+    doc_lo = int(dl_row["doc_lo"].iloc[0])
+    dls = _decode_doclens(dl_row["data"].iloc[0])
+
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for _, row in posts.iterrows():
+        t = row["term"]
+        if row["pos_data"] is None:
+            raise ValueError("packed index lacks positions (codec<3 build)")
+        docs, tfs = decode_postings(row["data"])
+        pos = decode_positions(row["pos_data"], tfs)
+        decoded[t] = (docs, tfs, pos)
+    if any(t not in decoded for t in phrase):
+        return empty
+
+    M = np.int64(1) << np.int64(32)  # local doc ids < seg_size << 2^32
+    keys = None
+    for i, t in enumerate(phrase):
+        docs, tfs, pos = decoded[t]
+        doc_per_pos = np.repeat(docs - doc_lo, tfs)
+        k_i = doc_per_pos * M + (pos - i)
+        keys = k_i if keys is None else np.intersect1d(keys, k_i)
+        if keys.size == 0:
+            return empty
+    hit_local = np.unique(keys // M)
+    hit_docs = hit_local + doc_lo
+
+    # member-term BM25 over the phrase docs (distinct terms, boost 1)
+    scores = np.zeros(hit_docs.size, np.float64)
+    dl_hit = dls[hit_local].astype(np.float64)
+    for t in sorted(set(phrase)):
+        docs, tfs, _ = decoded[t]
+        mask = np.isin(docs, hit_docs, assume_unique=True)
+        d, tf = docs[mask], tfs[mask].astype(np.float64)
+        idx = np.searchsorted(hit_docs, d)
+        idf = float(np.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        scores[idx] += idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl_hit[idx] / avgdl)
+        )
+    return _topk_frame(hit_docs, scores, k)
+
+
+def wand_phrase_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    phrase_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+) -> DataFrame:
+    """Quoted-phrase top-k over packed v3 segments (positions
+    sub-stream): per-segment position-intersection + member-term BM25,
+    k rows per segment merged globally. Rank-identical to the flat
+    positional path (tests/test_segments_v3.py)."""
+    term_list = sorted(set(phrase_terms))
+    dfs = _sidecar_dfs(seg_index.path, term_list)
+    if dfs is None:
+        raise ValueError("phrase search needs the termstats sidecar (codec v3)")
+    if any(dfs.get(t, 0) == 0 for t in term_list):
+        return spark.createDataFrame([], "doc_id long, score double")
+    unified = _unified_frame(spark, [(0, seg_index)], term_list, with_subs=True)
+    n, avgdl = seg_index.n_docs, seg_index.avgdl
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_phrase_topk(pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl)
+
+    seg_tops = unified.groupBy("seg").applyInPandas(
+        per_segment, schema="doc_id long, score double"
+    )
+    return (
+        seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def wand_search_multi(
     spark: SparkSession,
     seg_indexes: list[SegmentIndex],
@@ -422,36 +655,55 @@ def wand_search(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 5,
+    sim=None,
 ) -> DataFrame:
     """Distributed top-k over packed segments.
 
-    Plan: parquet scan with term-isin pushdown (few rows per segment)
-    -> per-segment pruned scoring in one Arrow batch -> global merge
-    of n_segments*k rows (TakeOrderedAndProject). At 10^12 docs this
-    is the query fast path: work per segment is bounded by the query's
-    posting sizes, the merge is k rows per segment.
+    Plan: term->df from the build-time sidecar (driver-side pyarrow,
+    no job) -> parquet scan with term-isin pushdown (few rows per
+    segment) -> per-segment pruned scoring in one Arrow batch ->
+    global merge of n_segments*k rows (TakeOrderedAndProject): ONE
+    Spark job. At 10^12 docs this is the query fast path: work per
+    segment is bounded by the query's posting sizes, the merge is k
+    rows per segment.
+
+    ``sim``: any query.scorer.Similarity — plain BM25 takes the
+    block-max pruned path; payload/classic/toggle variants run the
+    exact per-segment scorer over the codec-v3 sub-streams,
+    rank-identical to the flat path.
     """
     return _wand_search_frames(
         spark, [(0, seg_index)], seg_index, terms_boosts,
-        k=k, k1=k1, b=b, round_to=round_to,
+        k=k, k1=k1, b=b, round_to=round_to, sim=sim,
     )
 
 
-def _wand_search_frames(
+def _sidecar_dfs(path: str, term_list: list[str]) -> dict[str, int] | None:
+    """term->df from the build-time termstats sidecar, read driver-side
+    with pyarrow (row-group pruning on the sorted term column) — no
+    Spark job. None if the index predates the sidecar."""
+    p = os.path.join(path, "termstats")
+    if not path or not os.path.isdir(p):
+        return None
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(p, format="parquet").to_table(
+        columns=["term", "df"], filter=ds.field("term").isin(term_list)
+    )
+    return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+
+def _unified_frame(
     spark: SparkSession,
     gens: list[tuple[int, SegmentIndex]],
-    stats: SegmentIndex,
-    terms_boosts: list[tuple[str, float]],
-    k: int,
-    k1: float,
-    b: float,
-    round_to: int,
+    term_list: list[str],
+    with_subs: bool = False,
 ) -> DataFrame:
-    term_list = sorted({t for t, _ in terms_boosts})
-    boosts: dict[str, float] = {}
-    for t, w in terms_boosts:
-        boosts[t] = boosts.get(t, 0.0) + float(w)
-
+    """Postings (term-pruned scan) + doclen rows stacked into one frame
+    keyed by seg, for a single groupBy(seg).applyInPandas stage.
+    ``with_subs`` adds the v3 positions/payload sub-stream columns
+    (left out of the plain-BM25 scan so parquet column pruning skips
+    those bytes)."""
     posts = None
     dls = None
     for gen_id, si in gens:
@@ -470,25 +722,29 @@ def _wand_search_frames(
         posts = p if posts is None else posts.unionByName(p)
         dls = d if dls is None else dls.unionByName(d)
 
-    # global df per term for idf (sum over segments + generations)
-    df_rows = posts.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    n = stats.n_docs
-    idfs = {
-        r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for r in df_rows
-    }
-    if not idfs:
-        return spark.createDataFrame([], "doc_id long, score double")
-
-    unified = posts.select(
+    sub_cols = (
+        [F.col("pos_off"), F.col("pos_data"), F.col("pay_data")] if with_subs else []
+    )
+    sub_nulls = (
+        [
+            F.lit(None).cast("array<long>").alias("pos_off"),
+            F.lit(None).cast("binary").alias("pos_data"),
+            F.lit(None).cast("binary").alias("pay_data"),
+        ]
+        if with_subs
+        else []
+    )
+    return posts.select(
         "seg",
         F.lit("post").alias("_kind"),
         "term",
         "df",
         "block_last",
+        "block_max",
         "block_off",
         F.lit(None).cast("long").alias("doc_lo"),
         "data",
+        *sub_cols,
     ).unionByName(
         dls.select(
             "seg",
@@ -496,16 +752,85 @@ def _wand_search_frames(
             F.lit(None).cast("string").alias("term"),
             F.lit(None).cast("long").alias("df"),
             F.lit(None).cast("array<long>").alias("block_last"),
+            F.lit(None).cast("array<int>").alias("block_max"),
             F.lit(None).cast("array<long>").alias("block_off"),
             "doc_lo",
             F.col("dl_data").alias("data"),
+            *sub_nulls,
         )
     )
 
+
+def _gen_dfs(
+    gens: list[tuple[int, SegmentIndex]], term_list: list[str], posts_fallback
+) -> dict[str, int]:
+    """Global df per query term: sum of each generation's sidecar
+    (driver-side pyarrow, zero Spark jobs); falls back to one
+    postings-metadata job for pre-sidecar indexes."""
+    dfs: dict[str, int] | None = {}
+    for _, si in gens:
+        d = _sidecar_dfs(si.path, term_list)
+        if d is None:
+            dfs = None
+            break
+        for t, v in d.items():
+            dfs[t] = dfs.get(t, 0) + int(v)
+    if dfs is None:
+        df_rows = posts_fallback().groupBy("term").agg(F.sum("df").alias("df")).collect()
+        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+    return dfs
+
+
+def _wand_search_frames(
+    spark: SparkSession,
+    gens: list[tuple[int, SegmentIndex]],
+    stats: SegmentIndex,
+    terms_boosts: list[tuple[str, float]],
+    k: int,
+    k1: float,
+    b: float,
+    round_to: int,
+    sim=None,
+) -> DataFrame:
+    term_list = sorted({t for t, _ in terms_boosts})
+    boosts: dict[str, float] = {}
+    for t, w in terms_boosts:
+        boosts[t] = boosts.get(t, 0.0) + float(w)
+
+    # the pruned block-max path is specialized to plain BM25; other
+    # similarity variants (payload/classic/toggles) run the exact
+    # per-segment scorer over the v3 sub-streams
+    plain_bm25 = sim is None or (
+        sim.kind == "bm25"
+        and sim.use_tf and sim.use_idf and sim.use_norm and not sim.use_payload
+    )
+    unified = _unified_frame(spark, gens, term_list, with_subs=not plain_bm25)
+
+    dfs = _gen_dfs(
+        gens, term_list,
+        lambda: _unified_frame(spark, gens, term_list).filter(F.col("_kind") == "post"),
+    )
+    dfs = {t: d for t, d in dfs.items() if d > 0}
+    if not dfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n = stats.n_docs
     avgdl = stats.avgdl
 
-    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_topk(pdf, boosts, idfs, k, k1, b, avgdl)
+    if plain_bm25:
+        if sim is not None:
+            k1, b = sim.k1, sim.b
+        idfs = {
+            t: float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            for t, df in dfs.items()
+        }
+
+        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _segment_topk(pdf, boosts, idfs, k, k1, b, avgdl)
+
+    else:
+
+        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _segment_topk_sim(pdf, boosts, dfs, k, sim, n, avgdl)
 
     seg_tops = unified.groupBy("seg").applyInPandas(
         per_segment, schema="doc_id long, score double"

@@ -112,8 +112,32 @@ def interesting_terms(
 
     import pandas as pd  # noqa: F401 (worker-side)
 
+    narrowed = cand.select("term", "tf", "df", "weight")
+    if params.max_query_terms > 0:
+        # size guard: per-partition top-max_terms BEFORE the fused
+        # single-task stage, so its input is <= partitions*max_terms
+        # rows even with adversarially many seed docs (the global top-N
+        # by (weight desc, term asc) always survives a per-partition
+        # cut with the same comparator — a distributed PQ pre-pass).
+        def partial_top(batches):
+            acc = None
+            for pdf in batches:
+                acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+                if len(acc) > 4 * max_terms:
+                    acc = acc.sort_values(
+                        ["weight", "term"], ascending=[False, True], kind="stable"
+                    ).head(max_terms)
+            if acc is not None and len(acc):
+                yield acc.sort_values(
+                    ["weight", "term"], ascending=[False, True], kind="stable"
+                ).head(max_terms)
+
+        narrowed = narrowed.mapInPandas(
+            partial_top, schema="term string, tf long, df long, weight double"
+        )
+
     return (
-        cand.select("term", "tf", "df", "weight")
+        narrowed
         .withColumn("_g", F.lit(1))
         .groupBy("_g")
         .applyInPandas(

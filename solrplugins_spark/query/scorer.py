@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -202,3 +203,78 @@ def search_terms(
 def docs_containing(index: InvertedIndex, term: str) -> DataFrame:
     """DocSet for one term — a semi-joinable (doc_id) frame."""
     return index.postings.filter(F.col("term") == term).select("doc_id")
+
+
+def classic_coord_search(
+    index: InvertedIndex,
+    terms_boosts: list[tuple[str, float]],
+    k: int = 10,
+    coord: bool = True,
+    query_norm: bool = True,
+    round_to: int = 5,
+) -> DataFrame:
+    """Classic (Lucene TFIDF) multi-clause scoring WITH the query-level
+    factors the Dice similarity defines (DiceDefaultSimilarity.java:64-74):
+
+        coord(q,d)   = overlap / maxOverlap   (matched / total clauses)
+        queryNorm(q) = 1 / sqrt(sum_t (idf(t) * boost_t)^2)
+
+    Full classic score (TFIDFSimilarity composition — idf appears
+    squared because the query weight idf*boost is multiplied by the
+    field factor tf*idf*norm):
+
+        score(q,d) = coord * queryNorm
+                     * sum_t sqrt(tf) * idf(t)^2 * boost_t / sqrt(dl)
+
+    queryNorm needs only the query terms' df — a bounded driver-side
+    dictionary lookup (exactly when Lucene computes clause weights),
+    not a corpus job.
+    """
+    spark = index.postings.sparkSession
+    term_list = sorted({t for t, _ in terms_boosts})
+    n = float(index.n_docs)
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in index.terms.filter(F.col("term").isin(term_list)).collect()
+    }
+    idf_map = {t: (np.log(n / (df_map[t] + 1.0)) + 1.0) for t in df_map}
+    qn = 1.0
+    if query_norm:
+        ssq = sum((idf_map.get(t, 0.0) * w) ** 2 for t, w in terms_boosts)
+        qn = 1.0 / np.sqrt(ssq) if ssq > 0 else 1.0
+    n_clauses = len(terms_boosts)
+
+    qt = spark.createDataFrame(
+        [
+            (t, float(w), float(idf_map.get(t, 0.0)))
+            for t, w in terms_boosts
+            if t in df_map
+        ],
+        "term string, boost double, idf double",
+    )
+    hits = index.postings.filter(F.col("term").isin(term_list)).join(
+        F.broadcast(qt), "term"
+    )
+    partial = (
+        F.sqrt(F.col("tf").cast("double"))
+        * F.col("idf") * F.col("idf") * F.col("boost")
+        / F.sqrt(F.col("dl").cast("double"))
+    )
+    scored = hits.select("doc_id", partial.alias("partial")).groupBy("doc_id").agg(
+        F.sum("partial").alias("_s"), F.count(F.lit(1)).alias("matched")
+    )
+    coord_col = (
+        (F.col("matched").cast("double") / F.lit(float(n_clauses)))
+        if coord
+        else F.lit(1.0)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(coord_col * F.lit(float(qn)) * F.col("_s"), round_to).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -185,6 +185,78 @@ SELECT token, suggestion, freq, distance, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_spellcheck_collate(spark, sf_dir):
+    """Whole-query collated rewrites from per-token suggestions
+    (DiceSpellCheckComponent collate behavior): 'bacth window' ->
+    ranked 'batch window'-style rewrites, scored by product of
+    candidate frequencies."""
+    from .suggest import spellcheck_collations
+
+    return spellcheck_collations(
+        _index(spark, sf_dir),
+        ["bacth", "window"],
+        typos=_SPELL_TYPOS,
+        suggestions_per_token=3,
+        max_collations=5,
+    )
+
+
+SQL_SPELLCHECK_COLLATE = f"""
+WITH {TOK_SQL},
+toks AS (SELECT * FROM (VALUES (0, 'bacth'), (1, 'window')) t(pos, token)),
+tok_freq AS (
+  SELECT t.pos, t.token, coalesce(d.df, 0) AS token_df
+  FROM toks t LEFT JOIN dfreq d ON d.term = t.token
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+edits AS (
+  SELECT tf2.pos, tf2.token, d.term AS suggestion, d.df AS freq,
+         levenshtein(d.term, tf2.token) AS distance
+  FROM tok_freq tf2 CROSS JOIN dfreq d CROSS JOIN n
+  WHERE tf2.token_df <= 0.01 * n.n
+    AND d.term <> tf2.token
+    AND substr(d.term, 1, 1) = substr(tf2.token, 1, 1)
+    AND abs(len(d.term) - len(tf2.token)) <= 2
+    AND levenshtein(d.term, tf2.token) <= 2
+    AND 1.0 - levenshtein(d.term, tf2.token)::DOUBLE
+          / greatest(len(d.term), len(tf2.token)) >= 0.5
+    AND d.df > tf2.token_df
+),
+overrides AS (
+  SELECT tf2.pos, tf2.token, 'batch' AS suggestion, d.df AS freq, -1 AS distance
+  FROM tok_freq tf2 JOIN dfreq d ON d.term = 'batch'
+  WHERE lower(trim(tf2.token)) = 'bacth' AND d.df > 0 AND d.df > tf2.token_df
+),
+all_sugg AS (
+  SELECT pos, token, suggestion, max(freq) AS freq, min(distance) AS distance
+  FROM (SELECT * FROM edits UNION ALL SELECT * FROM overrides)
+  GROUP BY pos, token, suggestion
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY pos
+      ORDER BY (CASE WHEN distance < 0 THEN -1 ELSE distance END) ASC,
+               freq DESC, suggestion ASC) AS rank
+  FROM all_sugg
+),
+sugg_cand AS (SELECT pos, suggestion, freq FROM ranked WHERE rank <= 3),
+self_cand AS (
+  SELECT t.pos, t.token AS suggestion, d.df AS freq
+  FROM toks t JOIN dfreq d ON d.term = t.token
+),
+cand AS (
+  SELECT pos, suggestion, max(freq) AS freq
+  FROM (SELECT * FROM sugg_cand UNION ALL SELECT * FROM self_cand)
+  GROUP BY pos, suggestion
+),
+c0 AS (SELECT suggestion AS s0, freq AS f0 FROM cand WHERE pos = 0),
+c1 AS (SELECT suggestion AS s1, freq AS f1 FROM cand WHERE pos = 1)
+SELECT s0 || ' ' || s1 AS "collation", round(ln(f0) + ln(f1), 5) AS score
+FROM c0 CROSS JOIN c1
+ORDER BY score DESC, "collation" ASC LIMIT 5
+"""
+
+
 def q_suggest_canonical(spark, sf_dir):
     """Canonicalizing suggest over a mixed-case dictionary built from
     the high-frequency terms (synthetic Title-case surfaces)."""
@@ -215,7 +287,7 @@ cand AS (SELECT * FROM dict WHERE lower(phrase) LIKE 's%'),
 merged AS (
   SELECT lower(phrase) AS key,
          max(struct_pack(freq := freq, phrase := phrase)) AS best,
-         sum(freq) AS count
+         sum(freq)::BIGINT AS count
   FROM cand GROUP BY lower(phrase)
 )
 SELECT key, best.phrase AS suggestion, count
@@ -426,18 +498,32 @@ FROM sh GROUP BY doc_id
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup docs are PLANTED (doc 0..9 re-emitted with a suffix at
+    doc_id+100000) so the gate covers real pairs — a 0-rows-both-sides
+    pass cannot distinguish a correct implementation from `return
+    empty` (round-1 verdict)."""
     from .dedup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" appended near duplicate marker")).alias("text"),
+    )
+    return ngram_jaccard_pairs(docs.unionByName(mutated), n=3, threshold=0.3)
 
 
 SQL_NGRAM_JACCARD = """
-WITH base AS (
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000, text || ' appended near duplicate marker'
+  FROM documents WHERE doc_id < 10
+),
+base AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> len(x) >= 1 AND len(x) <= 64) AS toks
-  FROM documents WHERE doc_id < 60
+  FROM all_docs
 ),
 grams AS (
   SELECT doc_id,
@@ -457,7 +543,7 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.i / (sa.n + sb.n - i.i) >= 0.03
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.3
 """
 
 
@@ -651,6 +737,109 @@ def q_wand_or(spark, sf_dir):
     )
 
 
+_SEG_POS_CACHE: dict[str, object] = {}
+
+
+def _pos_segments(spark, sf_dir):
+    """Packed codec-v3 segments WITH positions — the at-scale index for
+    phrase queries."""
+    if sf_dir not in _SEG_POS_CACHE:
+        import tempfile
+
+        from .index.segments import build_segments
+
+        out = tempfile.mkdtemp(prefix="registry_segs_pos_")
+        _SEG_POS_CACHE[sf_dir] = build_segments(
+            _pos_index(spark, sf_dir), f"{out}/idx", seg_size=128, groups=2
+        )
+    return _SEG_POS_CACHE[sf_dir]
+
+
+def q_wand_phrase(spark, sf_dir):
+    """Quoted phrase over the PACKED v3 index (positions sub-stream) —
+    same oracle as phrase_query, proving the at-scale path is
+    rank-identical to the flat positional path."""
+    from .index.segments import wand_phrase_search
+
+    return wand_phrase_search(spark, _pos_segments(spark, sf_dir), ["table", "hash"], k=10)
+
+
+_SEG_PAY_CACHE: dict[str, object] = {}
+
+
+def _payload_segments(spark, sf_dir):
+    """Packed codec-v3 segments with the payload sub-stream, built from
+    the same payload-decorated corpus as q_payload_search."""
+    if sf_dir not in _SEG_PAY_CACHE:
+        import tempfile
+
+        from .analysis.payloads import build_payload_index
+        from .analysis.tokenizer import tokens_col
+        from .index.segments import build_segments
+
+        docs = _docs(spark, sf_dir)
+        w = (F.col("doc_id") % 3 + 1).cast("string")
+        decorated = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(tokens_col("text"), lambda t: F.concat(t, F.lit("^"), w)),
+                " ",
+            ).alias("text"),
+        )
+        pidx = build_payload_index(decorated)
+        out = tempfile.mkdtemp(prefix="registry_segs_pay_")
+        _SEG_PAY_CACHE[sf_dir] = build_segments(
+            pidx, f"{out}/idx", seg_size=128, groups=2
+        )
+    return _SEG_PAY_CACHE[sf_dir]
+
+
+def q_wand_payload(spark, sf_dir):
+    """PayloadIdf scoring over the PACKED v3 index (payload sub-stream)
+    — same oracle as payload_search (PayloadAwareDefaultSimilarity
+    .java:10-16 consumed from indexed payloads, at scale)."""
+    from .index.segments import wand_search
+    from .query.scorer import PayloadIdf
+
+    return wand_search(
+        spark, _payload_segments(spark, sf_dir), [("dup", 1.0)], k=10, sim=PayloadIdf
+    )
+
+
+def q_classic_coord(spark, sf_dir):
+    """Classic similarity with coord + queryNorm query-level factors
+    (DiceDefaultSimilarity.java:64-74) over a 3-clause OR."""
+    from .query.scorer import classic_coord_search
+
+    return classic_coord_search(
+        _index(spark, sf_dir),
+        [("dup", 1.0), ("batch", 1.0), ("vector", 2.0)],
+        k=10,
+    )
+
+
+SQL_CLASSIC_COORD = f"""
+WITH {TOK_SQL},
+qt AS (
+  SELECT * FROM (VALUES ('dup', 1.0), ('batch', 1.0), ('vector', 2.0))
+    t(term, boost)
+),
+idfs AS (
+  SELECT qt.term, qt.boost, ln(stats.n / (d.df + 1.0)) + 1.0 AS idf
+  FROM qt JOIN dfreq d USING (term) CROSS JOIN stats
+),
+qn AS (SELECT 1.0 / sqrt(sum((idf * boost) * (idf * boost))) AS qn FROM idfs),
+parts AS (
+  SELECT tf.doc_id, sqrt(tf.tf) * i.idf * i.idf * i.boost / sqrt(dl.dl) AS p
+  FROM tf JOIN idfs i USING (term) JOIN dl USING (doc_id)
+),
+scored AS (SELECT doc_id, sum(p) AS s, count(*) AS matched FROM parts GROUP BY doc_id)
+SELECT doc_id, round((matched / 3.0) * qn.qn * s, 5) AS score
+FROM scored CROSS JOIN qn
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_mlt_docs(spark, sf_dir):
     """Full MLT: top-10 similar docs for seed 0, seed excluded."""
     from .query.mlt import MLTParams, more_like_this
@@ -824,7 +1013,7 @@ hits AS (SELECT * FROM dict WHERE phrase IN ('scan', 'SCAN', 'Scan')),
 merged AS (
   SELECT lower(phrase) AS key,
          max(struct_pack(freq := freq, phrase := phrase)) AS best,
-         sum(freq) AS count
+         sum(freq)::BIGINT AS count
   FROM hits GROUP BY lower(phrase)
 )
 SELECT key, best.phrase AS suggestion, best.freq AS freq, count
@@ -865,22 +1054,89 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit simhash fingerprints (non-SQL-expressible: 64-bit bit
-    arithmetic over xxhash64 token hashes; rows-only check)."""
+    """64-bit simhash fingerprints. Fully oracle-checked: the token
+    hash is md5-derived (top 16 hex chars as two 32-bit halves), so
+    DuckDB recomputes the identical fingerprint with hex-nibble bit
+    extraction + HUGEINT packing (SQL_SIMHASH)."""
     from .dedup import simhash64
 
     return simhash64(_docs(spark, sf_dir))
 
 
+# Recompute the fingerprint bit-for-bit in SQL: bit b (LSB=0) of the
+# 64-bit hash int(md5[:16], 16) lives in hex char 16 - b//4 (1-indexed),
+# sub-bit b%4; sign-of-weighted-sum per bit, packed via HUGEINT into a
+# signed int64 (two's complement) to match Spark's long.
+SQL_SIMHASH = f"""
+WITH {TOK_SQL},
+hashed AS (SELECT doc_id, tf, md5(term) AS h FROM tf),
+bitsum AS (
+  SELECT doc_id, bb.bit,
+         sum(((((strpos('0123456789abcdef', substr(h, CAST(16 - bb.bit // 4 AS INT), 1)) - 1)
+               >> (bb.bit % 4)) & 1) * 2 - 1) * tf) AS s
+  FROM hashed CROSS JOIN range(0, 64) bb(bit)
+  GROUP BY doc_id, bb.bit
+),
+packed AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::HUGEINT << CAST(bit AS INT)) ELSE 0::HUGEINT END) AS p
+  FROM bitsum GROUP BY doc_id
+)
+SELECT doc_id,
+       (CASE WHEN p >= 9223372036854775808::HUGEINT
+             THEN p - 18446744073709551616::HUGEINT ELSE p END)::BIGINT AS simhash
+FROM packed
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate top-k (non-SQL-expressible:
-    approximate candidate set; verified against brute force in
-    tests/test_pipeline_ops.py; rows-only check)."""
+    """Hyperplane-LSH approximate top-k. Fully oracle-checked: the
+    hyperplanes are deterministic (splitmix64, seed=7), so the oracle
+    SQL embeds them as literals and recomputes bucket assignment,
+    multiprobe set, and exact candidate cosines (see _sql_ann_lsh)."""
     from .similarity import cosine_topk_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
     return cosine_topk_lsh(emb, q, k=10, n_planes=2, multiprobe=2)
+
+
+def _sql_ann_lsh(dim: int = 64, n_planes: int = 2, multiprobe: int = 2) -> str:
+    """Mirror of cosine_topk_lsh(n_planes=2, multiprobe=2, seed=7) for
+    the fixed driver embedding dim (64). Buckets = sign bits of
+    projections onto literal hyperplanes; probes = query bucket plus
+    single-bit flips; exact cosine rank on candidates."""
+    from .similarity.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=7)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket_of = lambda v: " + ".join(  # noqa: E731
+        f"(CASE WHEN list_dot_product({v}, {lits[i]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probe_list = ", ".join(
+        ["qb.b"] + [f"xor(qb.b, {1 << i})" for i in range(min(multiprobe, n_planes))]
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+qb AS (SELECT {bucket_of('qv')} AS b FROM q),
+bucketed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket_of('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT * FROM bucketed CROSS JOIN qb WHERE bucket IN ({probe_list})
+)
+SELECT c.vec_id AS id,
+       round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5)
+         AS cosine
+FROM cand c CROSS JOIN q
+ORDER BY cosine DESC, id ASC LIMIT 10
+"""
 
 
 EXT_QUERIES = {
@@ -897,6 +1153,7 @@ EXT_QUERIES = {
     "fq_termintersect": q_fq_termintersect,
     "fq_termoverlap": q_fq_termoverlap,
     "spellcheck": q_spellcheck,
+    "spellcheck_collate": q_spellcheck_collate,
     "suggest_canonical": q_suggest_canonical,
     "nb_classify": q_nb_classify,
     "stumps": q_stumps,
@@ -911,6 +1168,9 @@ EXT_QUERIES = {
     "quality": q_quality,
     "wand_single": q_wand_single,
     "wand_or": q_wand_or,
+    "wand_phrase": q_wand_phrase,
+    "wand_payload": q_wand_payload,
+    "classic_coord": q_classic_coord,
     "mlt_docs": q_mlt_docs,
 }
 
@@ -924,13 +1184,15 @@ def ext_oracle_sql() -> dict[str, str]:
         "pivot_rollup": SQL_PIVOT_ROLLUP,
         "suggest_case_variant": SQL_SUGGEST_CASE_VARIANT,
         "payload_search": SQL_PAYLOAD_SEARCH,
-        # simhash / ann_lsh intentionally omitted: non-SQL-expressible
+        "simhash": SQL_SIMHASH,
+        "ann_lsh": _sql_ann_lsh(),
         "fq_termfreq": SQL_FQ_TERMFREQ,
         "fq_fieldlen": SQL_FQ_FIELDLEN,
         "fq_fieldval": SQL_FQ_FIELDVAL,
         "fq_termintersect": SQL_FQ_TERMINTERSECT,
         "fq_termoverlap": SQL_FQ_TERMOVERLAP,
         "spellcheck": SQL_SPELLCHECK,
+        "spellcheck_collate": SQL_SPELLCHECK_COLLATE,
         "suggest_canonical": SQL_SUGGEST_CANONICAL,
         "nb_classify": SQL_NB_CLASSIFY,
         "stumps": SQL_STUMPS,
@@ -945,5 +1207,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "quality": _sql_quality(),
         "wand_single": SQL_BM25_SINGLE,
         "wand_or": SQL_BM25_OR_BOOSTED,
+        "wand_phrase": SQL_PHRASE,
+        "wand_payload": SQL_PAYLOAD_SEARCH,
+        "classic_coord": SQL_CLASSIC_COORD,
         "mlt_docs": SQL_MLT_DOCS,
     }

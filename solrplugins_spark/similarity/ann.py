@@ -70,10 +70,14 @@ def lsh_hyperplane_buckets(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, embedding, bucket) — bucket = sign bits of n_planes
-    projections packed into an int. Pure column expressions."""
-    dim = len(emb.select(vec_col).first()[0])
+    projections packed into an int. Pure column expressions. Pass
+    ``dim`` to skip the vector-width probe job (callers that bucket
+    the same table repeatedly, e.g. multi-table near-dup candidates)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for i, p in enumerate(planes):

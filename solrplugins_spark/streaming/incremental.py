@@ -45,37 +45,9 @@ def incremental_index_build(
     and a manifest line with lineage + throughput (north-rule metrics).
     """
     os.makedirs(out_path, exist_ok=True)
-    manifest = os.path.join(out_path, "stream_manifest.jsonl")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        t0 = time.time()
-        n = batch_df.count()
-        if n == 0:
-            return
-        postings = counted_terms(batch_df, doc_col=doc_col, text_col=text_col)
-        postings.write.mode("overwrite").parquet(
-            os.path.join(out_path, "postings", f"gen={batch_id}")
-        )
-        terms = (
-            postings.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        )
-        terms.write.mode("overwrite").parquet(
-            os.path.join(out_path, "terms", f"gen={batch_id}")
-        )
-        elapsed = time.time() - t0
-        with open(manifest, "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "generation": int(batch_id),
-                        "docs": int(n),
-                        "seconds": round(elapsed, 3),
-                        "docs_per_sec": round(n / elapsed, 1) if elapsed else None,
-                    }
-                )
-                + "\n"
-            )
+        process_generation(batch_df, batch_id, out_path, doc_col, text_col)
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -85,6 +57,65 @@ def incremental_index_build(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _manifest_generations(manifest: str) -> set[int]:
+    if not os.path.exists(manifest):
+        return set()
+    with open(manifest) as f:
+        return {json.loads(line)["generation"] for line in f if line.strip()}
+
+
+def process_generation(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Commit one microbatch as an index generation; returns True if it
+    wrote, False if skipped (empty or already committed).
+
+    Idempotent per generation: foreachBatch is at-least-once, and the
+    manifest line is appended LAST (after the idempotent parquet
+    overwrites) — so a line for this generation means a previous
+    attempt fully committed, and a replay must skip the append or
+    compact_generations' sum over lines would inflate n_docs/avgdl
+    and skew BM25 idf/norms after exactly the resume scenario this
+    module exists for.
+    """
+    manifest = os.path.join(out_path, "stream_manifest.jsonl")
+    t0 = time.time()
+    if int(batch_id) in _manifest_generations(manifest):
+        return False
+    n = batch_df.count()
+    if n == 0:
+        return False
+    postings = counted_terms(batch_df, doc_col=doc_col, text_col=text_col)
+    postings.write.mode("overwrite").parquet(
+        os.path.join(out_path, "postings", f"gen={batch_id}")
+    )
+    terms = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+    )
+    terms.write.mode("overwrite").parquet(
+        os.path.join(out_path, "terms", f"gen={batch_id}")
+    )
+    elapsed = time.time() - t0
+    with open(manifest, "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "generation": int(batch_id),
+                    "docs": int(n),
+                    "seconds": round(elapsed, 3),
+                    "docs_per_sec": round(n / elapsed, 1) if elapsed else None,
+                }
+            )
+            + "\n"
+        )
+    return True
 
 
 def compact_generations(

@@ -1,4 +1,4 @@
-from .spellcheck import load_typos, spellcheck_suggest
+from .spellcheck import load_typos, spellcheck_collations, spellcheck_suggest
 from .suggester import (
     case_variants,
     case_variant_suggest,
@@ -10,6 +10,7 @@ from .suggester import (
 __all__ = [
     "load_typos",
     "spellcheck_suggest",
+    "spellcheck_collations",
     "case_variants",
     "case_variant_suggest",
     "canonical_suggest",

@@ -130,3 +130,68 @@ def spellcheck_suggest(
         .filter(F.col("rank") <= count)
         .select("token", "suggestion", "freq", "distance", "rank")
     )
+
+
+def spellcheck_collations(
+    index: InvertedIndex,
+    tokens: list[str],
+    typos: dict[str, str] | None = None,
+    suggestions_per_token: int = 3,
+    max_collations: int = 5,
+    **spell_kwargs,
+) -> DataFrame:
+    """(collation, score) whole-query rewrites — the user-facing
+    "did you mean" strings.
+
+    Reference: DiceSpellCheckComponent composes collated query rewrites
+    from per-token suggestions (the collate behavior the per-token
+    suggest path stops short of). Per position, candidates are the
+    token itself when it exists in the dictionary (freq = its df) plus
+    its top ``suggestions_per_token`` spellcheck suggestions; a
+    collation is one candidate per position, scored by the product of
+    candidate frequencies (reported as round(sum ln freq, 5) to stay
+    in double range). Deterministic order: score desc, collation asc.
+
+    The cross-product is over per-token candidate frames (bounded by
+    suggestions_per_token^len(tokens), a driver-side-small number) —
+    the corpus-scale work is the dictionary joins inside
+    spellcheck_suggest, which stay distributed.
+    """
+    spark = index.terms.sparkSession
+    sugg = spellcheck_suggest(
+        index, tokens, typos=typos, count=suggestions_per_token, **spell_kwargs
+    )
+    tok_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "pos int, token string"
+    )
+    self_cand = tok_df.join(
+        index.terms.select(F.col("term").alias("token"), F.col("df").alias("freq")),
+        "token",
+    ).select("pos", F.col("token").alias("suggestion"), "freq")
+    sugg_cand = tok_df.join(sugg, "token").select("pos", "suggestion", "freq")
+    cand = (
+        self_cand.unionByName(sugg_cand)
+        .groupBy("pos", "suggestion")
+        .agg(F.max("freq").alias("freq"))
+    )
+
+    coll = None
+    for i in range(len(tokens)):
+        ci = F.broadcast(
+            cand.filter(F.col("pos") == i).select(
+                F.col("suggestion").alias(f"_t{i}"), F.col("freq").alias(f"_f{i}")
+            )
+        )
+        coll = ci if coll is None else coll.crossJoin(ci)
+    collation = F.concat_ws(" ", *[F.col(f"_t{i}") for i in range(len(tokens))])
+    score = None
+    for i in range(len(tokens)):
+        term = F.log(F.col(f"_f{i}").cast("double"))
+        score = term if score is None else score + term
+    return (
+        coll.select(
+            collation.alias("collation"), F.round(score, 5).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("collation"))
+        .limit(max_collations)
+    )

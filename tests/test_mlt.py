@@ -131,3 +131,41 @@ def test_feedback_improves_recall_shape(tiny_index):
         execute_query(tiny_index, "quartzowl", k=10**6).toPandas()["doc_id"]
     )
     assert len(fb) == len(base)
+
+
+def test_interesting_terms_many_seeds_size_guard(tiny_index, tiny_corpus_pd):
+    """Adversarial seed count (every doc is a seed): the fused top-k
+    stage is fed by a distributed per-partition pre-prune; results must
+    equal a brute-force pandas computation of the same semantics."""
+    import math
+
+    import pandas as pd
+
+    from solrplugins_spark.analysis.tokenizer import tokenize_pandas
+    from solrplugins_spark.query.mlt import MLTParams, interesting_terms
+
+    params = MLTParams(min_term_freq=1, min_doc_freq=2, max_query_terms=15)
+    seeds = list(tiny_corpus_pd["doc_id"])
+    got = interesting_terms(tiny_index, seeds, params).toPandas()
+    assert len(got) == 15
+
+    toks = tokenize_pandas(tiny_corpus_pd["text"])
+    n = len(tiny_corpus_pd)
+    tf: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for tl in toks:
+        for t in tl:
+            tf[t] = tf.get(t, 0) + 1
+        for t in set(tl):
+            df[t] = df.get(t, 0) + 1
+    cand = [
+        (t, tf[t], df[t], tf[t] * (math.log(n / (df[t] + 1.0)) + 1.0))
+        for t in tf
+        if tf[t] >= 1 and df[t] >= 2
+    ]
+    cand.sort(key=lambda r: (-r[3], r[0]))
+    top = cand[:15]
+    veclen = math.sqrt(sum(w * w for *_, w in top))
+    want = {t: round(w / veclen, 5) for t, _, _, w in top}
+    got_map = dict(zip(got["term"], got["score"]))
+    assert got_map == want

@@ -85,6 +85,22 @@ def test_simhash_properties(dup_docs):
     assert far > ham
 
 
+def test_simhash_batch_boundary(spark, dup_docs):
+    """Sign-of-sum is not mergeable: a doc whose (doc_id, term) rows
+    straddle an Arrow batch boundary must be carried, not finalized
+    from a partial group. Force 3-row batches so every doc splits."""
+    want = simhash64(dup_docs).toPandas().set_index("doc_id")["simhash"].to_dict()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        got = simhash64(dup_docs).toPandas().set_index("doc_id")["simhash"].to_dict()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
+    # exactly one row per doc (no groupBy(first) paper-over)
+    assert len(got) == dup_docs.count()
+
+
 def test_simhash_pairs(dup_docs):
     got = simhash_duplicate_pairs(dup_docs, max_hamming=0).toPandas()
     pairs = set(zip(got["doc_a"], got["doc_b"]))
@@ -95,6 +111,18 @@ def test_ngram_jaccard_pairs(dup_docs):
     got = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.4).toPandas()
     pairs = set(zip(got["doc_a"], got["doc_b"]))
     assert (0, 1) in pairs and (0, 5) in pairs
+
+
+def test_ngram_cap_dropped_counter(dup_docs):
+    from solrplugins_spark.dedup import ngram_cap_dropped
+
+    # cap=2: the shared "quick brown fox"-family 3-grams appear in 4
+    # docs (0,1,2,5) -> dropped = 4 - 2 = 2 per over-cap ngram
+    got = ngram_cap_dropped(dup_docs, n=3, max_candidates_per_ngram=2).toPandas()
+    assert len(got) > 0
+    assert (got["dropped"] == got["df"] - 2).all()
+    # no ngram exceeds the cap when the cap is huge
+    assert ngram_cap_dropped(dup_docs, n=3, max_candidates_per_ngram=100).count() == 0
 
 
 # ---- ANN ------------------------------------------------------------
@@ -138,12 +166,35 @@ def test_lsh_buckets_deterministic_and_recall(emb):
 
 
 def test_embedding_near_duplicates(emb, spark):
-    # plant an exact duplicate pair
+    # plant an exact duplicate pair — identical vectors share every
+    # LSH table's bucket, so detection is certain, not probabilistic
     dup = emb.limit(1).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
     with_dup = emb.unionByName(dup)
-    got = embedding_near_duplicates(with_dup, threshold=0.9999).toPandas()
+    got_df = embedding_near_duplicates(with_dup, threshold=0.9999)
+    got = got_df.toPandas()
     first_id = emb.first()["vec_id"]
     assert (first_id, first_id + 10000) in set(zip(got["id_a"], got["id_b"]))
+    # the 100TB contract: candidates come from a bucket equi-join,
+    # never an all-pairs nested-loop/cartesian join
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_plans_have_no_cross_joins(dup_docs, emb):
+    """Every dedup pair operator must candidate-generate via an
+    equi-join key (bucket / band / shared-ngram) — assert on the
+    physical plans."""
+    frames = [
+        minhash_duplicate_pairs(dup_docs, num_hashes=16, bands=8, threshold=0.5),
+        simhash_duplicate_pairs(dup_docs, max_hamming=3),
+        ngram_jaccard_pairs(dup_docs, n=3, threshold=0.4),
+        embedding_near_duplicates(emb, threshold=0.95),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+        assert "CartesianProduct" not in plan, plan[:2000]
 
 
 # ---- text analysis --------------------------------------------------

@@ -141,3 +141,58 @@ def test_boolean_queries_vs_oracle(tiny_index, oi, q):
     got = execute_query(tiny_index, q, k=10).toPandas()
     want = oracle_boolean(oi, q, k=10)
     assert_topk_equal(got, want)
+
+
+def test_classic_coord_querynorm(spark):
+    """coord = overlap/maxOverlap, queryNorm = 1/sqrt(sum w^2)
+    (DiceDefaultSimilarity.java:64-74) — verified against a brute-force
+    pandas computation of the full classic multi-clause score."""
+    import math
+
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.query.scorer import classic_coord_search
+
+    rows = [
+        (0, "java sql java ruby"),
+        (1, "java python"),
+        (2, "sql sql sql"),
+        (3, "ruby go rust"),
+        (4, "java sql"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs)
+    tb = [("java", 1.0), ("sql", 2.0), ("ruby", 0.5)]
+    got = classic_coord_search(idx, tb, k=10).toPandas()
+
+    corpus = {d: t.split() for d, t in rows}
+    n = len(corpus)
+    df = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    idf = {t: math.log(n / (df[t] + 1.0)) + 1.0 for t, _ in tb}
+    qn = 1.0 / math.sqrt(sum((idf[t] * w) ** 2 for t, w in tb))
+    want = {}
+    for d, toks in corpus.items():
+        dl = len(toks)
+        s, matched = 0.0, 0
+        for t, w in tb:
+            tf = toks.count(t)
+            if tf:
+                matched += 1
+                s += math.sqrt(tf) * idf[t] ** 2 * w / math.sqrt(dl)
+        if matched:
+            want[d] = round((matched / len(tb)) * qn * s, 5)
+    got_map = dict(zip(got["doc_id"], got["score"]))
+    assert set(got_map) == set(want)
+    for d in want:
+        assert abs(got_map[d] - want[d]) < 1e-6, (d, got_map[d], want[d])
+    # doc 0 matches all 3 clauses -> coord lifts it to the top
+    assert got.iloc[0]["doc_id"] == 0
+    # toggles off -> plain classic sum (no coord/queryNorm down-weight)
+    raw = classic_coord_search(
+        idx, tb, k=10, coord=False, query_norm=False
+    ).toPandas()
+    raw_map = dict(zip(raw["doc_id"], raw["score"]))
+    for d in want:
+        assert raw_map[d] >= got_map[d]

@@ -96,7 +96,7 @@ def test_resume_is_identical(tiny_index, tmp_path):
 def test_manifest_lineage_and_metrics(seg_index):
     with open(os.path.join(seg_index.path, "manifest.json")) as f:
         m = json.load(f)
-    assert m["codec_version"] == 2
+    assert m["codec_version"] == 3
     assert sorted(m["completed_groups"]) == list(range(m["n_groups"]))
     for entry in m["lineage"]:
         assert entry["docs_per_sec"] is None or entry["docs_per_sec"] > 0

@@ -1,0 +1,175 @@
+"""Codec v3: positions + payloads in packed segments.
+
+Phrase and payload queries must run on the at-scale WAND/packed path,
+rank-identical to the flat index (round-1 verdict item #2):
+- PayloadAwareDefaultSimilarity.java:10-16 / MLTQuery.java:60-67 —
+  payload scoring consumes indexed payloads;
+- RecursiveDescentParser.java:90-107 — quoted-phrase semantics.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from solrplugins_spark.analysis.payloads import build_payload_index
+from solrplugins_spark.index.builder import build_index
+from solrplugins_spark.index.codec import (
+    decode_payloads,
+    decode_positions,
+    encode_payloads,
+    encode_positions,
+)
+from solrplugins_spark.index.segments import (
+    _sidecar_dfs,
+    build_segments,
+    wand_phrase_search,
+    wand_search,
+)
+from solrplugins_spark.query.compiler import execute_query
+from solrplugins_spark.query.scorer import (
+    ClassicDice,
+    PayloadIdf,
+    PayloadOnly,
+    search_terms,
+)
+
+
+# ---- codec round-trips ------------------------------------------------
+
+def test_positions_roundtrip():
+    rng = np.random.default_rng(3)
+    tfs = rng.integers(1, 9, size=300)
+    pos_lists = [
+        np.sort(rng.choice(5000, size=int(t), replace=False)) for t in tfs
+    ]
+    data, pos_off = encode_positions(pos_lists, tfs)
+    flat = decode_positions(data, tfs)
+    assert np.array_equal(flat, np.concatenate(pos_lists))
+    # block offsets: 300 docs -> 3 blocks of 128; offsets ascending
+    assert len(pos_off) == 3 and pos_off[0] == 0
+    assert list(pos_off) == sorted(pos_off)
+
+
+def test_positions_roundtrip_empty_and_single():
+    data, off = encode_positions([], np.array([], np.int64))
+    assert data == b"" and len(off) == 0
+    data, off = encode_positions([np.array([7])], np.array([1]))
+    assert list(decode_positions(data, np.array([1]))) == [7]
+
+
+def test_payload_roundtrip():
+    p = np.array([1.5, 0.25, 3.75, 1e-9])
+    assert np.array_equal(decode_payloads(encode_payloads(p)), p)
+
+
+# ---- packed vs flat rank-identity ------------------------------------
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus):
+    return build_index(tiny_corpus, positions=True).persist()
+
+
+@pytest.fixture(scope="module")
+def pos_segments(pos_index, tmp_path_factory):
+    out = tmp_path_factory.mktemp("segv3") / "idx"
+    return build_segments(pos_index, str(out), seg_size=128, groups=2)
+
+
+def _phrase_from_corpus(tiny_corpus_pd):
+    """First adjacent token pair of doc 0 — guaranteed present."""
+    toks = tiny_corpus_pd.iloc[0]["text"].lower().split()
+    return [toks[0], toks[1]]
+
+
+def test_packed_phrase_matches_flat(spark, pos_index, pos_segments, tiny_corpus_pd):
+    phrase = _phrase_from_corpus(tiny_corpus_pd)
+    flat = execute_query(pos_index, f'"{phrase[0]} {phrase[1]}"', k=10).toPandas()
+    packed = wand_phrase_search(spark, pos_segments, phrase, k=10).toPandas()
+    assert len(flat) > 0, "fixture phrase must match at least the seed doc"
+    assert list(packed["doc_id"]) == list(flat["doc_id"])
+    assert np.allclose(packed["score"], flat["score"], atol=1e-5)
+
+
+def test_packed_phrase_unknown_term_empty(spark, pos_segments):
+    got = wand_phrase_search(spark, pos_segments, ["zzznope", "batch"], k=10)
+    assert got.count() == 0
+
+
+def test_packed_phrase_three_terms(spark, pos_index, pos_segments, tiny_corpus_pd):
+    toks = tiny_corpus_pd.iloc[0]["text"].lower().split()
+    phrase = toks[:3]
+    flat = execute_query(
+        pos_index, '"' + " ".join(phrase) + '"', k=10
+    ).toPandas()
+    packed = wand_phrase_search(spark, pos_segments, phrase, k=10).toPandas()
+    assert list(packed["doc_id"]) == list(flat["doc_id"])
+    assert np.allclose(packed["score"], flat["score"], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def payload_setup(spark, tmp_path_factory):
+    rows = []
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(40)]
+    for d in range(300):
+        toks = rng.choice(vocab, size=12)
+        w = (d % 5) + 1
+        rows.append((d, " ".join(f"{t}^{w}.0" for t in toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pidx = build_payload_index(docs).persist()
+    out = tmp_path_factory.mktemp("segpay") / "idx"
+    seg = build_segments(pidx, str(out), seg_size=64, groups=2)
+    return pidx, seg
+
+
+def test_packed_payload_matches_flat(spark, payload_setup):
+    pidx, seg = payload_setup
+    for sim in (PayloadIdf, PayloadOnly):
+        flat = search_terms(pidx, [("t3", 1.0)], k=10, sim=sim).toPandas()
+        packed = wand_search(spark, seg, [("t3", 1.0)], k=10, sim=sim).toPandas()
+        assert list(packed["doc_id"]) == list(flat["doc_id"]), sim
+        assert np.allclose(packed["score"], flat["score"], atol=1e-5), sim
+
+
+def _corpus_terms(tiny_corpus_pd, n=2):
+    """Terms actually present in the transcripts fixture."""
+    return tiny_corpus_pd.iloc[0]["text"].lower().split()[:n]
+
+
+def test_packed_classic_matches_flat(spark, pos_index, pos_segments, tiny_corpus_pd):
+    t0, t1 = _corpus_terms(tiny_corpus_pd)
+    flat = search_terms(
+        pos_index, [(t0, 2.0), (t1, 1.0)], k=10, sim=ClassicDice
+    ).toPandas()
+    packed = wand_search(
+        spark, pos_segments, [(t0, 2.0), (t1, 1.0)], k=10, sim=ClassicDice
+    ).toPandas()
+    assert len(flat) > 0
+    assert list(packed["doc_id"]) == list(flat["doc_id"])
+    assert np.allclose(packed["score"], flat["score"], atol=1e-5)
+
+
+def test_packed_bm25_still_matches_flat(spark, pos_index, pos_segments, tiny_corpus_pd):
+    """v3 layout must not perturb the pruned BM25 path."""
+    t0, t1 = _corpus_terms(tiny_corpus_pd)
+    flat = search_terms(pos_index, [(t0, 1.0), (t1, 0.5)], k=10).toPandas()
+    packed = wand_search(
+        spark, pos_segments, [(t0, 1.0), (t1, 0.5)], k=10
+    ).toPandas()
+    assert len(flat) > 0
+    assert list(packed["doc_id"]) == list(flat["doc_id"])
+    assert np.allclose(packed["score"], flat["score"], atol=1e-5)
+
+
+# ---- termstats sidecar (one-job queries) ------------------------------
+
+def test_termstats_sidecar(pos_segments, pos_index, tiny_corpus_pd):
+    t0 = _corpus_terms(tiny_corpus_pd)[0]
+    dfs = _sidecar_dfs(pos_segments.path, [t0, "zzznope"])
+    assert dfs is not None and "zzznope" not in dfs
+    want = {
+        r["term"]: r["df"]
+        for r in pos_index.terms.filter(F.col("term") == t0).collect()
+    }
+    assert dfs[t0] == want[t0]

@@ -62,6 +62,30 @@ def test_payload_idf_scoring(spark):
     assert abs(scores[1] - round(1.0 * idf, 5)) < 1e-6
 
 
+def test_generation_commit_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a committed batch_id
+    must not append a second manifest line (n_docs/avgdl would inflate
+    at compaction)."""
+    from solrplugins_spark.streaming import process_generation
+
+    out = str(tmp_path / "inc")
+    os.makedirs(out)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    assert process_generation(docs, 0, out) is True
+    assert process_generation(docs, 0, out) is False  # replay -> skip
+    manifest = os.path.join(out, "stream_manifest.jsonl")
+    with open(manifest) as f:
+        lines = [json.loads(line) for line in f if line.strip()]
+    assert len(lines) == 1 and lines[0]["generation"] == 0
+    assert lines[0]["docs"] == 2
+    # a new generation still commits
+    assert process_generation(docs, 1, out) is True
+    with open(manifest) as f:
+        assert sum(1 for line in f if line.strip()) == 2
+
+
 def test_incremental_build_matches_batch(spark, tmp_path):
     """Stream 3 file chunks -> merged term stats identical to one batch
     build; manifest carries per-generation lineage + throughput."""
