@@ -72,3 +72,24 @@ class FieldQuery(Expression):
 
     def evaluate(self) -> str:
         return f"{self.field}({self.child.evaluate()})"
+
+
+@dataclass
+class Range(Expression):
+    """`[a TO b]` / `{a TO b}` range terminal — an EXTENSION beyond the
+    reference grammar (its range test is @Ignore'd,
+    TestRecursiveDescentParser.java:36-41; real users want ranges).
+    ``None`` bounds are open (`*`). Matches are constant-score (1.0),
+    the Lucene ConstantScoreRangeQuery semantic."""
+
+    low: str | None
+    high: str | None
+    include_low: bool = True
+    include_high: bool = True
+
+    def evaluate(self) -> str:
+        lo = "*" if self.low is None else self.low
+        hi = "*" if self.high is None else self.high
+        lb = "[" if self.include_low else "{"
+        rb = "]" if self.include_high else "}"
+        return f"{lb}{lo} TO {hi}{rb}"

@@ -164,11 +164,51 @@ class QueryCompiler:
             )
         if isinstance(node, ast.Quote):
             return self._phrase(node)
+        if isinstance(node, ast.Range):
+            return self._range(None, node)
         if isinstance(node, ast.FieldQuery):
+            if isinstance(node.child, ast.Range):
+                return self._range(node.field.rstrip(":"), node.child)
             sub_index = self.field_indexes.get(node.field.rstrip(":"), self.index)
             sub = QueryCompiler(sub_index, self.sim, self.field_indexes)
             return sub.compile(node.child)
         raise TypeError(f"unknown AST node: {node!r}")
+
+    def _range(self, field: str | None, node: ast.Range) -> DataFrame:
+        """`field:[a TO b]` -> constant-score (1.0) DocSet from the
+        stored corpus — the ConstantScoreRangeQuery semantic. Numeric
+        bounds compare numerically, others lexicographically; the
+        filter pushes into the corpus scan (Catalyst/parquet stats),
+        so at 10^12 turns this is a pruned scan, not a corpus pass."""
+        import re as _re
+
+        if self.index.docs is None:
+            raise ValueError("range queries need the stored corpus (index.docs)")
+        col_name = field or "doc_id"
+        if col_name not in self.index.docs.columns:
+            raise ValueError(f"range field not in corpus: {col_name}")
+        c = F.col(col_name)
+
+        def _lit(v: str):
+            if _re.fullmatch(r"-?\d+", v):
+                return F.lit(int(v))
+            try:
+                return F.lit(float(v))
+            except ValueError:
+                return F.lit(v)
+
+        cond = F.lit(True)
+        if node.low is not None:
+            lo = _lit(node.low)
+            cond = cond & ((c >= lo) if node.include_low else (c > lo))
+        if node.high is not None:
+            hi = _lit(node.high)
+            cond = cond & ((c <= hi) if node.include_high else (c < hi))
+        return (
+            self.index.docs.filter(cond)
+            .select("doc_id")
+            .withColumn("score", F.lit(1.0))
+        )
 
     def _operand(self, node: ast.Operand, partials: DataFrame | None) -> DataFrame:
         if node.value == MATCH_ALL:

@@ -29,12 +29,15 @@ from .scorer import BM25, Similarity, score_terms_df
 def unsupervised_feedback(
     index: InvertedIndex,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     max_seed_docs: int = 5,
     params: MLTParams = MLTParams(),
     sim: Similarity = BM25,
     round_to: int = 5,
 ) -> DataFrame:
+    """``k=None`` returns the full scored frame (no top-k) — callers
+    that apply a multiplicative function boost (BoostedQuery) must
+    rank AFTER boosting, not re-rank a pre-boosted top-k."""
     tree, _ = parse_query(query)
     seed_scored = compile_ast(index, tree, sim=sim).persist()
 
@@ -56,4 +59,6 @@ def unsupervised_feedback(
         "doc_id",
         F.round(F.col("score") + F.col("exp_score"), round_to).alias("score"),
     )
+    if k is None:
+        return final
     return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -26,6 +26,10 @@ def _apply_boost_fn(
     index: InvertedIndex, scored: DataFrame, boost_fn: Column | None, k: int,
     round_to: int = 5,
 ) -> DataFrame:
+    """Multiplicative function boost over a FULL scored frame, then
+    rank — BoostedQuery multiplies during scoring, so the boost decides
+    which docs make the top-k (MoreLikeThisHelper.java:131-145 wraps
+    the query BEFORE getDocList)."""
     if boost_fn is None:
         return scored
     if index.docs is None:
@@ -38,6 +42,31 @@ def _apply_boost_fn(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def boosted_search(
+    index: InvertedIndex,
+    terms_boosts: list[tuple[str, float]],
+    boost_fn: Column,
+    k: int = 10,
+    min_should_match: int = 1,
+    round_to: int = 5,
+) -> DataFrame:
+    """BoostedQuery as a first-class operator: BM25 SHOULD union with a
+    multiplicative function-query boost applied to every candidate
+    BEFORE ranking (MoreLikeThisHelper.java:131-145,
+    UnsupervisedFeedbackHelper.java:85-99)."""
+    from .scorer import score_terms
+
+    partials = score_terms(index, terms_boosts)
+    scored = partials.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"), F.count(F.lit(1)).alias("matched")
+    )
+    if min_should_match > 1:
+        scored = scored.filter(F.col("matched") >= min_should_match)
+    return _apply_boost_fn(
+        index, scored.select("doc_id", "score"), boost_fn, k, round_to
     )
 
 
@@ -54,7 +83,9 @@ def mlt_handler(
 
     facets are counts over the RESULT docset (match+facet,
     DiceMoreLikeThisHandler.java:263-271)."""
-    result = more_like_this(index, seed_doc_ids, params, k=k)
+    result = more_like_this(
+        index, seed_doc_ids, params, k=None if boost_fn is not None else k
+    )
     result = _apply_boost_fn(index, result, boost_fn, k)
     terms = interesting_terms(index, seed_doc_ids, params)
     if not interesting_terms_detail:
@@ -83,7 +114,8 @@ def feedback_handler(
 ) -> dict[str, DataFrame]:
     """/uf response: re-executed docs + the expansion terms used."""
     result = unsupervised_feedback(
-        index, query, k=k, max_seed_docs=max_seed_docs, params=params
+        index, query, k=None if boost_fn is not None else k,
+        max_seed_docs=max_seed_docs, params=params,
     )
     result = _apply_boost_fn(index, result, boost_fn, k)
     from .compiler import compile_ast

@@ -151,10 +151,13 @@ def more_like_this(
     index: InvertedIndex,
     seed_doc_ids: list[int] | DataFrame,
     params: MLTParams = MLTParams(),
-    k: int = 10,
+    k: int | None = 10,
     sim: Similarity = BM25,
 ) -> DataFrame:
-    """Top-k similar docs: expansion query with seed docs excluded."""
+    """Top-k similar docs: expansion query with seed docs excluded.
+
+    ``k=None`` returns the full scored frame — required by BoostedQuery
+    composition (function boosts must apply BEFORE ranking)."""
     spark = index.postings.sparkSession
     terms = interesting_terms(index, seed_doc_ids, params)
     # boosts stay a broadcast DataFrame: MLT is ONE lazy plan, the
@@ -172,6 +175,8 @@ def more_like_this(
     if params.min_should_match > 1:
         scored = scored.filter(F.col("matched") >= params.min_should_match)
     scored = scored.join(seeds, "doc_id", "left_anti")
+    if k is None:
+        return scored.select("doc_id", "score")
     return (
         scored.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -178,8 +178,44 @@ class RecursiveDescentParser:
         self.symbol = self.lexer.next_symbol()
         self._process_terminal()
 
+    _RANGE_SPLIT = re.compile(r"\s+to\s+", re.IGNORECASE)
+
+    def _range_expression(self) -> None:
+        """`[a TO b]` / `{a TO b}` terminal (grammar extension — the
+        reference's range test is @Ignore'd). The lexer splits on
+        spaces, so the range spans tokens until one ends with ]/}."""
+        open_ch = self.lexer.text[0]
+        parts = [self.lexer.text[1:]]
+        close_ch = None
+        while not parts[-1].endswith(("]", "}")):
+            self.symbol = self.lexer.next_symbol()
+            if self.symbol == Sym.EOF:
+                break
+            parts.append(self.lexer.text)
+        body = " ".join(parts).strip()
+        if body.endswith(("]", "}")):
+            close_ch = body[-1]
+            body = body[:-1].strip()
+        else:
+            self.errors.add(ParserErrors.MalFormedExpression)
+        halves = self._RANGE_SPLIT.split(body, maxsplit=1)
+        if len(halves) != 2:
+            self.errors.add(ParserErrors.MalFormedExpression)
+            lo, hi = (halves[0] or "*"), "*"
+        else:
+            lo, hi = halves[0].strip() or "*", halves[1].strip() or "*"
+        self.root = ast.Range(
+            low=None if lo == "*" else lo,
+            high=None if hi == "*" else hi,
+            include_low=open_ch == "[",
+            include_high=(close_ch or "]") == "]",
+        )
+        self.symbol = self.lexer.next_symbol()
+
     def _process_terminal(self) -> None:
-        if self.symbol == Sym.TOKEN:
+        if self.symbol == Sym.TOKEN and self.lexer.text[:1] in "[{":
+            self._range_expression()
+        elif self.symbol == Sym.TOKEN:
             self.root = ast.Operand(self.lexer.text)
             self.symbol = self.lexer.next_symbol()
         elif self.symbol == Sym.FIELD:

@@ -571,6 +571,76 @@ FROM dots ORDER BY cosine DESC, id ASC LIMIT 10
 """
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs via multi-table hyperplane-LSH
+    candidates + exact cosine verify. A planted exact duplicate
+    (vec_id 0 re-emitted as 10000) guarantees a non-vacuous gate; the
+    oracle mirrors the SAME deterministic candidate generation with
+    literal hyperplanes, so the compare is exact, not recall-based."""
+    from .dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(dup), threshold=0.9, n_planes=4, n_tables=2
+    )
+
+
+def _sql_emb_near_dup(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 2, threshold: float = 0.9
+) -> str:
+    """Mirror of embedding_near_duplicates(n_planes=4, n_tables=2,
+    seed=7): per-table bucket = sign bits of projections onto the same
+    deterministic hyperplanes (seed + 7919*t), candidates = pairs
+    sharing a (table, bucket), exact cosine on candidates."""
+    from .similarity.ann import _hyperplanes
+
+    per_table = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + 7919 * t)
+        lits = [
+            "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lits[i]}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        per_table.append(
+            f"SELECT id, v, n, {t} AS tbl, {bucket} AS bucket FROM vecs"
+        )
+    union = " UNION ALL ".join(per_table)
+    return f"""
+WITH all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id = 0
+),
+vecs AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM all_vecs
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+buckets AS ({union}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.id < y.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.v, b.v) / (a.n * b.n) AS cosine
+  FROM cand c JOIN vecs a ON a.id = c.id_a JOIN vecs b ON b.id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 5) AS cosine
+FROM verified WHERE cosine >= {threshold}
+"""
+
+
 # ---- text analysis ---------------------------------------------------
 
 def q_lang_id(spark, sf_dir):
@@ -837,6 +907,56 @@ scored AS (SELECT doc_id, sum(p) AS s, count(*) AS matched FROM parts GROUP BY d
 SELECT doc_id, round((matched / 3.0) * qn.qn * s, 5) AS score
 FROM scored CROSS JOIN qn
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_range_query(spark, sf_dir):
+    """Range terminal (grammar extension; the reference @Ignores its
+    range test): numeric inclusive range ANDed with a scored term —
+    range matches are constant-score 1.0."""
+    from .query.compiler import execute_query
+
+    return execute_query(
+        _index(spark, sf_dir), "n_chars:[100 TO 300] and dup", k=10
+    )
+
+
+SQL_RANGE_QUERY = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+in_range AS (
+  SELECT doc_id, 1.0 AS s FROM documents WHERE n_chars BETWEEN 100 AND 300
+),
+term_scored AS (
+  SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'
+)
+SELECT r.doc_id, round(r.s + t.s, 5) AS score
+FROM in_range r JOIN term_scored t USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_boosted_fn(spark, sf_dir):
+    """BoostedQuery: BM25 OR over two terms with a multiplicative
+    function boost (doc_id % 7 + 1) applied BEFORE ranking — the boost
+    decides which docs make the top-k (MoreLikeThisHelper.java:131-145)."""
+    from .query.handlers import boosted_search
+
+    return boosted_search(
+        _index(spark, sf_dir),
+        [("dup", 1.0), ("batch", 1.0)],
+        boost_fn=(F.col("doc_id") % 7 + 1).cast("double"),
+        k=10,
+    )
+
+
+SQL_BOOSTED_FN = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+scored AS (
+  SELECT doc_id, sum(partial) AS s
+  FROM partials WHERE term IN ('dup', 'batch') GROUP BY doc_id
+)
+SELECT doc_id, round(s * (doc_id % 7 + 1), 5) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
@@ -1161,6 +1281,7 @@ EXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "ngram_jaccard": q_ngram_jaccard,
+    "emb_near_dup": q_emb_near_dup,
     "ann_cosine": q_ann_cosine,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
@@ -1171,6 +1292,8 @@ EXT_QUERIES = {
     "wand_phrase": q_wand_phrase,
     "wand_payload": q_wand_payload,
     "classic_coord": q_classic_coord,
+    "boosted_fn": q_boosted_fn,
+    "range_query": q_range_query,
     "mlt_docs": q_mlt_docs,
 }
 
@@ -1200,6 +1323,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "emb_near_dup": _sql_emb_near_dup(),
         "ann_cosine": SQL_ANN_COSINE,
         "lang_id": _sql_lang_id(),
         "token_counts": SQL_TOKEN_COUNTS,
@@ -1210,5 +1334,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_phrase": SQL_PHRASE,
         "wand_payload": SQL_PAYLOAD_SEARCH,
         "classic_coord": SQL_CLASSIC_COORD,
+        "boosted_fn": SQL_BOOSTED_FN,
+        "range_query": SQL_RANGE_QUERY,
         "mlt_docs": SQL_MLT_DOCS,
     }

@@ -98,3 +98,26 @@ def test_query_plan_shapes(handler_index):
 def test_build_plan_no_posting_shuffle(spark, tiny_corpus):
     plan = _plan(counted_terms(tiny_corpus))
     assert "Exchange" not in plan, "per-doc inversion must be shuffle-free"
+
+
+def test_boosted_search_ranks_after_boost(spark):
+    """BoostedQuery semantics: the function boost decides WHICH docs
+    make the top-k, not just their order within a pre-boosted top-k
+    (MoreLikeThisHelper.java:131-145 wraps before getDocList)."""
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.query.handlers import boosted_search
+
+    # doc 0 scores highest on BM25; doc 3's huge boost must beat it
+    rows = [
+        (0, "java java java", 1.0),
+        (1, "java java filler", 1.0),
+        (2, "java filler filler", 1.0),
+        (3, "java filler filler", 100.0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, w double")
+    idx = build_index(docs)
+    got = boosted_search(idx, [("java", 1.0)], boost_fn=F.col("w"), k=2).toPandas()
+    assert list(got["doc_id"])[0] == 3  # boost decided the top-1
+    assert len(got) == 2

@@ -242,3 +242,42 @@ def test_parses_not_operator():
     assert parse_ok("not java and sql") == "(NOT java AND sql)"
     assert parse_ok("not java and sql or ruby") == "((NOT java AND sql) OR ruby)"
     assert parse_ok("not (java and sql) or ruby") == "(NOT (java AND sql) OR ruby)"
+
+
+# ---- range terminals (grammar EXTENSION; the reference @Ignores its
+# range test, TestRecursiveDescentParser.java:36-41) -------------------
+
+from solrplugins_spark.query.parser import parse_query  # noqa: E402
+
+
+def test_range_parse_inclusive():
+    tree, errors = parse_query("n_chars:[100 TO 300]")
+    assert not errors
+    assert tree.evaluate() == "n_chars:([100 TO 300])"
+
+
+def test_range_parse_exclusive_and_open():
+    tree, errors = parse_query("ts:{2020 TO *}")
+    assert not errors
+    assert tree.evaluate() == "ts:({2020 TO *})"
+    rng = tree.child
+    assert rng.low == "2020" and rng.high is None
+    assert not rng.include_low and not rng.include_high
+
+
+def test_range_composes_with_boolean():
+    tree, errors = parse_query("n_chars:[100 TO 300] and dup")
+    assert not errors
+    assert tree.evaluate() == "(n_chars:([100 TO 300]) AND dup)"
+
+
+def test_range_missing_close_is_error_recovered():
+    tree, errors = parse_query("n_chars:[100 TO 300")
+    assert errors  # MalFormedExpression recorded
+    assert "100 TO 300" in tree.evaluate()
+
+
+def test_range_bare_without_field():
+    tree, errors = parse_query("[5 TO 9]")
+    assert not errors
+    assert tree.evaluate() == "[5 TO 9]"

@@ -196,3 +196,31 @@ def test_classic_coord_querynorm(spark):
     raw_map = dict(zip(raw["doc_id"], raw["score"]))
     for d in want:
         assert raw_map[d] >= got_map[d]
+
+
+def test_range_query_compiler(spark):
+    """field:[a TO b] compiles to a constant-score DocSet ANDed/ORed
+    with scored clauses; exclusive and open bounds honored."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.query.compiler import execute_query
+
+    rows = [
+        (0, "java sql", 50),
+        (1, "java", 150),
+        (2, "java", 250),
+        (3, "java", 350),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    idx = build_index(docs)
+
+    got = execute_query(idx, "n_chars:[100 TO 300] and java", k=10).toPandas()
+    assert set(got["doc_id"]) == {1, 2}
+    # constant-score 1.0 + same BM25 partial for both docs (same tf/dl)
+    assert got["score"].nunique() == 1
+
+    got = execute_query(idx, "n_chars:{150 TO *} and java", k=10).toPandas()
+    assert set(got["doc_id"]) == {2, 3}
+
+    got = execute_query(idx, "n_chars:[* TO 99]", k=10).toPandas()
+    assert set(got["doc_id"]) == {0}
+    assert list(got["score"]) == [1.0]
