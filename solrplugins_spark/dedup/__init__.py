@@ -6,6 +6,7 @@ from .dedup import (
     simhash_duplicate_pairs,
     ngram_jaccard_pairs,
     ngram_cap_dropped,
+    duplicate_clusters,
     embedding_near_duplicates,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "simhash_duplicate_pairs",
     "ngram_jaccard_pairs",
     "ngram_cap_dropped",
+    "duplicate_clusters",
     "embedding_near_duplicates",
 ]

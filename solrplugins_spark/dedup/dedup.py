@@ -380,6 +380,73 @@ def embedding_near_duplicates(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over duplicate
+    pairs, cluster_id = min doc_id of the component. This is the step
+    that turns any pair operator's output (minhash/simhash/ngram/
+    embedding) into a usable dedup decision: keep cluster_id, drop the
+    rest.
+
+    Min-label propagation: each round every vertex takes the min of
+    its own label and its neighbors' labels (one join + one min-agg
+    per round), iterating to fixpoint. Rounds needed = component
+    diameter — duplicate clusters are near-cliques (tiny diameter), so
+    this converges in 2-3 rounds; ``max_iter`` bounds pathological
+    chains. Each round is two shuffles on bounded frames (vertices +
+    edges), never touching the corpus.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("label")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("src").alias("doc_id"), "nmin")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def ngram_cap_dropped(
     docs: DataFrame,
     n: int = 3,

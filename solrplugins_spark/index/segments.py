@@ -417,17 +417,7 @@ def _segment_topk(
         np.add.at(summed, inv, all_scores)
         acc_docs, acc_scores = uniq, summed
 
-    if len(acc_docs) == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
-    top = min(k, len(acc_docs))
-    # partial-select then exact sort of the head
-    idx = np.argpartition(-acc_scores, top - 1)[:top]
-    sel_docs, sel_scores = acc_docs[idx], acc_scores[idx]
-    order = np.lexsort((sel_docs, -np.round(sel_scores, 12)))
-    return pd.DataFrame(
-        {"doc_id": sel_docs[order], "score": sel_scores[order]}
-    )
+    return _topk_frame(acc_docs, acc_scores, k)
 
 
 def _sim_scores_np(sim, tf, dl, df, n, avgdl, payload=None):
@@ -459,14 +449,16 @@ def _sim_scores_np(sim, tf, dl, df, n, avgdl, payload=None):
 
 
 def _topk_frame(acc_docs: np.ndarray, acc_scores: np.ndarray, k: int) -> pd.DataFrame:
+    """Deterministic per-segment top-k: full (score desc, doc asc)
+    lexsort, NOT argpartition — among tied scores (e.g. the score-0
+    complement of a NOT query) the k chosen must be the lowest doc ids
+    or the global merge diverges from the flat path's tie-break."""
     if len(acc_docs) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
     top = min(k, len(acc_docs))
-    idx = np.argpartition(-acc_scores, top - 1)[:top]
-    sel_docs, sel_scores = acc_docs[idx], acc_scores[idx]
-    order = np.lexsort((sel_docs, -np.round(sel_scores, 12)))
-    return pd.DataFrame({"doc_id": sel_docs[order], "score": sel_scores[order]})
+    order = np.lexsort((acc_docs, -np.round(acc_scores, 12)))[:top]
+    return pd.DataFrame({"doc_id": acc_docs[order], "score": acc_scores[order]})
 
 
 def _segment_topk_sim(
@@ -608,6 +600,324 @@ def wand_phrase_search(
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def _segment_boolean_topk(
+    pdf: pd.DataFrame,
+    tree,
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Per-segment boolean-tree evaluation over decoded postings.
+
+    Boolean algebra (Or=union-sum, And=intersection-sum, Not=
+    complement) is doc-LOCAL, and segments partition docs by range, so
+    evaluating the tree independently per segment and merging top-k is
+    exact — the same argument that makes WAND's per-segment fan-out
+    correct. Leaves score BM25 from the decoded postings; node ops are
+    numpy set algebra on (sorted docs, scores) pairs.
+    """
+    from ..query import ast as qast
+
+    dl_row = pdf[pdf["_kind"] == "dl"]
+    empty = _topk_frame(np.array([], np.int64), np.array([], np.float64), k)
+    if len(dl_row) == 0:
+        return empty
+    doc_lo = int(dl_row["doc_lo"].iloc[0])
+    dls = _decode_doclens(dl_row["data"].iloc[0])
+    all_docs = doc_lo + np.flatnonzero(dls > 0).astype(np.int64)
+
+    posts = pdf[pdf["_kind"] == "post"]
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for _, r in posts.iterrows():
+        decoded[r["term"]] = decode_postings(r["data"])
+
+    def bm25(term: str) -> tuple[np.ndarray, np.ndarray]:
+        if term not in decoded or term not in idfs:
+            return np.array([], np.int64), np.array([], np.float64)
+        docs, tfs = decoded[term]
+        tf = tfs.astype(np.float64)
+        dl = dls[docs - doc_lo].astype(np.float64)
+        s = idfs[term] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        return docs, s
+
+    def union_sum(l, r):
+        docs = np.concatenate([l[0], r[0]])
+        scores = np.concatenate([l[1], r[1]])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        summed = np.zeros(len(uniq), np.float64)
+        np.add.at(summed, inv, scores)
+        return uniq, summed
+
+    def evaluate(node):
+        from ..analysis.tokenizer import tokenize_pandas
+
+        if isinstance(node, qast.Operand):
+            if node.value == "*:*":
+                return all_docs, np.zeros(len(all_docs), np.float64)
+            toks = sorted(set(tokenize_pandas(pd.Series([node.value]))[0]))
+            acc = (np.array([], np.int64), np.array([], np.float64))
+            for t in toks:
+                acc = union_sum(acc, bm25(t))
+            return acc
+        if isinstance(node, qast.Or):
+            return union_sum(evaluate(node.left), evaluate(node.right))
+        if isinstance(node, qast.And):
+            if isinstance(node.right, qast.Not):
+                ld, ls = evaluate(node.left)
+                rd, _ = evaluate(node.right.child)
+                keep = ~np.isin(ld, rd, assume_unique=True)
+                return ld[keep], ls[keep]
+            if isinstance(node.left, qast.Not):
+                rd, rs = evaluate(node.right)
+                ld, _ = evaluate(node.left.child)
+                keep = ~np.isin(rd, ld, assume_unique=True)
+                return rd[keep], rs[keep]
+            ld, ls = evaluate(node.left)
+            rd, rs = evaluate(node.right)
+            both = np.intersect1d(ld, rd, assume_unique=True)
+            return both, (
+                ls[np.searchsorted(ld, both)] + rs[np.searchsorted(rd, both)]
+            )
+        if isinstance(node, qast.Not):
+            md, _ = evaluate(node.child)
+            keep = ~np.isin(all_docs, md, assume_unique=True)
+            docs = all_docs[keep]
+            return docs, np.zeros(len(docs), np.float64)
+        raise ValueError(
+            f"packed boolean path supports Operand/And/Or/Not; got {type(node).__name__}"
+        )
+
+    docs, scores = evaluate(tree)
+    if len(docs) == 0:
+        return empty
+    return _topk_frame(docs, scores, k)
+
+
+def wand_boolean_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+) -> DataFrame:
+    """Parsed boolean query (NOT > AND > OR precedence, the reference
+    grammar) over PACKED segments: the boolean tree evaluates
+    independently per segment (boolean algebra is doc-local; segments
+    partition docs), one Spark job, k rows per segment merged
+    globally. Rank-identical to the flat execute_query
+    (tests/test_segments_v3.py). Supports Operand/And/Or/Not — phrase
+    and field routing have their own packed paths."""
+    from ..analysis.tokenizer import tokenize_pandas
+    from ..query.compiler import _leaf_terms
+    from ..query.parser import parse_query
+
+    tree, _errors = parse_query(query)
+    term_list = sorted(set(_leaf_terms(tree)))
+    dfs = _sidecar_dfs(seg_index.path, term_list) if term_list else {}
+    if dfs is None:
+        raise ValueError("boolean packed search needs the termstats sidecar")
+    n = seg_index.n_docs
+    idfs = {
+        t: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+        for t, d in dfs.items()
+        if d > 0
+    }
+    unified = _unified_frame(spark, [(0, seg_index)], term_list or ["\x00none"])
+    avgdl = seg_index.avgdl
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(pdf, tree, idfs, k, k1, b, avgdl)
+
+    seg_tops = unified.groupBy("seg").applyInPandas(
+        per_segment, schema="doc_id long, score double"
+    )
+    return (
+        seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def compact_packed(
+    spark: SparkSession,
+    seg_indexes: list[SegmentIndex],
+    out_path: str,
+) -> SegmentIndex:
+    """Merge MULTIPLE packed indexes (streamed generations) into one,
+    at the POSTING-BINARY level — the Lucene-style sorted segment
+    merge (north rule: "posting-list construction, merge,
+    compression"). Unlike compact_generations (which re-encodes from
+    flat postings), this never re-tokenizes and never shuffles raw
+    posting rows: the unit of work is a (seg, term) group whose
+    per-generation binaries are decoded, merge-sorted (generations
+    hold disjoint doc sets), and re-encoded in one Arrow pass.
+
+    Doclen streams merge element-wise (disjoint docs: absent = 0, so
+    max() is the union). All generations must share seg_size.
+    """
+    sizes = {s.seg_size for s in seg_indexes}
+    assert len(sizes) == 1, "compact_packed requires a uniform seg_size"
+    seg_size = sizes.pop()
+    n_docs = sum(s.n_docs for s in seg_indexes)
+    total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    posts = None
+    dls = None
+    for si in seg_indexes:
+        p = spark.read.option(
+            "basePath", os.path.join(si.path, "postings")
+        ).parquet(os.path.join(si.path, "postings"))
+        d = spark.read.option(
+            "basePath", os.path.join(si.path, "doclens")
+        ).parquet(os.path.join(si.path, "doclens"))
+        posts = p if posts is None else posts.unionByName(p)
+        dls = d if dls is None else dls.unionByName(d)
+
+    def merge_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
+            docs_parts, tf_parts, pos_parts, pay_parts = [], [], [], []
+            has_pos = has_pay = True
+            for _, r in g.iterrows():
+                docs, tfs = decode_postings(r["data"])
+                docs_parts.append(docs)
+                tf_parts.append(tfs)
+                if r["pos_data"] is not None:
+                    flat = decode_positions(r["pos_data"], tfs)
+                    bounds = np.zeros(len(tfs) + 1, np.int64)
+                    np.cumsum(tfs, out=bounds[1:])
+                    pos_parts.append(
+                        [flat[bounds[i]:bounds[i + 1]] for i in range(len(tfs))]
+                    )
+                else:
+                    has_pos = False
+                if r["pay_data"] is not None:
+                    pay_parts.append(decode_payloads(r["pay_data"]))
+                else:
+                    has_pay = False
+            docs = np.concatenate(docs_parts)
+            tfs = np.concatenate(tf_parts)
+            order = np.argsort(docs, kind="stable")  # disjoint doc sets
+            docs, tfs = docs[order], tfs[order]
+            pos_lists = None
+            if has_pos and pos_parts:
+                flat_lists = [p for part in pos_parts for p in part]
+                pos_lists = [flat_lists[i] for i in order]
+            pays = None
+            if has_pay and pay_parts:
+                pays = np.concatenate(pay_parts)[order]
+            data, block_last, block_max, block_off = encode_postings(docs, tfs)
+            pos_off = pos_data = pay_data = None
+            if pos_lists is not None:
+                pos_data, po = encode_positions(pos_lists, tfs)
+                pos_off = po.tolist()
+            if pays is not None:
+                pay_data = encode_payloads(pays)
+            rows.append(
+                (
+                    int(seg), term, len(docs), int(tfs.sum()),
+                    block_last.tolist(), block_max.tolist(),
+                    block_off.tolist(), data, pos_off, pos_data, pay_data,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "seg", "term", "df", "cf",
+                "block_last", "block_max", "block_off", "data",
+                "pos_off", "pos_data", "pay_data",
+            ],
+        )
+
+    os.makedirs(out_path, exist_ok=True)
+    # one Arrow group per SEGMENT (not per term): the inner pandas
+    # groupby walks the terms — same shape as the single-pass encoder
+    (
+        posts.groupBy("seg")
+        .applyInPandas(
+            lambda pdf: merge_postings(pdf), schema=POSTINGS_SCHEMA
+        )
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(os.path.join(out_path, "postings", "group=0"))
+    )
+
+    def merge_doclens(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        doc_lo = int(pdf["doc_lo"].iloc[0])
+        n = int(pdf["n"].max())
+        dense = np.zeros(n, np.int64)
+        for _, r in pdf.iterrows():
+            arr = _decode_doclens(r["data_dl"])
+            dense[: len(arr)] = np.maximum(dense[: len(arr)], arr)
+        return pd.DataFrame(
+            {
+                "seg": [seg],
+                "doc_lo": [doc_lo],
+                "n": [n],
+                "dl_data": [varint_encode(dense.astype(np.uint64)).tobytes()],
+            }
+        )
+
+    (
+        dls.withColumnRenamed("dl_data", "data_dl")
+        .groupBy("seg")
+        .applyInPandas(merge_doclens, schema=DOCLEN_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(os.path.join(out_path, "doclens", "group=0"))
+    )
+
+    # merged termstats sidecar: per-generation sidecars are global for
+    # their generation; df is additive over disjoint doc sets
+    merged_terms = None
+    for si in seg_indexes:
+        t = spark.read.parquet(os.path.join(si.path, "termstats"))
+        merged_terms = t if merged_terms is None else merged_terms.unionByName(t)
+    (
+        merged_terms.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "termstats"))
+    )
+
+    n_segments = max(
+        int(np.ceil(n_docs / seg_size)),
+        max(s.n_segments for s in seg_indexes),
+    )
+    m = {
+        "codec_version": CODEC_VERSION,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "seg_size": seg_size,
+        "n_segments": n_segments,
+        "n_groups": 1,
+        "completed_groups": [0],
+        "termstats": True,
+        "lineage": [
+            {
+                "group": 0,
+                "compacted_from": [s.path for s in seg_indexes],
+                "codec_version": CODEC_VERSION,
+                "docs": n_docs,
+            }
+        ],
+    }
+    _write_manifest(out_path, m)
+    return SegmentIndex(
+        path=out_path, n_docs=n_docs, avgdl=avgdl,
+        n_segments=n_segments, seg_size=seg_size,
     )
 
 

@@ -571,6 +571,37 @@ FROM dots ORDER BY cosine DESC, id ASC LIMIT 10
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the (planted) ngram-jaccard duplicate
+    pairs: (doc_id, cluster_id=min doc of component) — the decision
+    step of any dedup pipeline. Oracle: DuckDB recursive-CTE
+    transitive closure over the identical edge set."""
+    from .dedup import duplicate_clusters
+
+    return duplicate_clusters(q_ngram_jaccard(spark, sf_dir))
+
+
+# reuse the ngram-jaccard pair SQL as the edge set; components =
+# min(reachable) per vertex via recursive transitive closure
+def _sql_dedup_clusters() -> str:
+    pair_sql = SQL_NGRAM_JACCARD.strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs via multi-table hyperplane-LSH
     candidates + exact cosine verify. A planted exact duplicate
@@ -873,6 +904,27 @@ def q_wand_payload(spark, sf_dir):
 
     return wand_search(
         spark, _payload_segments(spark, sf_dir), [("dup", 1.0)], k=10, sim=PayloadIdf
+    )
+
+
+def q_wand_boolean(spark, sf_dir):
+    """Parsed boolean query (precedence NOT > AND > OR) over the
+    PACKED index: per-segment tree evaluation — same oracle as
+    boolean_precedence, proving the packed path covers the boolean
+    algebra too."""
+    from .index.segments import wand_boolean_search
+
+    return wand_boolean_search(
+        spark, _pos_segments(spark, sf_dir), "dup and hash or vector", k=10
+    )
+
+
+def q_wand_not(spark, sf_dir):
+    """MUST_NOT over the packed index — same oracle as boolean_not."""
+    from .index.segments import wand_boolean_search
+
+    return wand_boolean_search(
+        spark, _pos_segments(spark, sf_dir), "dup and not batch", k=10
     )
 
 
@@ -1281,6 +1333,7 @@ EXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "emb_near_dup": q_emb_near_dup,
     "ann_cosine": q_ann_cosine,
     "lang_id": q_lang_id,
@@ -1291,6 +1344,8 @@ EXT_QUERIES = {
     "wand_or": q_wand_or,
     "wand_phrase": q_wand_phrase,
     "wand_payload": q_wand_payload,
+    "wand_boolean": q_wand_boolean,
+    "wand_not": q_wand_not,
     "classic_coord": q_classic_coord,
     "boosted_fn": q_boosted_fn,
     "range_query": q_range_query,
@@ -1299,7 +1354,12 @@ EXT_QUERIES = {
 
 
 def ext_oracle_sql() -> dict[str, str]:
-    from .registry import SQL_BM25_SINGLE, SQL_BM25_OR_BOOSTED
+    from .registry import (
+        SQL_BM25_SINGLE,
+        SQL_BM25_OR_BOOSTED,
+        SQL_BOOLEAN_NOT as SQL_BOOLEAN_NOT_REF,
+        SQL_BOOLEAN_PRECEDENCE as SQL_BOOLEAN_PRECEDENCE_REF,
+    )
 
     return {
         "phrase_query": SQL_PHRASE,
@@ -1323,6 +1383,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_clusters": _sql_dedup_clusters(),
         "emb_near_dup": _sql_emb_near_dup(),
         "ann_cosine": SQL_ANN_COSINE,
         "lang_id": _sql_lang_id(),
@@ -1333,6 +1394,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_or": SQL_BM25_OR_BOOSTED,
         "wand_phrase": SQL_PHRASE,
         "wand_payload": SQL_PAYLOAD_SEARCH,
+        "wand_boolean": SQL_BOOLEAN_PRECEDENCE_REF,
+        "wand_not": SQL_BOOLEAN_NOT_REF,
         "classic_coord": SQL_CLASSIC_COORD,
         "boosted_fn": SQL_BOOSTED_FN,
         "range_query": SQL_RANGE_QUERY,

@@ -64,3 +64,73 @@ def test_empty_postings():
     data, bl, bm, bo = encode_postings(np.array([], np.int64), np.array([], np.int64))
     d, t = decode_postings(data)
     assert len(d) == 0 and len(t) == 0 and len(bl) == 0
+
+
+# ---- property tests (hypothesis) ---------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=0, max_size=500
+    )
+)
+def test_varint_roundtrip_property(vals):
+    import numpy as np
+
+    from solrplugins_spark.index.codec import varint_decode, varint_encode
+
+    arr = np.array(vals, dtype=np.uint64)
+    got, end = varint_decode(varint_encode(arr))
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=100000),  # doc gap
+            st.integers(min_value=1, max_value=1000),    # tf
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_postings_roundtrip_property(gaps_tfs):
+    import numpy as np
+
+    from solrplugins_spark.index.codec import decode_postings, encode_postings
+
+    gaps = np.array([g for g, _ in gaps_tfs], dtype=np.int64)
+    docs = np.cumsum(gaps)
+    tfs = np.array([t for _, t in gaps_tfs], dtype=np.int64)
+    data, block_last, block_max, block_off = encode_postings(docs, tfs)
+    gd, gt = decode_postings(data)
+    assert np.array_equal(gd, docs) and np.array_equal(gt, tfs)
+    # block metadata invariants
+    assert block_last[-1] == docs[-1]
+    assert all(m >= 1 for m in block_max)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=300),
+    st.randoms(use_true_random=False),
+)
+def test_positions_roundtrip_property(tfs_list, rnd):
+    import numpy as np
+
+    from solrplugins_spark.index.codec import decode_positions, encode_positions
+
+    tfs = np.array(tfs_list, dtype=np.int64)
+    pos_lists = []
+    for t in tfs:
+        start = rnd.randrange(0, 10000)
+        gaps = [rnd.randrange(1, 50) for _ in range(int(t))]
+        pos_lists.append(np.cumsum([start] + gaps)[:-1] + 0)
+    data, pos_off = encode_positions(pos_lists, tfs)
+    flat = decode_positions(data, tfs)
+    assert np.array_equal(flat, np.concatenate(pos_lists))

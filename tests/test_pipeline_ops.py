@@ -254,3 +254,17 @@ def test_multimodal_pipeline(spark, dup_docs):
     assert set(frames[frames["media_id"] == 0]["offset_ms"]) == {0, 250, 500, 750}
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         decode_media(media, decoder="real").collect()
+
+
+def test_duplicate_clusters(spark):
+    """Min-label connected components over pair output: chains merge
+    into one cluster labeled by the min doc id."""
+    from solrplugins_spark.dedup import duplicate_clusters
+
+    # components: {1,2,3,4} (a chain), {10,11}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = duplicate_clusters(pairs).toPandas()
+    m = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert m == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -173,3 +173,70 @@ def test_termstats_sidecar(pos_segments, pos_index, tiny_corpus_pd):
         for r in pos_index.terms.filter(F.col("term") == t0).collect()
     }
     assert dfs[t0] == want[t0]
+
+
+# ---- block-level packed compaction ------------------------------------
+
+def test_compact_packed_matches_batch(spark, tiny_corpus, tiny_corpus_pd, tmp_path):
+    """Binary-level sorted segment merge: two generation indexes
+    (disjoint doc halves, positions included) compacted into one must
+    answer BM25 and PHRASE queries identically to a from-scratch batch
+    build over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.segments import compact_packed, wand_search
+
+    mid = int(tiny_corpus_pd["doc_id"].median())
+    gen_a = tiny_corpus.filter(F.col("doc_id") <= mid)
+    gen_b = tiny_corpus.filter(F.col("doc_id") > mid)
+    segs = []
+    for i, gen in enumerate((gen_a, gen_b)):
+        gidx = build_index(gen, positions=True)
+        segs.append(
+            build_segments(gidx, str(tmp_path / f"gen{i}"), seg_size=128, groups=2)
+        )
+    compacted = compact_packed(spark, segs, str(tmp_path / "compacted"))
+
+    batch_idx = build_index(tiny_corpus, positions=True)
+    batch_seg = build_segments(
+        batch_idx, str(tmp_path / "batch"), seg_size=128, groups=2
+    )
+    assert compacted.n_docs == batch_seg.n_docs
+    assert abs(compacted.avgdl - batch_seg.avgdl) < 1e-9
+
+    t0, t1 = _corpus_terms(tiny_corpus_pd)
+    got = wand_search(spark, compacted, [(t0, 1.0), (t1, 0.5)], k=10).toPandas()
+    want = wand_search(spark, batch_seg, [(t0, 1.0), (t1, 0.5)], k=10).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+    phrase = _phrase_from_corpus(tiny_corpus_pd)
+    gp = wand_phrase_search(spark, compacted, phrase, k=10).toPandas()
+    wp = wand_phrase_search(spark, batch_seg, phrase, k=10).toPandas()
+    assert len(wp) > 0
+    assert list(gp["doc_id"]) == list(wp["doc_id"])
+    assert np.allclose(gp["score"], wp["score"], atol=1e-9)
+
+
+# ---- packed boolean queries --------------------------------------------
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "{t0} and {t1}",
+        "{t0} and not {t1}",
+        "{t0} and {t1} or {t2}",
+        "not {t0}",
+        "{t0} {t1}",  # adjacency = OR
+    ],
+)
+def test_packed_boolean_matches_flat(spark, pos_index, pos_segments, tiny_corpus_pd, q):
+    from solrplugins_spark.index.segments import wand_boolean_search
+
+    toks = tiny_corpus_pd.iloc[0]["text"].lower().split()
+    query = q.format(t0=toks[0], t1=toks[1], t2=toks[2])
+    flat = execute_query(pos_index, query, k=10).toPandas()
+    packed = wand_boolean_search(spark, pos_segments, query, k=10).toPandas()
+    assert len(flat) > 0, query
+    assert list(packed["doc_id"]) == list(flat["doc_id"]), query
+    assert np.allclose(packed["score"], flat["score"], atol=1e-5), query
