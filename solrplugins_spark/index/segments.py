@@ -632,9 +632,14 @@ def _segment_boolean_topk(
     all_docs = doc_lo + np.flatnonzero(dls > 0).astype(np.int64)
 
     posts = pdf[pdf["_kind"] == "post"]
+    has_pos = "pos_data" in posts.columns
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    positions: dict[str, np.ndarray] = {}
     for _, r in posts.iterrows():
-        decoded[r["term"]] = decode_postings(r["data"])
+        docs_tfs = decode_postings(r["data"])
+        decoded[r["term"]] = docs_tfs
+        if has_pos and r["pos_data"] is not None:
+            positions[r["term"]] = decode_positions(r["pos_data"], docs_tfs[1])
 
     def bm25(term: str) -> tuple[np.ndarray, np.ndarray]:
         if term not in decoded or term not in idfs:
@@ -690,8 +695,31 @@ def _segment_boolean_topk(
             keep = ~np.isin(all_docs, md, assume_unique=True)
             docs = all_docs[keep]
             return docs, np.zeros(len(docs), np.float64)
+        if isinstance(node, qast.Quote):
+            phrase = list(tokenize_pandas(pd.Series([node.child.evaluate()]))[0])
+            if not phrase or any(t not in positions for t in phrase):
+                return np.array([], np.int64), np.array([], np.float64)
+            M = np.int64(1) << np.int64(32)
+            keys = None
+            for i, t in enumerate(phrase):
+                docs, tfs = decoded[t]
+                doc_per_pos = np.repeat(docs - doc_lo, tfs)
+                k_i = doc_per_pos * M + (positions[t] - i)
+                keys = k_i if keys is None else np.intersect1d(keys, k_i)
+                if keys.size == 0:
+                    return np.array([], np.int64), np.array([], np.float64)
+            hits = np.unique(keys // M) + doc_lo
+            # flat compiler semantics: member-term BM25 summed on hits
+            acc = (hits, np.zeros(len(hits), np.float64))
+            for t in sorted(set(phrase)):
+                d, s = bm25(t)
+                mask = np.isin(d, hits, assume_unique=True)
+                idx = np.searchsorted(acc[0], d[mask])
+                acc[1][idx] += s[mask]
+            return acc
         raise ValueError(
-            f"packed boolean path supports Operand/And/Or/Not; got {type(node).__name__}"
+            f"packed boolean path supports Operand/And/Or/Not/Quote; "
+            f"got {type(node).__name__}"
         )
 
     docs, scores = evaluate(tree)
@@ -714,11 +742,24 @@ def wand_boolean_search(
     independently per segment (boolean algebra is doc-local; segments
     partition docs), one Spark job, k rows per segment merged
     globally. Rank-identical to the flat execute_query
-    (tests/test_segments_v3.py). Supports Operand/And/Or/Not — phrase
-    and field routing have their own packed paths."""
-    from ..analysis.tokenizer import tokenize_pandas
+    (tests/test_segments_v3.py). Supports Operand/And/Or/Not/Quote
+    (quoted phrases need a positions-bearing v3 index) — field routing
+    and ranges stay on the flat path (they need other indexes / the
+    stored corpus)."""
+    from ..query import ast as qast
     from ..query.compiler import _leaf_terms
     from ..query.parser import parse_query
+
+    def _has_quote(node) -> bool:
+        if isinstance(node, qast.Quote):
+            return True
+        if isinstance(node, (qast.Or, qast.And)):
+            return _has_quote(node.left) or _has_quote(node.right)
+        if isinstance(node, qast.Not):
+            return _has_quote(node.child)
+        if isinstance(node, qast.FieldQuery):
+            return _has_quote(node.child)
+        return False
 
     tree, _errors = parse_query(query)
     term_list = sorted(set(_leaf_terms(tree)))
@@ -731,7 +772,10 @@ def wand_boolean_search(
         for t, d in dfs.items()
         if d > 0
     }
-    unified = _unified_frame(spark, [(0, seg_index)], term_list or ["\x00none"])
+    unified = _unified_frame(
+        spark, [(0, seg_index)], term_list or ["\x00none"],
+        with_subs=_has_quote(tree),
+    )
     avgdl = seg_index.avgdl
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -36,6 +36,7 @@ def incremental_index_build(
     doc_col: str = "doc_id",
     text_col: str = "text",
     trigger_available_now: bool = True,
+    positions: bool = False,
 ):
     """Start a streaming index build; returns the StreamingQuery.
 
@@ -47,7 +48,9 @@ def incremental_index_build(
     os.makedirs(out_path, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        process_generation(batch_df, batch_id, out_path, doc_col, text_col)
+        process_generation(
+            batch_df, batch_id, out_path, doc_col, text_col, positions=positions
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -72,6 +75,7 @@ def process_generation(
     out_path: str,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> bool:
     """Commit one microbatch as an index generation; returns True if it
     wrote, False if skipped (empty or already committed).
@@ -91,7 +95,9 @@ def process_generation(
     n = batch_df.count()
     if n == 0:
         return False
-    postings = counted_terms(batch_df, doc_col=doc_col, text_col=text_col)
+    postings = counted_terms(
+        batch_df, doc_col=doc_col, text_col=text_col, positions=positions
+    )
     postings.write.mode("overwrite").parquet(
         os.path.join(out_path, "postings", f"gen={batch_id}")
     )

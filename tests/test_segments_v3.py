@@ -240,3 +240,20 @@ def test_packed_boolean_matches_flat(spark, pos_index, pos_segments, tiny_corpus
     assert len(flat) > 0, query
     assert list(packed["doc_id"]) == list(flat["doc_id"]), query
     assert np.allclose(packed["score"], flat["score"], atol=1e-5), query
+
+
+def test_packed_mixed_phrase_boolean(spark, pos_index, pos_segments, tiny_corpus_pd):
+    """Quoted phrase composed with boolean algebra runs FULLY packed:
+    '"t0 t1" and t2' / 'or' / 'not' all rank-identical to flat."""
+    from solrplugins_spark.index.segments import wand_boolean_search
+
+    toks = tiny_corpus_pd.iloc[0]["text"].lower().split()
+    for q in (
+        f'"{toks[0]} {toks[1]}" and {toks[2]}',
+        f'"{toks[0]} {toks[1]}" or {toks[3]}',
+        f'"{toks[0]} {toks[1]}" and not {toks[3]}',
+    ):
+        flat = execute_query(pos_index, q, k=10).toPandas()
+        packed = wand_boolean_search(spark, pos_segments, q, k=10).toPandas()
+        assert list(packed["doc_id"]) == list(flat["doc_id"]), q
+        assert np.allclose(packed["score"], flat["score"], atol=1e-5), q

@@ -169,3 +169,34 @@ def test_compaction_matches_batch_segments(spark, tmp_path):
         a = wand_search(spark, compacted, terms, k=10).toPandas()
         b = wand_search(spark, batch_seg, terms, k=10).toPandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_streamed_positions_phrase_after_compaction(spark, tmp_path):
+    """Streamed generations built with positions=True -> compaction
+    produces a codec-v3 packed index that answers PHRASE queries
+    identically to a from-scratch positional batch build."""
+    import numpy as np
+
+    from solrplugins_spark.index.segments import build_segments, wand_phrase_search
+    from solrplugins_spark.query.compiler import execute_query
+    from solrplugins_spark.streaming import process_generation
+    from solrplugins_spark.streaming.incremental import compact_generations
+
+    pdf = transcripts_pandas(400)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    out = str(tmp_path / "inc")
+    os.makedirs(out)
+    for i in range(2):
+        chunk = spark.createDataFrame(pdf.iloc[i * 200 : (i + 1) * 200])
+        assert process_generation(chunk, i, out, positions=True)
+
+    seg = compact_generations(spark, out, str(tmp_path / "packed"), seg_size=128)
+    phrase = pdf.iloc[0]["text"].lower().split()[:2]
+    packed = wand_phrase_search(spark, seg, phrase, k=10).toPandas()
+
+    batch_idx = build_index(spark.createDataFrame(pdf), positions=True)
+    flat = execute_query(batch_idx, f'"{phrase[0]} {phrase[1]}"', k=10).toPandas()
+    assert len(flat) > 0
+    assert list(packed["doc_id"]) == list(flat["doc_id"])
+    assert np.allclose(packed["score"], flat["score"], atol=1e-5)
