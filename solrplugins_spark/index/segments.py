@@ -1061,8 +1061,11 @@ def _unified_frame(
     posts = None
     dls = None
     for gen_id, si in gens:
+        # explicit schemas: the layout is fixed by the codec, and
+        # schema inference would cost a footer-read job per query
         p = (
             spark.read.option("basePath", os.path.join(si.path, "postings"))
+            .schema(POSTINGS_SCHEMA + ", group int")
             .parquet(os.path.join(si.path, "postings"))
             .filter(F.col("term").isin(term_list))
             # namespace segment ids per generation so groups don't collide
@@ -1070,6 +1073,7 @@ def _unified_frame(
         )
         d = (
             spark.read.option("basePath", os.path.join(si.path, "doclens"))
+            .schema(DOCLEN_SCHEMA + ", group int")
             .parquet(os.path.join(si.path, "doclens"))
             .withColumn("seg", F.col("seg") + F.lit(gen_id * 1_000_000))
         )

@@ -257,3 +257,38 @@ def test_packed_mixed_phrase_boolean(spark, pos_index, pos_segments, tiny_corpus
         packed = wand_boolean_search(spark, pos_segments, q, k=10).toPandas()
         assert list(packed["doc_id"]) == list(flat["doc_id"]), q
         assert np.allclose(packed["score"], flat["score"], atol=1e-5), q
+
+
+def test_wand_query_is_one_action(spark, pos_segments, tmp_path):
+    """The round-1 wart was a per-query stats ACTION (postings-metadata
+    groupBy+collect). With the termstats sidecar + explicit read
+    schemas, a WAND query is one action: the only Spark jobs are the
+    AQE stage-jobs of the single collect (<=2: shuffle stage + result),
+    and strictly fewer than the sidecar-less fallback path."""
+    import shutil
+
+    sc = spark.sparkContext
+
+    def count_jobs(group, seg):
+        sc.setJobGroup(group, group)
+        try:
+            wand_search(spark, seg, [("zephyrblade", 1.0)], k=10).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    with_sidecar = count_jobs("wand-jobs-sidecar", pos_segments)
+    assert with_sidecar <= 2, f"sidecar path ran {with_sidecar} jobs"
+
+    # copy the index minus the sidecar -> the fallback stats job returns
+    nosc = tmp_path / "nosidecar"
+    shutil.copytree(pos_segments.path, nosc)
+    shutil.rmtree(nosc / "termstats")
+    from solrplugins_spark.index.segments import SegmentIndex
+
+    seg2 = SegmentIndex(
+        path=str(nosc), n_docs=pos_segments.n_docs, avgdl=pos_segments.avgdl,
+        n_segments=pos_segments.n_segments, seg_size=pos_segments.seg_size,
+    )
+    without = count_jobs("wand-jobs-fallback", seg2)
+    assert with_sidecar < without, (with_sidecar, without)
