@@ -795,6 +795,8 @@ def compact_packed(
     spark: SparkSession,
     seg_indexes: list[SegmentIndex],
     out_path: str,
+    groups: int = 4,
+    resume: bool = True,
 ) -> SegmentIndex:
     """Merge MULTIPLE packed indexes (streamed generations) into one,
     at the POSTING-BINARY level — the Lucene-style sorted segment
@@ -807,6 +809,12 @@ def compact_packed(
 
     Doclen streams merge element-wise (disjoint docs: absent = 0, so
     max() is the union). All generations must share seg_size.
+
+    Resumable like build_segments: segments are compacted in
+    ``groups`` sequential jobs (seg % groups); each completed group
+    appends a manifest entry with lineage + throughput, and a killed
+    compaction resumes from the manifest without redoing finished
+    groups.
     """
     sizes = {s.seg_size for s in seg_indexes}
     assert len(sizes) == 1, "compact_packed requires a uniform seg_size"
@@ -820,10 +828,14 @@ def compact_packed(
     for si in seg_indexes:
         p = spark.read.option(
             "basePath", os.path.join(si.path, "postings")
-        ).parquet(os.path.join(si.path, "postings"))
+        ).schema(POSTINGS_SCHEMA + ", group int").parquet(
+            os.path.join(si.path, "postings")
+        )
         d = spark.read.option(
             "basePath", os.path.join(si.path, "doclens")
-        ).parquet(os.path.join(si.path, "doclens"))
+        ).schema(DOCLEN_SCHEMA + ", group int").parquet(
+            os.path.join(si.path, "doclens")
+        )
         posts = p if posts is None else posts.unionByName(p)
         dls = d if dls is None else dls.unionByName(d)
 
@@ -883,19 +895,6 @@ def compact_packed(
             ],
         )
 
-    os.makedirs(out_path, exist_ok=True)
-    # one Arrow group per SEGMENT (not per term): the inner pandas
-    # groupby walks the terms — same shape as the single-pass encoder
-    (
-        posts.groupBy("seg")
-        .applyInPandas(
-            lambda pdf: merge_postings(pdf), schema=POSTINGS_SCHEMA
-        )
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(os.path.join(out_path, "postings", "group=0"))
-    )
-
     def merge_doclens(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["seg"].iloc[0])
         doc_lo = int(pdf["doc_lo"].iloc[0])
@@ -913,52 +912,88 @@ def compact_packed(
             }
         )
 
-    (
-        dls.withColumnRenamed("dl_data", "data_dl")
-        .groupBy("seg")
-        .applyInPandas(merge_doclens, schema=DOCLEN_SCHEMA)
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(os.path.join(out_path, "doclens", "group=0"))
-    )
-
-    # merged termstats sidecar: per-generation sidecars are global for
-    # their generation; df is additive over disjoint doc sets
-    merged_terms = None
-    for si in seg_indexes:
-        t = spark.read.parquet(os.path.join(si.path, "termstats"))
-        merged_terms = t if merged_terms is None else merged_terms.unionByName(t)
-    (
-        merged_terms.groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .orderBy("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_path, "termstats"))
-    )
-
     n_segments = max(
         int(np.ceil(n_docs / seg_size)),
         max(s.n_segments for s in seg_indexes),
     )
-    m = {
-        "codec_version": CODEC_VERSION,
-        "n_docs": n_docs,
-        "avgdl": avgdl,
-        "seg_size": seg_size,
-        "n_segments": n_segments,
-        "n_groups": 1,
-        "completed_groups": [0],
-        "termstats": True,
-        "lineage": [
+    groups = max(1, min(groups, n_segments))
+
+    m = _read_manifest(out_path) if resume else None
+    if m is None or m.get("codec_version") != CODEC_VERSION:
+        os.makedirs(out_path, exist_ok=True)
+        m = {
+            "codec_version": CODEC_VERSION,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "seg_size": seg_size,
+            "n_segments": n_segments,
+            "n_groups": groups,
+            "completed_groups": [],
+            "lineage": [],
+        }
+        _write_manifest(out_path, m)
+    else:
+        assert m["n_docs"] == n_docs and m["seg_size"] == seg_size, (
+            "resume with different inputs — wipe the output dir"
+        )
+        groups = m["n_groups"]
+
+    for g in range(groups):
+        if g in m["completed_groups"]:
+            continue
+        t0 = time.time()
+        # one Arrow group per SEGMENT (not per term): the inner pandas
+        # groupby walks the terms — same shape as the single-pass encoder
+        (
+            posts.filter(F.col("seg") % groups == g)
+            .groupBy("seg")
+            .applyInPandas(
+                lambda pdf: merge_postings(pdf), schema=POSTINGS_SCHEMA
+            )
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(os.path.join(out_path, "postings", f"group={g}"))
+        )
+        (
+            dls.filter(F.col("seg") % groups == g)
+            .withColumnRenamed("dl_data", "data_dl")
+            .groupBy("seg")
+            .applyInPandas(merge_doclens, schema=DOCLEN_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(os.path.join(out_path, "doclens", f"group={g}"))
+        )
+        elapsed = time.time() - t0
+        m["completed_groups"].append(g)
+        m["lineage"].append(
             {
-                "group": 0,
+                "group": g,
                 "compacted_from": [s.path for s in seg_indexes],
                 "codec_version": CODEC_VERSION,
-                "docs": n_docs,
+                "seconds": round(elapsed, 3),
             }
-        ],
-    }
-    _write_manifest(out_path, m)
+        )
+        _write_manifest(out_path, m)
+
+    if not m.get("termstats"):
+        # merged termstats sidecar: per-generation sidecars are global
+        # for their generation; df is additive over disjoint doc sets
+        merged_terms = None
+        for si in seg_indexes:
+            t = spark.read.parquet(os.path.join(si.path, "termstats"))
+            merged_terms = (
+                t if merged_terms is None else merged_terms.unionByName(t)
+            )
+        (
+            merged_terms.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, "termstats"))
+        )
+        m["termstats"] = True
+        _write_manifest(out_path, m)
+
     return SegmentIndex(
         path=out_path, n_docs=n_docs, avgdl=avgdl,
         n_segments=n_segments, seg_size=seg_size,

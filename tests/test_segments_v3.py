@@ -292,3 +292,52 @@ def test_wand_query_is_one_action(spark, pos_segments, tmp_path):
     )
     without = count_jobs("wand-jobs-fallback", seg2)
     assert with_sidecar < without, (with_sidecar, without)
+
+
+def test_compact_packed_resume(spark, tiny_corpus, tiny_corpus_pd, tmp_path):
+    """A killed compaction resumes from the manifest: completed groups
+    are untouched (mtime preserved), missing groups are rebuilt, and
+    the result answers queries identically to a clean run."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.segments import compact_packed, wand_search
+
+    mid = int(tiny_corpus_pd["doc_id"].median())
+    segs = []
+    for i, gen in enumerate(
+        (
+            tiny_corpus.filter(F.col("doc_id") <= mid),
+            tiny_corpus.filter(F.col("doc_id") > mid),
+        )
+    ):
+        gidx = build_index(gen)
+        segs.append(
+            build_segments(gidx, str(tmp_path / f"rg{i}"), seg_size=128, groups=2)
+        )
+    out = str(tmp_path / "resumable")
+    full = compact_packed(spark, segs, out, groups=2)
+    t0, t1 = _corpus_terms(tiny_corpus_pd)
+    want = wand_search(spark, full, [(t0, 1.0), (t1, 0.5)], k=10).toPandas()
+
+    # simulate a crash after group 0: drop group 1's output + manifest entry
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["completed_groups"] = [0]
+    m["lineage"] = m["lineage"][:1]
+    m.pop("termstats", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    shutil.rmtree(os.path.join(out, "postings", "group=1"))
+    shutil.rmtree(os.path.join(out, "doclens", "group=1"))
+    g0_mtime = os.path.getmtime(os.path.join(out, "postings", "group=0"))
+
+    resumed = compact_packed(spark, segs, out, groups=2)
+    assert os.path.getmtime(os.path.join(out, "postings", "group=0")) == g0_mtime
+    got = wand_search(spark, resumed, [(t0, 1.0), (t1, 0.5)], k=10).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["score"], want["score"], atol=1e-12)
