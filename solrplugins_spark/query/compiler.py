@@ -7,9 +7,10 @@ on (doc_id, score) frames (SURVEY.md §1.4):
           MoreLikeThis.java:1057-1073)
   Not  -> left_anti against the corpus docset  (MUST_NOT,
           MoreLikeThisHelper.java:149-175)
-  Quote-> consecutive-token containment post-filter (positions are
-          omitted from the v1 index — documented simplification,
-          SURVEY.md §2.8 "Phrase")
+  Quote-> exact adjacency via positional postings when the index has
+          them (build_index(positions=True)); stored-text containment
+          fallback otherwise. The packed-index equivalents live in
+          index/segments.py (wand_phrase_search / wand_boolean_search)
   FieldQuery -> route to the named field's index
   `*:*`-> match-all with score 0 (error-recovery wildcard)
 
