@@ -20,6 +20,7 @@ from .segments import (
     compact_packed,
     wand_boolean_search,
     wand_phrase_search,
+    wand_phrase_search_multi,
     wand_search,
     wand_search_multi,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "compact_packed",
     "wand_boolean_search",
     "wand_phrase_search",
+    "wand_phrase_search_multi",
     "wand_search",
     "wand_search_multi",
 ]

@@ -1000,6 +1000,54 @@ def compact_packed(
     )
 
 
+def wand_phrase_search_multi(
+    spark: SparkSession,
+    seg_indexes: list[SegmentIndex],
+    phrase_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+) -> DataFrame:
+    """Quoted-phrase top-k across MULTIPLE packed generations (before
+    compaction) with GLOBAL statistics — the phrase analogue of
+    wand_search_multi: generation doc sets are disjoint, so each
+    generation's segments run the positional intersection + member-term
+    BM25 independently (with summed df and token-weighted avgdl) and
+    the k-rows-per-segment partials merge globally. Identical to
+    querying the compacted index (tests)."""
+    term_list = sorted(set(phrase_terms))
+    dfs: dict[str, int] = {}
+    for si in seg_indexes:
+        d = _sidecar_dfs(si.path, term_list)
+        if d is None:
+            raise ValueError("phrase search needs the termstats sidecar")
+        for t, v in d.items():
+            dfs[t] = dfs.get(t, 0) + int(v)
+    if any(dfs.get(t, 0) == 0 for t in term_list):
+        return spark.createDataFrame([], "doc_id long, score double")
+    n = sum(s.n_docs for s in seg_indexes)
+    total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
+    avgdl = total_tokens / n if n else 0.0
+    unified = _unified_frame(
+        spark, list(enumerate(seg_indexes)), term_list, with_subs=True
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_phrase_topk(
+            pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl
+        )
+
+    seg_tops = unified.groupBy("seg").applyInPandas(
+        per_segment, schema="doc_id long, score double"
+    )
+    return (
+        seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def wand_search_multi(
     spark: SparkSession,
     seg_indexes: list[SegmentIndex],

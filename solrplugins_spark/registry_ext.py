@@ -672,6 +672,56 @@ FROM verified WHERE cosine >= {threshold}
 """
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN join: every query row (vec_id < 5) against the whole
+    embedding corpus via LSH bucket equi-join + exact per-query
+    ranking. Oracle mirrors the deterministic bucket assignment with
+    literal hyperplanes, so the compare is exact."""
+    from .similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_join(queries, emb, k=5, n_planes=2, multiprobe=1, dim=64)
+
+
+def _sql_knn_join(
+    dim: int = 64, n_planes: int = 2, multiprobe: int = 1, k: int = 5
+) -> str:
+    from .similarity.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=7)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits[i]}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(min(multiprobe, n_planes))]
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT id, v, {bucket} AS bucket FROM vecs),
+probes AS (
+  SELECT id AS qid, v AS qv, unnest([{probe_list}]) AS bucket
+  FROM bucketed WHERE id < 5
+),
+cand AS (
+  SELECT p.qid, b.id,
+         round(list_dot_product(p.qv, b.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
+  FROM probes p JOIN bucketed b USING (bucket)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+  FROM cand
+)
+SELECT qid AS query_id, id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---- text analysis ---------------------------------------------------
 
 def q_lang_id(spark, sf_dir):
@@ -1335,6 +1385,7 @@ EXT_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "emb_near_dup": q_emb_near_dup,
+    "knn_join": q_knn_join,
     "ann_cosine": q_ann_cosine,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
@@ -1385,6 +1436,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_clusters": _sql_dedup_clusters(),
         "emb_near_dup": _sql_emb_near_dup(),
+        "knn_join": _sql_knn_join(),
         "ann_cosine": SQL_ANN_COSINE,
         "lang_id": _sql_lang_id(),
         "token_counts": SQL_TOKEN_COUNTS,

@@ -1,3 +1,13 @@
-from .ann import cosine_topk_bruteforce, lsh_hyperplane_buckets, cosine_topk_lsh
+from .ann import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    knn_join,
+    lsh_hyperplane_buckets,
+)
 
-__all__ = ["cosine_topk_bruteforce", "lsh_hyperplane_buckets", "cosine_topk_lsh"]
+__all__ = [
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "knn_join",
+    "lsh_hyperplane_buckets",
+]

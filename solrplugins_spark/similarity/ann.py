@@ -89,6 +89,74 @@ def lsh_hyperplane_buckets(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 7,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, id, cosine, rank) — approximate k-NN for EVERY query
+    row at once, the batch shape pipelines actually run (dedup against
+    a reference set, retrieval eval, cluster assignment).
+
+    Plan: corpus bucketed once by hyperplane LSH; each query explodes
+    into its bucket plus ``multiprobe`` single-bit-flip probes; the
+    candidate set is a (bucket) equi-join — never queries x corpus —
+    then exact cosine + per-query window top-k. At 10^12 scale both
+    sides shuffle once on the bucket key and the join is
+    skew-bounded by bucket sizes (raise n_planes to shrink buckets).
+    """
+    from pyspark.sql import Window as W
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    bucketed = lsh_hyperplane_buckets(
+        corpus, n_planes=n_planes, seed=seed, id_col=corpus_id_col,
+        vec_col=vec_col, dim=dim,
+    ).select("id", F.col("embedding").alias("cv"), "bucket")
+
+    qb = lsh_hyperplane_buckets(
+        queries, n_planes=n_planes, seed=seed, id_col=query_id_col,
+        vec_col=vec_col, dim=dim,
+    ).select(F.col("id").alias("qid"), F.col("embedding").alias("qv"), "bucket")
+    probes = F.array_distinct(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(multiprobe, n_planes))
+            ],
+        )
+    )
+    q_probed = qb.select("qid", "qv", F.explode(probes).alias("bucket"))
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qn = _norm_expr(F.col("qv"))
+    cn = _norm_expr(F.col("cv"))
+    cand = (
+        q_probed.join(bucketed, "bucket")
+        .withColumn("cosine", F.round(dot / (qn * cn), round_to))
+        .select("qid", "id", "cosine")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "id", "cosine", "rank")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_vec: list[float],

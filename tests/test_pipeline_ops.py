@@ -268,3 +268,21 @@ def test_duplicate_clusters(spark):
     got = duplicate_clusters(pairs).toPandas()
     m = dict(zip(got["doc_id"], got["cluster_id"]))
     assert m == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_knn_join_recall_and_shape(emb, spark):
+    """Batch kNN: each query's own vector ranks first; candidates come
+    from a bucket equi-join (no queries x corpus nested loop)."""
+    from solrplugins_spark.similarity import knn_join
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got_df = knn_join(queries, emb, k=5, n_planes=2, multiprobe=2)
+    got = got_df.toPandas()
+    assert set(got["query_id"]) == {0, 1, 2}
+    for q in (0, 1, 2):
+        rows = got[got["query_id"] == q].sort_values("rank")
+        assert rows.iloc[0]["id"] == q and rows.iloc[0]["cosine"] >= 0.99999
+        assert list(rows["cosine"]) == sorted(rows["cosine"], reverse=True)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

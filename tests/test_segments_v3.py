@@ -341,3 +341,37 @@ def test_compact_packed_resume(spark, tiny_corpus, tiny_corpus_pd, tmp_path):
     got = wand_search(spark, resumed, [(t0, 1.0), (t1, 0.5)], k=10).toPandas()
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert np.allclose(got["score"], want["score"], atol=1e-12)
+
+
+def test_phrase_across_generations_matches_compacted(
+    spark, tiny_corpus, tiny_corpus_pd, tmp_path
+):
+    """Phrase queries over UNCOMPACTED generations (global stats) equal
+    the compacted index — querying never waits for compaction."""
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.segments import (
+        compact_packed,
+        wand_phrase_search,
+        wand_phrase_search_multi,
+    )
+
+    mid = int(tiny_corpus_pd["doc_id"].median())
+    segs = []
+    for i, gen in enumerate(
+        (
+            tiny_corpus.filter(F.col("doc_id") <= mid),
+            tiny_corpus.filter(F.col("doc_id") > mid),
+        )
+    ):
+        gidx = build_index(gen, positions=True)
+        segs.append(
+            build_segments(gidx, str(tmp_path / f"pg{i}"), seg_size=128, groups=2)
+        )
+    phrase = _phrase_from_corpus(tiny_corpus_pd)
+    multi = wand_phrase_search_multi(spark, segs, phrase, k=10).toPandas()
+    compacted = compact_packed(spark, segs, str(tmp_path / "pc"))
+    single = wand_phrase_search(spark, compacted, phrase, k=10).toPandas()
+    assert len(single) > 0
+    assert list(multi["doc_id"]) == list(single["doc_id"])
+    assert np.allclose(multi["score"], single["score"], atol=1e-9)
