@@ -766,6 +766,121 @@ SELECT lang_pred, count(*)::BIGINT AS cnt FROM pred GROUP BY lang_pred
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over docs decorated with deterministic synthetic
+    PII (the token-soup corpus has none) — markers + per-kind counts."""
+    from .text import redact_pii
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" contact bob"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" or call 555-123-4567"),
+        ).alias("text"),
+    )
+    return redact_pii(decorated)
+
+
+def _sql_pii_redact() -> str:
+    from .text.cleaning import PII_PATTERNS
+
+    text = ("text || ' contact bob' || doc_id || '@example.com via 10.0.0.'"
+            " || (doc_id % 250) || ' or call 555-123-4567'")
+    red = text
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            f"(len(regexp_split_to_array({text}, '{pat}')) - 1)::BIGINT AS n_{kind}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"""
+SELECT doc_id, {red} AS redacted, {', '.join(counts)}
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-bigram fraction and
+    top-bigram share per doc."""
+    from .text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir), n=2)
+
+
+SQL_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+              ELSE [] END AS gs
+  FROM base
+),
+flat AS (SELECT doc_id, unnest(gs) AS ng FROM g),
+counts AS (SELECT doc_id, ng, count(*)::DOUBLE AS c FROM flat GROUP BY doc_id, ng),
+agg AS (
+  SELECT doc_id, sum(c) AS total, count(*)::DOUBLE AS distinct_n, max(c) AS top
+  FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(round(1.0 - a.distinct_n / a.total, 5), 0.0) AS dup_ngram_frac,
+       coalesce(round(a.top / a.total, 5), 0.0) AS top_ngram_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: fraction of each doc's distinct
+    5-grams appearing in the 'benchmark' (docs 0-4); benchmark docs
+    flag themselves at contamination 1.0."""
+    from .text import contamination_check
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") < 5)
+    return contamination_check(docs, bench, n=5, threshold=0.5)
+
+
+SQL_CONTAMINATION = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents WHERE doc_id < 100
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  || ' ' || toks[i+3] || ' ' || toks[i+4]
+                                  for i in range(1, len(toks) - 3)])
+              ELSE [] END AS gs
+  FROM base
+),
+doc_g AS (SELECT doc_id, unnest(gs) AS ng FROM g),
+bench_g AS (SELECT DISTINCT ng FROM doc_g WHERE doc_id < 5),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM doc_g GROUP BY doc_id),
+hits AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_contaminated
+  FROM doc_g d SEMI JOIN bench_g b ON d.ng = b.ng
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) / t.n_grams::DOUBLE, 5) AS contamination,
+       coalesce(h.n_contaminated, 0) / t.n_grams::DOUBLE >= 0.5 AS contaminated
+FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_token_counts(spark, sf_dir):
     from .text import token_counts
 
@@ -1388,6 +1503,9 @@ EXT_QUERIES = {
     "knn_join": q_knn_join,
     "ann_cosine": q_ann_cosine,
     "lang_id": q_lang_id,
+    "pii_redact": q_pii_redact,
+    "repetition": q_repetition,
+    "contamination": q_contamination,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "quality": q_quality,
@@ -1439,6 +1557,9 @@ def ext_oracle_sql() -> dict[str, str]:
         "knn_join": _sql_knn_join(),
         "ann_cosine": SQL_ANN_COSINE,
         "lang_id": _sql_lang_id(),
+        "pii_redact": _sql_pii_redact(),
+        "repetition": SQL_REPETITION,
+        "contamination": SQL_CONTAMINATION,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
         "quality": _sql_quality(),

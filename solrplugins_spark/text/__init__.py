@@ -6,6 +6,12 @@ from .analysis import (
     fingerprint_md5,
     rolling_fingerprint,
 )
+from .cleaning import (
+    PII_PATTERNS,
+    contamination_check,
+    redact_pii,
+    repetition_features,
+)
 
 __all__ = [
     "STOPWORDS",
@@ -14,4 +20,8 @@ __all__ = [
     "token_counts",
     "fingerprint_md5",
     "rolling_fingerprint",
+    "PII_PATTERNS",
+    "contamination_check",
+    "redact_pii",
+    "repetition_features",
 ]

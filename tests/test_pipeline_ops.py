@@ -286,3 +286,60 @@ def test_knn_join_recall_and_shape(emb, spark):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- cleaning ops -----------------------------------------------------
+
+def test_redact_pii(spark):
+    from solrplugins_spark.text import redact_pii
+
+    rows = [
+        (0, "email me at alice@corp.example.org or 10.1.2.3 now"),
+        (1, "call 555-123-4567 or +44 123-456-7890 no pii here?"),
+        (2, "nothing sensitive"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = redact_pii(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "n_email"] == 1 and got.loc[0, "n_ipv4"] == 1
+    assert "<EMAIL>" in got.loc[0, "redacted"] and "<IPV4>" in got.loc[0, "redacted"]
+    assert "alice@" not in got.loc[0, "redacted"]
+    assert got.loc[1, "n_phone"] >= 1 and "<PHONE>" in got.loc[1, "redacted"]
+    assert got.loc[2, "redacted"] == "nothing sensitive"
+    assert got.loc[2, ["n_email", "n_ipv4", "n_phone"]].sum() == 0
+
+
+def test_repetition_features(spark):
+    from solrplugins_spark.text import repetition_features
+
+    rows = [
+        (0, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (1, "w x y z"),          # all distinct
+        (2, "solo"),             # < n tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repetition_features(docs, n=2).toPandas().set_index("doc_id")
+    assert abs(got.loc[0, "dup_ngram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert abs(got.loc[0, "top_ngram_frac"] - 3 / 5) < 1e-9
+    assert got.loc[1, "dup_ngram_frac"] == 0.0
+    assert got.loc[2, "dup_ngram_frac"] == 0.0 and got.loc[2, "top_ngram_frac"] == 0.0
+
+
+def test_contamination_check(spark):
+    from solrplugins_spark.text import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # identical
+            (1, "quick brown fox jumps over a sleeping cat today"),  # partial
+            (2, "completely unrelated words fill this entire line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = contamination_check(docs, bench, n=5, threshold=0.5).toPandas().set_index("doc_id")
+    assert got.loc[0, "contamination"] == 1.0 and bool(got.loc[0, "contaminated"])
+    assert 0 < got.loc[1, "contamination"] < 1.0
+    assert got.loc[2, "contamination"] == 0.0 and not bool(got.loc[2, "contaminated"])
