@@ -966,6 +966,68 @@ FROM calc
 """
 
 
+# ---- event / transcript sequence operators ----------------------------
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min timeout) per user — the
+    canonical stateful sequence operator for transcript/event data."""
+    from .analytics.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30.0)
+
+
+SQL_SESSIONIZE = """
+WITH ordered AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       (sum(CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+FROM ordered
+"""
+
+
+def q_context_window(spark, sf_dir):
+    """Previous-2 context assembly per user (training-example shape:
+    item + its context), oldest first, ' | '-joined."""
+    from .analytics.events import context_window
+
+    return context_window(_events(spark, sf_dir), k=2)
+
+
+SQL_CONTEXT_WINDOW = """
+SELECT event_id,
+       coalesce(string_agg(event_type, ' | ') OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), '') AS ctx
+FROM events
+"""
+
+
+def q_event_windows(spark, sf_dir):
+    """Event-time tumbling-window counts (1 hour) per event_type — the
+    batch twin of the Structured Streaming watermark path
+    (streaming/windows.py; streamed == batch asserted in tests)."""
+    from .analytics.events import windowed_counts
+
+    return windowed_counts(_events(spark, sf_dir), window="1 hour")
+
+
+SQL_EVENT_WINDOWS = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---- packed-segment (WAND) query path --------------------------------
 
 _SEG_CACHE: dict[str, object] = {}
@@ -1492,6 +1554,9 @@ EXT_QUERIES = {
     "spellcheck": q_spellcheck,
     "spellcheck_collate": q_spellcheck_collate,
     "suggest_canonical": q_suggest_canonical,
+    "sessionize": q_sessionize,
+    "context_window": q_context_window,
+    "event_windows": q_event_windows,
     "nb_classify": q_nb_classify,
     "stumps": q_stumps,
     "joint_probability": q_joint_probability,
@@ -1546,6 +1611,9 @@ def ext_oracle_sql() -> dict[str, str]:
         "spellcheck": SQL_SPELLCHECK,
         "spellcheck_collate": SQL_SPELLCHECK_COLLATE,
         "suggest_canonical": SQL_SUGGEST_CANONICAL,
+        "sessionize": SQL_SESSIONIZE,
+        "context_window": SQL_CONTEXT_WINDOW,
+        "event_windows": SQL_EVENT_WINDOWS,
         "nb_classify": SQL_NB_CLASSIFY,
         "stumps": SQL_STUMPS,
         "joint_probability": SQL_JOINT_PROBABILITY,
