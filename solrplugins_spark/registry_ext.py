@@ -881,6 +881,71 @@ FROM totals t LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_sample(spark, sf_dir):
+    """Deterministic hash-based sampling (pure function of (id, seed)
+    — rerun/partition-invariant, unlike rand())."""
+    from .text import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), rate=0.2, seed=7).select(
+        "doc_id"
+    )
+
+
+SQL_SAMPLE = """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5('7:' || doc_id), 1, 8)) AS BIGINT)::DOUBLE
+      / 4294967296.0 < 0.2
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum reproducible rates (language rebalancing shape)."""
+    from .text import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.1, "fr": 1.0}, "lang", seed=7
+    ).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('7:' || doc_id), 1, 8)) AS BIGINT)::DOUBLE
+      / 4294967296.0
+      < (CASE WHEN lang = 'fr' THEN 1.0 WHEN lang = 'en' THEN 0.1 ELSE 0.0 END)
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy contiguous sequence packing by cumulative token budget
+    (2048 tokens/sequence) over per-doc whitespace token counts."""
+    from .text import pack_sequences, token_counts
+
+    tc = token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    return pack_sequences(tc, seq_tokens=2048)
+
+
+SQL_PACK_SEQUENCES = """
+WITH tc AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> len(x) > 0))::BIGINT AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM tc
+)
+SELECT doc_id, n_tokens,
+       (before // 2048)::BIGINT AS seq_id,
+       (before % 2048)::BIGINT AS "offset"
+FROM run
+"""
+
+
 def q_token_counts(spark, sf_dir):
     from .text import token_counts
 
@@ -1569,6 +1634,9 @@ EXT_QUERIES = {
     "ann_cosine": q_ann_cosine,
     "lang_id": q_lang_id,
     "pii_redact": q_pii_redact,
+    "sample": q_sample,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
     "contamination": q_contamination,
     "token_counts": q_token_counts,
@@ -1626,6 +1694,9 @@ def ext_oracle_sql() -> dict[str, str]:
         "ann_cosine": SQL_ANN_COSINE,
         "lang_id": _sql_lang_id(),
         "pii_redact": _sql_pii_redact(),
+        "sample": SQL_SAMPLE,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "repetition": SQL_REPETITION,
         "contamination": SQL_CONTAMINATION,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -12,6 +12,11 @@ from .cleaning import (
     redact_pii,
     repetition_features,
 )
+from .sampling import (
+    deterministic_sample,
+    pack_sequences,
+    stratified_sample,
+)
 
 __all__ = [
     "STOPWORDS",
@@ -24,4 +29,7 @@ __all__ = [
     "contamination_check",
     "redact_pii",
     "repetition_features",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_sequences",
 ]

@@ -343,3 +343,39 @@ def test_contamination_check(spark):
     assert got.loc[0, "contamination"] == 1.0 and bool(got.loc[0, "contaminated"])
     assert 0 < got.loc[1, "contamination"] < 1.0
     assert got.loc[2, "contamination"] == 0.0 and not bool(got.loc[2, "contaminated"])
+
+
+def test_deterministic_sample_invariance(spark, dup_docs):
+    """Sampling is a pure function of (id, seed): identical keep-set
+    across repartitionings; different seeds differ; rate ~ fraction."""
+    from solrplugins_spark.text import deterministic_sample
+
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = set(deterministic_sample(big, 0.3, seed=7).toPandas()["doc_id"])
+    b = set(deterministic_sample(big.repartition(13), 0.3, seed=7).toPandas()["doc_id"])
+    assert a == b
+    c = set(deterministic_sample(big, 0.3, seed=8).toPandas()["doc_id"])
+    assert a != c
+    assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_stratified_sample_rates(spark):
+    from solrplugins_spark.text import stratified_sample
+
+    docs = spark.range(0, 3000).selectExpr(
+        "id as doc_id", "case when id % 3 = 0 then 'en' else 'fr' end as lang"
+    )
+    got = stratified_sample(docs, {"en": 1.0, "fr": 0.0}, "lang").toPandas()
+    assert set(got["lang"]) == {"en"} and len(got) == 1000
+
+
+def test_pack_sequences(spark):
+    from solrplugins_spark.text import pack_sequences
+
+    rows = [(0, 1000), (1, 1000), (2, 100), (3, 2000)]
+    tc = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = pack_sequences(tc, seq_tokens=2048).toPandas().set_index("doc_id")
+    assert got.loc[0, "seq_id"] == 0 and got.loc[0, "offset"] == 0
+    assert got.loc[1, "seq_id"] == 0 and got.loc[1, "offset"] == 1000
+    assert got.loc[2, "seq_id"] == 0 and got.loc[2, "offset"] == 2000
+    assert got.loc[3, "seq_id"] == 1 and got.loc[3, "offset"] == 2100 - 2048
