@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -62,22 +62,55 @@ def pack_sequences(
     seq_tokens: int,
     token_count_col: str = "n_tokens",
     id_col: str = "doc_id",
+    partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, seq_id, offset) — contiguous greedy packing:
     in ``id_col`` order, sequence s holds the docs whose cumulative
     token count falls in [s*seq_tokens, (s+1)*seq_tokens). offset =
     position of the doc's first token within its sequence.
 
-    Expressed as a running total window. NOTE the single ordered
-    window is the test-scale form; at 10^12 docs the same cumsum runs
-    as per-range-partition sums + a tiny offsets pass (exactly
-    builder.mint_doc_ids' two-pass trick — the math is identical, the
-    window is swapped for mapInPandas + broadcast offsets)."""
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("long")
-    return docs.select(
+    Scale-safe global running total — NOT a single-partition window:
+    range-repartition on the id, per-partition token sums collected
+    (one tiny job, #partitions rows), cumulative offsets broadcast,
+    then a partition-local cumsum in one Arrow pass — the
+    builder.mint_doc_ids two-pass pattern applied to a running sum."""
+    import numpy as np
+
+    spark = docs.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ordered = docs.repartitionByRange(p, F.col(id_col)).sortWithinPartitions(
+        id_col
+    )
+    with_pid = ordered.select(
         F.col(id_col).alias("doc_id"),
         F.col(token_count_col).cast("long").alias("n_tokens"),
-        (before / seq_tokens).cast("long").alias("seq_id"),
-        (before % seq_tokens).alias("offset"),
+    ).withColumn("_pid", F.spark_partition_id()).persist()
+    sums = with_pid.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[int(row["_pid"])] = acc
+        acc += int(row["s"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches):
+        carry = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            nt = pdf["n_tokens"].to_numpy()
+            before = (
+                b_offsets.value[pid]
+                + carry
+                + np.concatenate([[0], np.cumsum(nt[:-1])])
+            )
+            carry += int(nt.sum())
+            yield pdf.assign(
+                seq_id=(before // seq_tokens).astype("int64"),
+                offset=(before % seq_tokens).astype("int64"),
+            )[["doc_id", "n_tokens", "seq_id", "offset"]]
+
+    return with_pid.mapInPandas(
+        assign, schema="doc_id long, n_tokens long, seq_id long, offset long"
     )

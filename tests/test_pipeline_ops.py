@@ -379,3 +379,21 @@ def test_pack_sequences(spark):
     assert got.loc[1, "seq_id"] == 0 and got.loc[1, "offset"] == 1000
     assert got.loc[2, "seq_id"] == 0 and got.loc[2, "offset"] == 2000
     assert got.loc[3, "seq_id"] == 1 and got.loc[3, "offset"] == 2100 - 2048
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The two-pass running total is a pure function of the id order —
+    identical packing at any parallelism."""
+    from solrplugins_spark.text import pack_sequences
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), int(rng.integers(10, 500))) for i in range(700)]
+    tc = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = pack_sequences(tc, 2048, partitions=3).toPandas().sort_values("doc_id")
+    b = pack_sequences(tc.repartition(17), 2048, partitions=11).toPandas().sort_values("doc_id")
+    assert list(a["seq_id"]) == list(b["seq_id"])
+    assert list(a["offset"]) == list(b["offset"])
+    # global correctness: offsets restart below seq_tokens and seq_id
+    # is nondecreasing in doc order
+    assert (a["offset"] < 2048).all()
+    assert list(a["seq_id"]) == sorted(a["seq_id"])
