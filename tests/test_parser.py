@@ -281,3 +281,38 @@ def test_range_bare_without_field():
     tree, errors = parse_query("[5 TO 9]")
     assert not errors
     assert tree.evaluate() == "[5 TO 9]"
+
+
+# ---- property tests: the parser is total and stable --------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_QUERY_ALPHABET = list("abcdefgz0123456789 ()\"':[]{}*") + [
+    " and ", " or ", " not ", " to ", ","
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(_QUERY_ALPHABET), max_size=24).map("".join))
+def test_parser_never_crashes(q):
+    """Error recovery is total: any input yields an AST + error set,
+    and evaluate() renders without raising."""
+    tree, errors = parse_query(q)
+    s = tree.evaluate()
+    assert isinstance(s, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(_QUERY_ALPHABET), max_size=24).map("".join))
+def test_parser_fixpoint_on_clean_parses(q):
+    """For inputs that parse without errors, the rendered form is a
+    fixpoint: parse(evaluate(parse(q))) renders identically — the
+    golden-test property generalized."""
+    tree, errors = parse_query(q)
+    if errors:
+        return
+    rendered = tree.evaluate()
+    tree2, errors2 = parse_query(rendered)
+    assert not errors2, (q, rendered, errors2)
+    assert tree2.evaluate() == rendered, (q, rendered, tree2.evaluate())
