@@ -200,6 +200,44 @@ def decode_positions(pos_data: bytes, tfs: np.ndarray):
     return c - np.repeat(base_per_doc, tfs)
 
 
+def decode_block_positions(
+    pos_data: bytes,
+    block_ids: np.ndarray,
+    pos_off: np.ndarray,
+    tfs_by_block: list[np.ndarray],
+):
+    """Decode positions for ONLY the given posting blocks (sorted ids).
+
+    Per-doc position runs restart with an absolute value (see
+    encode_positions), so any block's positions decode standalone from
+    its byte offset given that block's per-doc tfs. This is the phrase
+    analogue of decode_blocks: pruned blocks cost zero decode work —
+    a head term in a phrase only decodes the blocks that hold the
+    rare term's candidate docs.
+
+    Returns a flat int64 array of absolute positions, ordered by
+    (block, doc, position), matching the concatenated docs/tfs from
+    decode_blocks over the same block_ids.
+    """
+    buf = np.frombuffer(pos_data, dtype=np.uint8)
+    outs = []
+    for i, tfs in zip(np.asarray(block_ids, dtype=np.int64), tfs_by_block):
+        tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+        total = int(tfs.sum())
+        if total == 0:
+            continue
+        deltas, _ = varint_decode(buf, int(pos_off[i]), total)
+        vals = deltas.astype(np.int64)
+        c = np.cumsum(vals)
+        starts = np.zeros(tfs.size, np.int64)
+        np.cumsum(tfs[:-1], out=starts[1:])
+        base = np.where(starts > 0, c[starts - 1], 0)
+        outs.append(c - np.repeat(base, tfs))
+    if not outs:
+        return np.zeros(0, np.int64)
+    return np.concatenate(outs)
+
+
 def encode_payloads(payloads: np.ndarray) -> bytes:
     """Codec v3 payload sub-stream: one float64 mean payload per
     posting, raw little-endian (fixed width -> block i's slice is

@@ -522,6 +522,8 @@ def _segment_phrase_topk(
     .java:90-107 quoted semantics) vectorized over the whole segment.
     Scores match the flat compiler._phrase: sum of member-term BM25
     partials (query/compiler.py)."""
+    from .codec import BLOCK, decode_block_positions
+
     dl_row = pdf[pdf["_kind"] == "dl"]
     posts = pdf[pdf["_kind"] == "post"]
     empty = _topk_frame(np.array([], np.int64), np.array([], np.float64), k)
@@ -530,30 +532,70 @@ def _segment_phrase_topk(
     doc_lo = int(dl_row["doc_lo"].iloc[0])
     dls = _decode_doclens(dl_row["data"].iloc[0])
 
-    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    rows: dict[str, object] = {}
     for _, row in posts.iterrows():
-        t = row["term"]
         if row["pos_data"] is None:
             raise ValueError("packed index lacks positions (codec<3 build)")
-        docs, tfs = decode_postings(row["data"])
-        pos = decode_positions(row["pos_data"], tfs)
-        decoded[t] = (docs, tfs, pos)
-    if any(t not in decoded for t in phrase):
+        rows[row["term"]] = row
+    if any(t not in rows for t in phrase):
         return empty
 
+    # process slots rarest-term-first: the first term decodes fully and
+    # fixes the candidate docs; every later term decodes ONLY the
+    # blocks that can hold a candidate (block_last searchsorted +
+    # per-block position decode) — a phrase containing a head term
+    # never pays the head term's full decode (the skip-data shape of
+    # BinaryTermExistsValueSource.java:128-147 applied to positions)
     M = np.int64(1) << np.int64(32)  # local doc ids < seg_size << 2^32
+    slots = sorted(range(len(phrase)), key=lambda i: (dfs[phrase[i]], phrase[i]))
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     keys = None
-    for i, t in enumerate(phrase):
-        docs, tfs, pos = decoded[t]
-        doc_per_pos = np.repeat(docs - doc_lo, tfs)
-        k_i = doc_per_pos * M + (pos - i)
-        keys = k_i if keys is None else np.intersect1d(keys, k_i)
+    cand_docs: np.ndarray | None = None
+    for slot in slots:
+        t = phrase[slot]
+        if t in decoded:
+            docs, tfs, pos = decoded[t]
+        elif keys is None:
+            row = rows[t]
+            docs, tfs = decode_postings(row["data"])
+            pos = decode_positions(row["pos_data"], tfs)
+            decoded[t] = (docs, tfs, pos)
+        else:
+            row = rows[t]
+            block_last = np.asarray(row["block_last"], dtype=np.int64)
+            need = np.unique(np.searchsorted(block_last, cand_docs))
+            need = need[need < len(block_last)]
+            if len(need) == 0:
+                return empty
+            n_total = int(row["df"])
+            docs, tfs = decode_blocks(
+                row["data"], need,
+                np.asarray(row["block_off"], dtype=np.int64),
+                block_last, n_total,
+            )
+            counts = [min(BLOCK, n_total - int(i) * BLOCK) for i in need]
+            bounds = np.cumsum([0] + counts)
+            tfs_by_block = [
+                tfs[bounds[j]:bounds[j + 1]] for j in range(len(need))
+            ]
+            pos = decode_block_positions(
+                row["pos_data"], need,
+                np.asarray(row["pos_off"], dtype=np.int64), tfs_by_block,
+            )
+            decoded[t] = (docs, tfs, pos)
+        k_i = np.repeat(docs - doc_lo, tfs) * M + (pos - slot)
+        keys = k_i if keys is None else np.intersect1d(
+            keys, k_i, assume_unique=True
+        )
         if keys.size == 0:
             return empty
-    hit_local = np.unique(keys // M)
-    hit_docs = hit_local + doc_lo
+        cand_docs = np.unique(keys // M) + doc_lo
+    hit_docs = cand_docs
+    hit_local = hit_docs - doc_lo
 
-    # member-term BM25 over the phrase docs (distinct terms, boost 1)
+    # member-term BM25 over the phrase docs (distinct terms, boost 1);
+    # every term's decoded subset covers the hits (hits shrink
+    # monotonically after each term's decode)
     scores = np.zeros(hit_docs.size, np.float64)
     dl_hit = dls[hit_local].astype(np.float64)
     for t in sorted(set(phrase)):

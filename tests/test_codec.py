@@ -134,3 +134,44 @@ def test_positions_roundtrip_property(tfs_list, rnd):
     data, pos_off = encode_positions(pos_lists, tfs)
     flat = decode_positions(data, tfs)
     assert np.array_equal(flat, np.concatenate(pos_lists))
+
+
+def test_decode_block_positions_matches_full():
+    """Pruned per-block position decode == the corresponding slice of
+    the full decode, for every block subset."""
+    import numpy as np
+
+    from solrplugins_spark.index.codec import (
+        BLOCK,
+        decode_block_positions,
+        decode_blocks,
+        decode_positions,
+        encode_positions,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 400  # 4 blocks (128*3 + 16)
+    docs = np.cumsum(rng.integers(1, 30, size=n))
+    tfs = rng.integers(1, 6, size=n)
+    pos_lists = [np.cumsum(rng.integers(1, 40, size=int(t))) for t in tfs]
+    data, block_last, block_max, block_off = encode_postings(docs, tfs)
+    pos_data, pos_off = encode_positions(pos_lists, tfs)
+    full = decode_positions(pos_data, tfs)
+
+    bounds = np.zeros(n + 1, np.int64)
+    np.cumsum(tfs, out=bounds[1:])
+    for need in ([0], [1, 3], [2], [0, 1, 2, 3]):
+        need = np.asarray(need)
+        bdocs, btfs = decode_blocks(data, need, block_off, block_last, n)
+        counts = [min(BLOCK, n - int(i) * BLOCK) for i in need]
+        cb = np.cumsum([0] + counts)
+        tfs_by_block = [btfs[cb[j]:cb[j + 1]] for j in range(len(need))]
+        got = decode_block_positions(pos_data, need, pos_off, tfs_by_block)
+        want = np.concatenate(
+            [
+                full[bounds[int(i) * BLOCK]: bounds[min((int(i) + 1) * BLOCK, n)]]
+                for i in need
+            ]
+        )
+        assert np.array_equal(got, want), need
