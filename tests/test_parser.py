@@ -303,14 +303,32 @@ def test_parser_never_crashes(q):
     assert isinstance(s, str)
 
 
-@settings(max_examples=200, deadline=None)
+def _has_empty_field(node):
+    from solrplugins_spark.query import ast as qast
+
+    if isinstance(node, qast.FieldQuery):
+        return node.field.rstrip(":") == "" or _has_empty_field(node.child)
+    if isinstance(node, (qast.Or, qast.And)):
+        return _has_empty_field(node.left) or _has_empty_field(node.right)
+    if isinstance(node, (qast.Not, qast.Quote)):
+        return _has_empty_field(node.child)
+    return False
+
+
+@settings(max_examples=300, deadline=None)
 @given(st.lists(st.sampled_from(_QUERY_ALPHABET), max_size=24).map("".join))
 def test_parser_fixpoint_on_clean_parses(q):
     """For inputs that parse without errors, the rendered form is a
     fixpoint: parse(evaluate(parse(q))) renders identically — the
-    golden-test property generalized."""
+    golden-test property generalized.
+
+    Excluded: empty-named fields (`:a`). Their render `:(a)` re-glues
+    the colon onto the preceding token under the reference's
+    field-colon preprocessing (Lexer.java forces `name :` variants
+    into one token) — a reference-grammar quirk we mirror
+    byte-for-byte, pinned by the golden tests instead."""
     tree, errors = parse_query(q)
-    if errors:
+    if errors or _has_empty_field(tree):
         return
     rendered = tree.evaluate()
     tree2, errors2 = parse_query(rendered)
