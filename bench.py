@@ -80,7 +80,7 @@ def build_throughput(cores: int, runs: int = 2) -> tuple[float, float]:
     return SCALE_TURNS / best, best
 
 
-def contract_job_secs(cores: int, trials: int = 2) -> float:
+def contract_job_secs(cores: int, trials: int = 2) -> list[float]:
     """The scaling CONTRACT JOB (BENCH/BASELINE.md): the index build's
     computational pipeline — per-doc inversion (tokenize+tf+dl in one
     Arrow stage) -> per-partition term-stats partials -> vocab-bounded
@@ -129,40 +129,52 @@ def contract_job_secs(cores: int, trials: int = 2) -> float:
         )
 
     pipeline()  # warmup: JIT + python worker spawn
-    best = float("inf")
+    times = []
     for _ in range(trials):
         t0 = time.time()
         pipeline()
-        best = min(best, time.time() - t0)
+        times.append(time.time() - t0)
     docs.unpersist()
     spark.stop()
-    return best
+    return times
 
 
-def contract_scaling(n_cores: int = 2, rounds: int = 2) -> dict:
+def contract_scaling(n_cores: int = 2, rounds: int = 3) -> dict:
     """Interleaved N / 4N contract-job runs -> scaling efficiency.
 
     N=2 -> 4N=8 cores: both levels sit below this host's measured
     ~8-thread syscall-serialization knee (BENCH/BASELINE.md), so the
     measurement reflects the engine's plan shapes, not the sandbox's
     host-global syscall interception. The 8->32 numbers are also
-    reported (degraded by the quantified host pathologies)."""
+    reported (degraded by the quantified host pathologies).
+
+    Estimator: MEDIAN over rounds*trials interleaved samples per
+    level. Minima are order statistics — with ~20% random CPU steal a
+    lucky draw on either level swings a min-ratio by +-0.15 between
+    bench runs; medians of the same samples estimate typical capacity
+    and are robust to steal bursts in BOTH directions. The min-based
+    ratio is reported alongside for transparency."""
+    import statistics
+
     n4 = n_cores * 4
-    best: dict[int, float] = {}
+    samples: dict[int, list[float]] = {n_cores: [], n4: []}
     for _ in range(rounds):
         for c in (n_cores, n4):
-            s = contract_job_secs(c)
-            best[c] = min(best.get(c, float("inf")), s)
-    tput_n = CONTRACT_TURNS / best[n_cores]
-    tput_4n = CONTRACT_TURNS / best[n4]
+            samples[c].extend(contract_job_secs(c))
+    med_n = statistics.median(samples[n_cores])
+    med_4n = statistics.median(samples[n4])
+    min_n, min_4n = min(samples[n_cores]), min(samples[n4])
     return {
         "contract_turns": CONTRACT_TURNS,
-        "contract_secs_n": round(best[n_cores], 2),
-        "contract_secs_4n": round(best[n4], 2),
-        "contract_tput_n": round(tput_n, 1),
-        "contract_tput_4n": round(tput_4n, 1),
+        "contract_secs_n": round(med_n, 2),
+        "contract_secs_4n": round(med_4n, 2),
+        "contract_samples_n": [round(x, 2) for x in samples[n_cores]],
+        "contract_samples_4n": [round(x, 2) for x in samples[n4]],
+        "contract_tput_n": round(CONTRACT_TURNS / med_n, 1),
+        "contract_tput_4n": round(CONTRACT_TURNS / med_4n, 1),
         "n_cores": n_cores,
-        "scaling_efficiency_n_to_4n": round(tput_4n / (4.0 * tput_n), 3),
+        "scaling_efficiency_n_to_4n": round(med_n / (4.0 * med_4n), 3),
+        "scaling_efficiency_min_based": round(min_n / (4.0 * min_4n), 3),
     }
 
 
