@@ -299,10 +299,98 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 """
 
 
+# Driver-window ordering. The driver evaluates the FIRST 50 registered
+# gates each round; dict insertion order is the contract. Gates past
+# position 50 keep their oracles and pytest parity (test_oracle_parity
+# runs ALL of them at sf0.01) but get no driver row this round.
+#
+# Rotation policy (VERDICT r02 item #1): gates green in BOTH r01 and
+# r02 driver runs may rotate past the window to make room for
+# never-driver-checked gates. Rotated out for r03 (all 2x green,
+# all trivial column-expression or hash-agg shapes): fq_termfreq,
+# fq_fieldlen, fq_fieldval, fq_termintersect, fq_termoverlap,
+# token_counts, fingerprint, quality, lang_id, pivot_rollup,
+# dedup_exact, joint_counts. Rotated IN: the ten packed-path gates
+# (wand_*, classic_coord, boosted_fn, range_query, mlt_docs) that were
+# registered past the cap in r02, plus the new wand_field / wand_range
+# packed-path routing gates.
+_WINDOW_ORDER = [
+    # core flat-path queries (driver-green r01+r02, keep certified)
+    "term_stats",
+    "doclen",
+    "bm25_single",
+    "bm25_or_boosted",
+    "bm25_mm2",
+    "boolean_and",
+    "boolean_not",
+    "boolean_precedence",
+    "mlt_terms",
+    "feedback",
+    "facet_counts",
+    # packed-path gates — never driver-checked before r03
+    "wand_single",
+    "wand_or",
+    "wand_phrase",
+    "wand_payload",
+    "wand_boolean",
+    "wand_not",
+    "wand_field",
+    "wand_range",
+    "classic_coord",
+    "boosted_fn",
+    "range_query",
+    "mlt_docs",
+    # flat-path extensions
+    "phrase_query",
+    "field_query",
+    "suggest_case_variant",
+    "payload_search",
+    "spellcheck",
+    "spellcheck_collate",
+    "suggest_canonical",
+    # analytics
+    "sessionize",
+    "context_window",
+    "event_windows",
+    "nb_classify",
+    "stumps",
+    "joint_probability",
+    # LLM-pipeline operators
+    "simhash",
+    "dedup_minhash_sig",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "emb_near_dup",
+    "knn_join",
+    "ann_cosine",
+    "ann_lsh",
+    "pii_redact",
+    "sample",
+    "sample_stratified",
+    "pack_sequences",
+    "repetition",
+    "contamination",
+    # --- driver window boundary (position 50) ---
+    # rotated out (2x driver-green; still oracle+pytest covered)
+    "joint_counts",
+    "pivot_rollup",
+    "dedup_exact",
+    "fq_termfreq",
+    "fq_fieldlen",
+    "fq_fieldval",
+    "fq_termintersect",
+    "fq_termoverlap",
+    "token_counts",
+    "fingerprint",
+    "quality",
+    "lang_id",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .registry_ext import EXT_QUERIES
 
-    base = {
+    pool = {
         "term_stats": q_term_stats,
         "doclen": q_doclen,
         "bm25_single": q_bm25_single,
@@ -316,8 +404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "joint_counts": q_joint_counts,
     }
-    base.update(EXT_QUERIES)
-    return base
+    pool.update(EXT_QUERIES)
+    ordered = {name: pool[name] for name in _WINDOW_ORDER if name in pool}
+    # safety: anything registered but missing from the order list goes last
+    for name, fn in pool.items():
+        ordered.setdefault(name, fn)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
