@@ -66,6 +66,14 @@ class JointProbabilityModel:
     vocabularies), built once per model refresh from two aggregations.
     """
 
+    # hard cap on driver-side model rows: the reference's model is an
+    # in-memory NamedList sized by facet vocabularies; an unpruned
+    # high-cardinality pivot would OOM the driver silently. 5M rows
+    # (~hundreds of MB as dict entries) is far above any real facet
+    # vocabulary — hitting it means the pivot fields are wrong (ids,
+    # free text) or min_count pruning is off.
+    MAX_MODEL_ROWS = 5_000_000
+
     def __init__(
         self,
         priors_df: DataFrame,  # (field, value, cnt)
@@ -73,6 +81,16 @@ class JointProbabilityModel:
         alpha: float = 0.01,
     ):
         self.alpha = float(alpha)
+        for name, frame in (("priors", priors_df), ("joints", joints_df)):
+            n = frame.limit(self.MAX_MODEL_ROWS + 1).count()
+            if n > self.MAX_MODEL_ROWS:
+                raise ValueError(
+                    f"JointProbabilityModel: {name} frame exceeds "
+                    f"{self.MAX_MODEL_ROWS} rows — the model is a "
+                    "driver-side dict sized by facet vocabularies. Pivot "
+                    "on low-cardinality fields or raise min_count "
+                    "pruning; do not collect id-like columns."
+                )
         self.priors: dict[tuple[str, str], float] = {}
         for r in priors_df.collect():
             self.priors[(r["field"], str(r["value"]))] = r["cnt"] + self.alpha

@@ -423,6 +423,12 @@ def duplicate_clusters(
             .agg(F.min("label").alias("nmin"))
             .select(F.col("src").alias("doc_id"), "nmin")
         )
+        # localCheckpoint (not persist): each round references `labels`
+        # twice, so without lineage truncation the logical plan DOUBLES
+        # per round — by ~10 rounds the driver OOMs just stringifying
+        # the tree. Checkpointing pins the data AND cuts the plan to a
+        # leaf, so per-round cost is flat in the round count. (On a
+        # cluster with executor churn, swap for reliable checkpoint().)
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -431,7 +437,7 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -443,6 +449,19 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with changed > 0: a component's diameter
+        # exceeds the round budget, so returning now would silently
+        # split long duplicate chains into multiple clusters. Raise
+        # rather than hand back wrong labels (ADVICE r02).
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter (rounds "
+            "needed = component diameter; near-clique duplicate "
+            "components converge in 2-3)"
+        )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 

@@ -73,6 +73,11 @@ class SegmentIndex:
     avgdl: float
     n_segments: int
     seg_size: int
+    # sub-stream presence, recorded at build time (None = pre-r03
+    # manifest, unknown): lets compaction fail fast on mixed inputs
+    # instead of silently dropping positions for shared terms
+    has_positions: bool | None = None
+    has_payloads: bool | None = None
 
     @classmethod
     def load(cls, path: str) -> "SegmentIndex":
@@ -88,6 +93,8 @@ class SegmentIndex:
             avgdl=m["avgdl"],
             n_segments=m["n_segments"],
             seg_size=m["seg_size"],
+            has_positions=m.get("has_positions"),
+            has_payloads=m.get("has_payloads"),
         )
 
 
@@ -141,6 +148,8 @@ def build_segments(
             "seg_size": seg_size,
             "n_segments": n_segments,
             "n_groups": groups,
+            "has_positions": "positions" in index.postings.columns,
+            "has_payloads": "payload" in index.postings.columns,
             "completed_groups": [],
             "lineage": [],
         }
@@ -296,6 +305,8 @@ def build_segments(
         avgdl=m["avgdl"],
         n_segments=n_segments,
         seg_size=seg_size,
+        has_positions=m.get("has_positions"),
+        has_payloads=m.get("has_payloads"),
     )
 
 
@@ -488,7 +499,16 @@ def _segment_topk_sim(
         t = row["term"]
         docs, tfs = decode_postings(row["data"])
         payload = None
-        if sim.use_payload and row["pay_data"] is not None:
+        if sim.use_payload:
+            if row["pay_data"] is None:
+                # match the phrase path's fail-fast ('packed index lacks
+                # positions') rather than silently dropping the payload
+                # factor and diverging from the flat path
+                raise ValueError(
+                    "packed index lacks payloads (built without the "
+                    f"payload sub-stream) — cannot score term '{t}' with "
+                    "a payload similarity"
+                )
             payload = decode_payloads(row["pay_data"])
         scores = boosts[t] * _sim_scores_np(
             sim, tfs, dls[docs - doc_lo], float(dfs[t]), float(n), avgdl,
@@ -861,6 +881,19 @@ def compact_packed(
     sizes = {s.seg_size for s in seg_indexes}
     assert len(sizes) == 1, "compact_packed requires a uniform seg_size"
     seg_size = sizes.pop()
+    # mixed sub-stream presence would silently drop positions/payloads
+    # for terms present in BOTH generations while keeping them for
+    # generation-unique terms — an inconsistent index where some
+    # phrases raise and others answer. Fail fast instead (flags are
+    # None only for pre-r03 manifests, which we let through unchecked).
+    for stream in ("has_positions", "has_payloads"):
+        flags = {getattr(s, stream) for s in seg_indexes} - {None}
+        if len(flags) > 1:
+            raise ValueError(
+                f"compact_packed: mixed {stream} across input generations "
+                f"({[(s.path, getattr(s, stream)) for s in seg_indexes]}) — "
+                "rebuild the odd generation with matching sub-streams"
+            )
     n_docs = sum(s.n_docs for s in seg_indexes)
     total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
     avgdl = total_tokens / n_docs if n_docs else 0.0
@@ -1036,9 +1069,13 @@ def compact_packed(
         m["termstats"] = True
         _write_manifest(out_path, m)
 
+    flags_pos = {s.has_positions for s in seg_indexes} - {None}
+    flags_pay = {s.has_payloads for s in seg_indexes} - {None}
     return SegmentIndex(
         path=out_path, n_docs=n_docs, avgdl=avgdl,
         n_segments=n_segments, seg_size=seg_size,
+        has_positions=flags_pos.pop() if flags_pos else None,
+        has_payloads=flags_pay.pop() if flags_pay else None,
     )
 
 

@@ -23,7 +23,7 @@ from ..index.builder import InvertedIndex
 from .compiler import compile_ast
 from .mlt import MLTParams, interesting_terms
 from .parser import parse_query
-from .scorer import BM25, Similarity, score_terms_df
+from .scorer import BM25, Similarity, score_terms
 
 
 def unsupervised_feedback(
@@ -37,24 +37,39 @@ def unsupervised_feedback(
 ) -> DataFrame:
     """``k=None`` returns the full scored frame (no top-k) — callers
     that apply a multiplicative function boost (BoostedQuery) must
-    rank AFTER boosting, not re-rank a pre-boosted top-k."""
+    rank AFTER boosting, not re-rank a pre-boosted top-k.
+
+    Job shape: exactly the reference's two driver crossings and no
+    more. Lucene's handler collects the seed TopDocs (bounded:
+    max_seed_docs ids) and then builds the boosted expansion query
+    object from the extracted terms (bounded: max_query_terms rows,
+    UnsupervisedFeedbackHelper.java:101-131) before re-searching.
+    Mirroring that, this runs three Spark jobs: (1) seed top-k ids —
+    which also materializes the persisted seed-scored frame reused by
+    the final join; (2) the term-extraction pipeline; (3) the final
+    re-execution. Everything in between stays literal (isin-pruned
+    postings scans), so no data-dependent broadcast re-executes an
+    upstream plan."""
     tree, _ = parse_query(query)
     seed_scored = compile_ast(index, tree, sim=sim).persist()
 
-    seeds = (
-        seed_scored.orderBy(
+    seed_ids = [
+        int(r["doc_id"])
+        for r in seed_scored.orderBy(
             F.desc(F.round("score", round_to)), F.asc("doc_id")
         )
         .limit(max_seed_docs)
-        .select("doc_id")
-    )
-    terms = interesting_terms(index, seeds, params)
-    # expansion boosts stay a (broadcast) DataFrame — the whole
-    # two-phase query compiles into one lazy plan, no driver collect
-    boosts_df = terms.select("term", F.col("score").alias("boost"))
-    partials = score_terms_df(index, boosts_df, sim=sim)
-    exp = partials.groupBy("doc_id").agg(F.sum("partial").alias("exp_score"))
-    final = seed_scored.join(exp, "doc_id", "left").fillna({"exp_score": 0.0})
+        .collect()
+    ]
+    rows = interesting_terms(index, seed_ids, params).collect()
+    boosts = [(r["term"], float(r["score"])) for r in rows]
+    if boosts:
+        df_map = {r["term"]: int(r["df"]) for r in rows}
+        partials = score_terms(index, boosts, sim=sim, df_map=df_map)
+        exp = partials.groupBy("doc_id").agg(F.sum("partial").alias("exp_score"))
+        final = seed_scored.join(exp, "doc_id", "left").fillna({"exp_score": 0.0})
+    else:
+        final = seed_scored.withColumn("exp_score", F.lit(0.0))
     final = final.select(
         "doc_id",
         F.round(F.col("score") + F.col("exp_score"), round_to).alias("score"),

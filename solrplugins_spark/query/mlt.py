@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index.builder import InvertedIndex
-from .scorer import BM25, Similarity, score_terms_df
+from .scorer import BM25, Similarity, score_terms
 
 
 @dataclass(frozen=True)
@@ -157,17 +157,26 @@ def more_like_this(
     """Top-k similar docs: expansion query with seed docs excluded.
 
     ``k=None`` returns the full scored frame — required by BoostedQuery
-    composition (function boosts must apply BEFORE ranking)."""
+    composition (function boosts must apply BEFORE ranking).
+
+    The expansion boosts round-trip the driver as one bounded collect
+    (<= max_query_terms rows) — exactly where the reference crosses the
+    driver too (MoreLikeThisHelper builds the boosted BooleanQuery
+    object from the extracted terms before re-searching). A literal
+    term list lets the expansion query start from an ``isin``-pruned
+    postings scan with zero data-dependent broadcasts, cutting the
+    per-query Spark job count roughly in half vs the all-lazy plan."""
     spark = index.postings.sparkSession
-    terms = interesting_terms(index, seed_doc_ids, params)
-    # boosts stay a broadcast DataFrame: MLT is ONE lazy plan, the
-    # <=max_terms expansion frame never round-trips the driver
-    boosts_df = terms.select("term", F.col("score").alias("boost"))
+    rows = interesting_terms(index, seed_doc_ids, params).collect()
+    boosts = [(r["term"], float(r["score"])) for r in rows]
+    df_map = {r["term"]: int(r["df"]) for r in rows}
+    if not boosts:
+        return spark.createDataFrame([], "doc_id long, score double")
     if isinstance(seed_doc_ids, list):
         seeds = spark.createDataFrame([(int(d),) for d in seed_doc_ids], "doc_id long")
     else:
         seeds = seed_doc_ids.select("doc_id")
-    partials = score_terms_df(index, boosts_df, sim=sim)
+    partials = score_terms(index, boosts, sim=sim, df_map=df_map)
     scored = partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), 5).alias("score"),
         F.count(F.lit(1)).alias("matched"),

@@ -213,7 +213,9 @@ class RecursiveDescentParser:
         self.symbol = self.lexer.next_symbol()
 
     def _process_terminal(self) -> None:
-        if self.symbol == Sym.TOKEN and self.lexer.text[:1] in "[{":
+        # tuple membership: `"" in "[{"` is True (empty substring), so a
+        # string haystack would route an empty TOKEN into the range path
+        if self.symbol == Sym.TOKEN and self.lexer.text[:1] in ("[", "{"):
             self._range_expression()
         elif self.symbol == Sym.TOKEN:
             self.root = ast.Operand(self.lexer.text)

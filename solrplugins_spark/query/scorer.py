@@ -110,10 +110,16 @@ def score_terms_df(
 
     Keeps the whole pipeline lazy (no driver collect): the boosts frame
     is broadcast into the postings join, so an expansion query built
-    from another query's output (MLT/feedback) runs as ONE Spark job
-    instead of collect + re-submit."""
-    hits = index.postings.join(F.broadcast(boosts_df), "term")
-    hits = hits.join(F.broadcast(index.terms.join(F.broadcast(boosts_df.select("term")), "term", "left_semi")), "term")
+    from another query's output runs as ONE Spark job instead of
+    collect + re-submit.
+
+    The boosts frame is referenced ONCE: it first joins the term
+    dictionary (picking up df), and that small (term, boost, df) frame
+    is what broadcasts into the postings scan. Referencing boosts_df in
+    two separate broadcasts would re-execute its (potentially
+    expensive) upstream plan once per broadcast."""
+    qstats = index.terms.join(F.broadcast(boosts_df), "term")
+    hits = index.postings.join(F.broadcast(qstats), "term")
     payload = F.col("payload") if "payload" in index.postings.columns else None
     partial = sim.score_expr(
         F.col("tf"), F.col("df"), F.col("dl"), index.avgdl, index.n_docs,
@@ -124,10 +130,29 @@ def score_terms_df(
     )
 
 
+def resolve_df(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
+    """Driver-side df lookup for a bounded query-term set — the Lucene
+    TermStates/TermContext resolution step (every Lucene query collects
+    per-term df on the leader before building Weights). One tiny job
+    against the (cached, term-hash-partitioned) dictionary frame; at
+    10^12-doc scale the packed path reads the term-sorted sidecar
+    instead (index/segments.py)."""
+    missing = [t for t in terms if t not in index.df_cache]
+    if missing:
+        found = {
+            r["term"]: int(r["df"])
+            for r in index.terms.filter(F.col("term").isin(missing)).collect()
+        }
+        for t in missing:
+            index.df_cache[t] = found.get(t, 0)
+    return {t: index.df_cache[t] for t in terms if index.df_cache[t] > 0}
+
+
 def score_terms(
     index: InvertedIndex,
     terms_boosts: list[tuple[str, float]],
     sim: Similarity = BM25,
+    df_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """Per-(doc, term) partial scores for a weighted term bag.
 
@@ -136,27 +161,46 @@ def score_terms(
     term-expansion primitive). Plan shape at scale:
       postings filtered by an isin on the (tiny) query-term set
       [partition-prunable when postings are bucketed by term]
-      -> broadcast join with the query-term boosts + term dictionary df
-      -> sort-merge/shuffle join with doclen on doc_id
-      -> one codegen'd arithmetic expression.
+      -> per-term (boost * idf) folded into a literal map (df resolved
+         driver-side, the Lucene TermStates step — see resolve_df)
+      -> one codegen'd arithmetic expression over (tf, dl[, payload]).
+    Zero joins: dl rides inline in postings and idf is a per-term
+    constant, so a term query is a single pruned scan + projection.
     Returns (doc_id, term, boost, partial) — partial = boost * sim().
     """
-    spark = index.postings.sparkSession
-    qt = _query_terms_df(spark, terms_boosts)
+    if df_map is None:
+        df_map = resolve_df(index, [t for t, _ in terms_boosts])
     term_list = [t for t, _ in terms_boosts]
-    # dl is inlined in postings, so a query is: pruned postings scan +
-    # two broadcast joins (query terms, term dictionary slice) + one
-    # codegen'd arithmetic projection — zero non-broadcast joins.
     hits = index.postings.filter(F.col("term").isin(term_list))
-    hits = hits.join(F.broadcast(qt), "term")
-    hits = hits.join(F.broadcast(index.terms.filter(F.col("term").isin(term_list))), "term")
     payload = F.col("payload") if "payload" in index.postings.columns else None
+    # per-term constants: boost and df (idf is a function of df alone,
+    # so sim.score_expr sees a literal df column and Catalyst constant-
+    # folds the idf arithmetic per map entry)
+    boost_entries: list[Column] = []
+    df_entries: list[Column] = []
+    for t, b in terms_boosts:
+        if t not in df_map:
+            continue  # unknown term: no postings, no partials
+        boost_entries += [F.lit(t), F.lit(float(b))]
+        df_entries += [F.lit(t), F.lit(float(df_map[t]))]
+    if not boost_entries:
+        return hits.limit(0).select(
+            "doc_id",
+            "term",
+            F.lit(0.0).alias("boost"),
+            F.lit(0.0).alias("partial"),
+        )
+    boost_col = F.create_map(*boost_entries)[F.col("term")]
+    df_col = F.create_map(*df_entries)[F.col("term")]
     partial = sim.score_expr(
-        F.col("tf"), F.col("df"), F.col("dl"), index.avgdl, index.n_docs,
+        F.col("tf"), df_col, F.col("dl"), index.avgdl, index.n_docs,
         payload=payload,
     )
     return hits.select(
-        "doc_id", "term", "boost", (F.col("boost") * partial).alias("partial")
+        "doc_id",
+        "term",
+        boost_col.alias("boost"),
+        (boost_col * partial).alias("partial"),
     )
 
 
@@ -233,10 +277,7 @@ def classic_coord_search(
     spark = index.postings.sparkSession
     term_list = sorted({t for t, _ in terms_boosts})
     n = float(index.n_docs)
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in index.terms.filter(F.col("term").isin(term_list)).collect()
-    }
+    df_map = resolve_df(index, term_list)
     idf_map = {t: (np.log(n / (df_map[t] + 1.0)) + 1.0) for t in df_map}
     qn = 1.0
     if query_norm:

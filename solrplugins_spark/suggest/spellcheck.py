@@ -8,11 +8,11 @@ Reference: DiceDirectSolrSpellChecker.java —
   the index AND is more frequent than the original token
   (matchFreq > 0 && matchFreq > freq, :265-276)
 
-The candidate generator is a declarative join against the ``terms``
-dictionary: prefix-match + length-window filters prune the scan before
-the levenshtein evaluation (all JVM-side; Catalyst pushes the prefix
-filter into the dictionary scan). At 10^12-doc scale the dictionary is
-vocab-bounded, so this is a broadcast-sized frame.
+The candidate generator is a declarative EQUI-join against the
+``terms`` dictionary on the minPrefix key (hash join, prunable), with
+length-window + levenshtein filters evaluated only inside the matching
+prefix bucket — all JVM-side. At 10^12-doc scale each query token
+reads one prefix bucket of the dictionary, never the full vocabulary.
 """
 
 from __future__ import annotations
@@ -67,14 +67,27 @@ def spellcheck_suggest(
     )
     freq_cap = max_query_frequency * index.n_docs
 
-    cand = F.broadcast(tok_freq).crossJoin(index.terms.select("term", "df"))
+    # Candidate generation is an EQUI-join on the minPrefix key (the
+    # DirectSpellChecker minPrefix=1 contract,
+    # DiceDirectSolrSpellChecker.java:80-98): both sides expose
+    # substring(.,1,min_prefix) and hash-join on it, so each query
+    # token touches only its prefix bucket of the dictionary — a
+    # prunable hash join, never a full-vocab nested-loop scan
+    # (at 10^8+ terms a per-token dictionary scan is the difference
+    # between a lookup and a table pass). Remaining conditions
+    # (length window, levenshtein) filter the bucket.
+    if min_prefix >= 1:
+        pfx_terms = index.terms.select(
+            "term", "df", F.substring("term", 1, min_prefix).alias("_pfx")
+        )
+        cand = F.broadcast(
+            tok_freq.withColumn("_pfx", F.substring("token", 1, min_prefix))
+        ).join(pfx_terms, "_pfx")
+    else:  # degenerate config: no prefix key to join on
+        cand = F.broadcast(tok_freq).crossJoin(index.terms.select("term", "df"))
     cand = cand.filter(
         (F.col("token_df") <= freq_cap)
         & (F.col("term") != F.col("token"))
-        & (
-            F.substring("term", 1, min_prefix)
-            == F.substring("token", 1, min_prefix)
-        )
         & (F.abs(F.length("term") - F.length("token")) <= max_edits)
     )
     dist = F.levenshtein("term", "token")

@@ -85,14 +85,12 @@ def _plan(df) -> str:
 def test_query_plan_shapes(handler_index):
     plan = _plan(search_terms(handler_index, [("w0001", 1.0), ("common", 2.0)], k=10))
     assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
-    assert plan.count("BroadcastHashJoin") >= 2, "term joins must broadcast"
-    assert "SortMergeJoin" not in plan, "no shuffle joins in the query path"
-    # exactly one exchange on the main path (the doc_id aggregation);
-    # anything after the first BroadcastExchange belongs to broadcast /
-    # cached-dictionary subtrees, not the per-query data path
-    main = plan.split("BroadcastExchange")[0]
-    n_exchanges = main.count("Exchange hashpartitioning")
-    assert n_exchanges == 1, f"expected 1 main-path shuffle, got {n_exchanges}"
+    # df is resolved driver-side (Lucene TermStates step) and idf/boost
+    # fold into literal maps, so a term-bag query is join-FREE: one
+    # pruned postings scan + projection + doc_id agg + top-k.
+    assert "Join" not in plan, "term-bag query must compile join-free"
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle (doc_id agg), got {n_exchanges}"
 
 
 def test_build_plan_no_posting_shuffle(spark, tiny_corpus):

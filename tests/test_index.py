@@ -112,3 +112,21 @@ def test_salted_term_agg_matches_direct(spark, tiny_corpus_pd, tiny_index):
         mixed[["term", "df", "cf"]].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_corpus_term_stats_matches_index_terms(spark, tiny_corpus, tiny_index):
+    """The fused one-Arrow-stage dictionary build (corpus_term_stats)
+    is row-identical to the postings-derived terms frame, including
+    under stopwords and a token cap."""
+    from solrplugins_spark.index.builder import corpus_term_stats
+
+    fused = corpus_term_stats(tiny_corpus).orderBy("term").toPandas()
+    via_index = tiny_index.terms.orderBy("term").toPandas()
+    pd.testing.assert_frame_equal(fused, via_index, check_dtype=False)
+
+    kw = dict(stopwords={"the", "dup"}, max_tokens=5, min_len=2)
+    fused2 = corpus_term_stats(tiny_corpus, **kw).orderBy("term").toPandas()
+    via2 = (
+        build_index(tiny_corpus, **kw).terms.orderBy("term").toPandas()
+    )
+    pd.testing.assert_frame_equal(fused2, via2, check_dtype=False)
