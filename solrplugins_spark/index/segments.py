@@ -319,6 +319,166 @@ def _decode_doclens(dl_data: bytes) -> np.ndarray:
     return vals.astype(np.int64)
 
 
+def _segment_topk_core(
+    term_rows: list[dict],
+    dls: np.ndarray,
+    doc_lo: int,
+    boosts: dict[str, float],
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    chunk: int = 4,
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Exact top-k for one segment: impact-ordered block-max scoring.
+
+    DAAT-class pruning adapted to vectorized (Arrow batch) execution.
+    Classic WAND moves per-doc pointers (PostingsEnum.advance,
+    BinaryTermExistsValueSource.java:128-147); a python loop per doc
+    would throw away vectorization, so this uses the score-at-a-time
+    formulation over the same block-max skip data:
+
+      phase 1 — decode blocks strictly in descending per-block upper
+        bound (ub = boost*idf*tf_part(block_max_tf, dl_min)), chunked
+        per term, until the k-th PARTIAL score strictly beats the sum
+        of every term's best undecoded block ub. At that point no
+        unseen doc can reach the top-k (its score is bounded by that
+        sum), so a head term's long tf=1 tail never decodes.
+      phase 2 — completion: candidates are accumulated docs whose
+        partial + remaining bound reaches the k-th partial; for each
+        term, decode only its undecoded blocks that contain a
+        candidate (binary search on block_last — the advance() skip)
+        and add their exact contributions. Scores of returned docs are
+        exact, so ranking is identical to the flat path including the
+        (score desc, doc_id asc) tie-break: any doc outside the
+        candidate set is strictly below the k-th final score.
+
+    Returns (doc_ids, scores, stats); stats counts decoded vs total
+    blocks — the pruning effectiveness metric asserted by the
+    skewed-tf fixture in tests/test_segments.py.
+    """
+    import heapq
+
+    nonzero = dls[dls > 0]
+    dl_min = float(nonzero.min()) if len(nonzero) else 1.0
+    norm_min = k1 * (1.0 - b + b * dl_min / avgdl)
+
+    terms = []
+    total_blocks = 0
+    for r in term_rows:
+        t = r["term"]
+        bl = np.asarray(r["block_last"], dtype=np.int64)
+        bo = np.asarray(r["block_off"], dtype=np.int64)
+        bm = np.asarray(r["block_max"], dtype=np.float64)
+        if len(bm) == 0:
+            continue
+        w = boosts[t] * idfs[t]
+        ub = w * bm * (k1 + 1.0) / (bm + norm_min)
+        order = np.argsort(-ub, kind="stable")  # impact order
+        terms.append({
+            "t": t, "data": r["data"], "bl": bl, "bo": bo,
+            "df": int(r["df"]), "ub": ub, "order": order, "ptr": 0,
+            "decoded": np.zeros(len(ub), dtype=bool),
+        })
+        total_blocks += len(ub)
+
+    acc_docs = np.array([], dtype=np.int64)
+    acc_scores = np.array([], dtype=np.float64)
+    stats = {"blocks_decoded": 0, "blocks_total": total_blocks}
+    if not terms:
+        return acc_docs, acc_scores, stats
+
+    def bm25(tfs: np.ndarray, docs: np.ndarray, t: str) -> np.ndarray:
+        dl = dls[docs - doc_lo].astype(np.float64)
+        tf = tfs.astype(np.float64)
+        return (
+            boosts[t] * idfs[t] * tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+
+    def merge(docs: np.ndarray, scores: np.ndarray) -> None:
+        nonlocal acc_docs, acc_scores
+        all_docs = np.concatenate([acc_docs, docs])
+        all_scores = np.concatenate([acc_scores, scores])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        summed = np.zeros(len(uniq), np.float64)
+        np.add.at(summed, inv, all_scores)
+        acc_docs, acc_scores = uniq, summed
+
+    def decode_marked(ti: dict, block_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ti["decoded"][block_ids] = True
+        stats["blocks_decoded"] += len(block_ids)
+        return decode_blocks(
+            ti["data"], np.sort(block_ids), ti["bo"], ti["bl"], ti["df"]
+        )
+
+    # ---- phase 1: impact-ordered chunks until theta beats remaining
+    heap = [(-ti["ub"][ti["order"][0]], i) for i, ti in enumerate(terms)]
+    heapq.heapify(heap)
+    while heap:
+        theta = (
+            np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+            if len(acc_scores) >= k
+            else -np.inf
+        )
+        remaining = sum(
+            ti["ub"][ti["order"][ti["ptr"]]]
+            for ti in terms
+            if ti["ptr"] < len(ti["order"])
+        )
+        if len(acc_scores) >= k and remaining < theta:
+            break
+        _, i = heapq.heappop(heap)
+        ti = terms[i]
+        take = ti["order"][ti["ptr"]: ti["ptr"] + chunk]
+        ti["ptr"] += len(take)
+        docs, tfs = decode_marked(ti, take)
+        merge(docs, bm25(tfs, docs, ti["t"]))
+        if ti["ptr"] < len(ti["order"]):
+            heapq.heappush(heap, (-ti["ub"][ti["order"][ti["ptr"]]], i))
+
+    # ---- phase 2: complete candidate scores from undecoded blocks
+    theta = (
+        np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+        if len(acc_scores) >= k
+        else -np.inf
+    )
+    remaining = sum(
+        ti["ub"][ti["order"][ti["ptr"]]]
+        for ti in terms
+        if ti["ptr"] < len(ti["order"])
+    )
+    if remaining > 0.0 and len(acc_docs):
+        # per-doc remaining bound, tighter than the global sum: a term
+        # can add at most the ub of the doc's OWN containing block, and
+        # nothing at all if that block is already decoded (its
+        # contribution is then exact in the accumulator).
+        per_doc = np.zeros(len(acc_docs), np.float64)
+        for ti in terms:
+            blk = np.searchsorted(ti["bl"], acc_docs)
+            valid = blk < len(ti["bl"])
+            undecoded = valid.copy()
+            undecoded[valid] = ~ti["decoded"][blk[valid]]
+            per_doc[undecoded] += ti["ub"][blk[undecoded]]
+        cand = acc_docs[acc_scores + per_doc >= theta]
+        for ti in terms:
+            if ti["ptr"] >= len(ti["order"]) or len(cand) == 0:
+                continue
+            need = np.unique(np.searchsorted(ti["bl"], cand))
+            need = need[need < len(ti["bl"])]
+            need = need[~ti["decoded"][need]]
+            if len(need) == 0:
+                continue
+            docs, tfs = decode_marked(ti, need)
+            mask = np.isin(docs, cand, assume_unique=True)
+            docs, tfs = docs[mask], tfs[mask]
+            if len(docs):
+                merge(docs, bm25(tfs, docs, ti["t"]))
+
+    return acc_docs, acc_scores, stats
+
+
 def _segment_topk(
     pdf: pd.DataFrame,
     boosts: dict[str, float],
@@ -328,106 +488,25 @@ def _segment_topk(
     b: float,
     avgdl: float,
 ) -> pd.DataFrame:
-    """Exact top-k for one segment with MaxScore/block-max pruning.
-
-    Terms are processed in descending upper-bound order (ub =
-    boost*idf*(k1+1), the BM25 tf-part supremum). Once the remaining
-    terms' summed ub can no longer lift a new doc over the current
-    k-th score, later terms stop admitting new docs and only blocks
-    overlapping existing candidates are decoded — the block-max /
-    WAND-family pruning adapted to vectorized (Arrow batch) execution
-    instead of per-doc pointer movement (SURVEY.md §4: custom logic,
-    not a Catalyst rule).
-    """
+    """Exact top-k for one segment (see _segment_topk_core)."""
     dl_row = pdf[pdf["_kind"] == "dl"]
-    if len(dl_row) == 0 or len(pdf[pdf["_kind"] == "post"]) == 0:
+    posts = pdf[pdf["_kind"] == "post"]
+    if len(dl_row) == 0 or len(posts) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
     doc_lo = int(dl_row["doc_lo"].iloc[0])
     dls = _decode_doclens(dl_row["data"].iloc[0])
-    # tightest dl any posting in this segment can have (dl=0 docs have
-    # no postings) — the per-segment dl lower bound for admission
-    nonzero = dls[dls > 0]
-    dl_min = float(nonzero.min()) if len(nonzero) else 1.0
-
-    posts = pdf[pdf["_kind"] == "post"]
-    terms = []
-    for _, r in posts.iterrows():
-        t = r["term"]
-        # per-term upper bound: BM25 tf-part is increasing in tf and
-        # decreasing in dl, so tf_part(max block tf, min dl) bounds any
-        # doc's contribution — tighter than the (k1+1) supremum, so
-        # more terms fall below theta and skip to block-decode-only
-        bm = r["block_max"]
-        max_tf = float(max(bm)) if bm is not None and len(bm) else 1.0
-        tf_part = max_tf * (k1 + 1.0) / (
-            max_tf + k1 * (1.0 - b + b * dl_min / avgdl)
-        )
-        ub = boosts[t] * idfs[t] * tf_part
-        terms.append((ub, t, r))
-    terms.sort(key=lambda x: (-x[0], x[1]))
-    total_ub = sum(u for u, _, _ in terms)
-
-    acc_docs = np.array([], dtype=np.int64)
-    acc_scores = np.array([], dtype=np.float64)
-
-    def bm25(tfs: np.ndarray, docs: np.ndarray, t: str) -> np.ndarray:
-        dl = dls[docs - doc_lo].astype(np.float64)
-        tf = tfs.astype(np.float64)
-        return (
-            boosts[t]
-            * idfs[t]
-            * tf
-            * (k1 + 1.0)
-            / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        )
-
-    remaining = total_ub
-    for ub, t, row in terms:
-        remaining -= ub
-        theta = (
-            np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
-            if len(acc_scores) >= k
-            else -np.inf
-        )
-        admit_new = not (len(acc_scores) >= k and ub + remaining < theta)
-        if admit_new:
-            docs, tfs = decode_postings(row["data"])
-        else:
-            # non-essential term: no new doc it introduces can reach the
-            # k-th score, so only contributions to existing candidates
-            # matter — decode ONLY blocks that hold a candidate
-            # (codec v2 per-block byte offsets; the PostingsEnum.advance
-            # skip, BinaryTermExistsValueSource.java:128-147).
-            block_last = np.asarray(row["block_last"], dtype=np.int64)
-            if len(acc_docs) == 0 or len(block_last) == 0:
-                continue
-            need = np.unique(np.searchsorted(block_last, acc_docs))
-            need = need[need < len(block_last)]
-            if len(need) == 0:
-                continue
-            docs, tfs = decode_blocks(
-                row["data"],
-                need,
-                np.asarray(row["block_off"], dtype=np.int64),
-                block_last,
-                int(row["df"]),
-            )
-            mask = np.isin(docs, acc_docs, assume_unique=True)
-            docs, tfs = docs[mask], tfs[mask]
-            if len(docs) == 0:
-                continue
-        scores = bm25(tfs, docs, t)
-        # merge into accumulator (sorted arrays)
-        all_docs = np.concatenate([acc_docs, docs])
-        all_scores = np.concatenate([acc_scores, scores])
-        order = np.argsort(all_docs, kind="stable")
-        all_docs, all_scores = all_docs[order], all_scores[order]
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        summed = np.zeros(len(uniq), np.float64)
-        np.add.at(summed, inv, all_scores)
-        acc_docs, acc_scores = uniq, summed
-
+    term_rows = [
+        {
+            "term": r["term"], "data": r["data"], "df": r["df"],
+            "block_last": r["block_last"], "block_max": r["block_max"],
+            "block_off": r["block_off"],
+        }
+        for _, r in posts.iterrows()
+    ]
+    acc_docs, acc_scores, _ = _segment_topk_core(
+        term_rows, dls, doc_lo, boosts, idfs, k, k1, b, avgdl
+    )
     return _topk_frame(acc_docs, acc_scores, k)
 
 

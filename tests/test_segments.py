@@ -118,3 +118,64 @@ def test_wand_search_multi_matches_single(spark, tiny_corpus_pd, tiny_index, seg
         multi = wand_search_multi(spark, [seg_a, seg_b], terms, k=10).toPandas()
         single = wand_search(spark, seg_index, terms, k=10).toPandas()
         pd.testing.assert_frame_equal(multi, single)
+
+
+def test_impact_ordered_pruning_skewed_tf():
+    """Skewed-tf head-OR fixture (VERDICT r02 #5): with a long tf=1
+    tail and a few high-tf docs, the impact-ordered scorer must (a)
+    rank identically to a brute-force full decode and (b) decode only
+    a small fraction of blocks — the PostingsEnum.advance-style skip
+    benefit, asserted deterministically via decode counts rather than
+    wall-clock."""
+    import numpy as np
+
+    from solrplugins_spark.index.codec import encode_postings
+    from solrplugins_spark.index.segments import _segment_topk_core, _topk_frame
+
+    rng = np.random.default_rng(7)
+    n_docs = 60_000
+    dls = rng.integers(20, 60, size=n_docs).astype(np.int64)
+
+    def make_term(df, hot, hot_tf):
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = np.ones(df, dtype=np.int64)
+        hot_idx = rng.choice(df, size=hot, replace=False)
+        tfs[hot_idx] = rng.integers(hot_tf // 2, hot_tf, size=hot)
+        return docs, tfs
+
+    term_rows = []
+    truth_docs = np.arange(n_docs, dtype=np.int64)
+    truth_scores = np.zeros(n_docs)
+    boosts, idfs = {}, {}
+    k1, b, avgdl = 1.2, 0.75, float(dls.mean())
+    for name, df, hot, hot_tf, boost in [
+        ("head1", 30_000, 40, 30, 1.0),
+        ("head2", 25_000, 40, 25, 1.0),
+        ("mid", 4_000, 20, 40, 2.0),
+    ]:
+        docs, tfs = make_term(df, hot, hot_tf)
+        data, bl, bm, bo = encode_postings(docs, tfs)
+        term_rows.append({
+            "term": name, "data": data, "df": df,
+            "block_last": bl, "block_max": bm, "block_off": bo,
+        })
+        n = float(n_docs)
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        boosts[name], idfs[name] = boost, idf
+        tfd = tfs.astype(np.float64)
+        truth_scores[docs] += (
+            boost * idf * tfd * (k1 + 1.0)
+            / (tfd + k1 * (1.0 - b + b * dls[docs] / avgdl))
+        )
+
+    acc_docs, acc_scores, stats = _segment_topk_core(
+        term_rows, dls, 0, boosts, idfs, k=10, k1=k1, b=b, avgdl=avgdl
+    )
+    got = _topk_frame(acc_docs, acc_scores, 10)
+    hit = truth_scores > 0
+    want = _topk_frame(truth_docs[hit], truth_scores[hit], 10)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+
+    frac = stats["blocks_decoded"] / stats["blocks_total"]
+    assert frac < 0.25, f"pruning ineffective: decoded {frac:.0%} of blocks"
