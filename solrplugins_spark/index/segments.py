@@ -747,11 +747,10 @@ def wand_phrase_search(
 def _segment_boolean_topk(
     pdf: pd.DataFrame,
     tree,
-    idfs: dict[str, float],
+    field_ctx: dict[str, dict],
     k: int,
     k1: float,
     b: float,
-    avgdl: float,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -761,33 +760,52 @@ def _segment_boolean_topk(
     exact — the same argument that makes WAND's per-segment fan-out
     correct. Leaves score BM25 from the decoded postings; node ops are
     numpy set algebra on (sorted docs, scores) pairs.
+
+    ``field_ctx`` maps field name -> {"idfs", "avgdl"} ("" = default
+    field); rows in ``pdf`` carry a matching ``fld`` tag. FieldQuery
+    nodes switch the scoring context to that field's postings/doclens/
+    stats (the per-field index routing of the flat QueryCompiler,
+    segment-local because all per-field indexes share the doc space).
+    Range nodes evaluate over the intrinsic doc_id key (constant score
+    1.0, the ConstantScoreRangeQuery semantic); stored-column ranges
+    need the flat path's corpus.
     """
     from ..query import ast as qast
 
-    dl_row = pdf[pdf["_kind"] == "dl"]
     empty = _topk_frame(np.array([], np.int64), np.array([], np.float64), k)
-    if len(dl_row) == 0:
+    dls_by_field: dict[str, np.ndarray] = {}
+    doc_lo_by_field: dict[str, int] = {}
+    for _, r in pdf[pdf["_kind"] == "dl"].iterrows():
+        f = r["fld"] if "fld" in pdf.columns else ""
+        dls_by_field[f] = _decode_doclens(r["data"])
+        doc_lo_by_field[f] = int(r["doc_lo"])
+    if "" not in dls_by_field:
         return empty
-    doc_lo = int(dl_row["doc_lo"].iloc[0])
-    dls = _decode_doclens(dl_row["data"].iloc[0])
+    doc_lo = doc_lo_by_field[""]
+    dls = dls_by_field[""]
     all_docs = doc_lo + np.flatnonzero(dls > 0).astype(np.int64)
 
     posts = pdf[pdf["_kind"] == "post"]
     has_pos = "pos_data" in posts.columns
-    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    positions: dict[str, np.ndarray] = {}
-    for _, r in posts.iterrows():
+    decoded: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+    positions: dict[tuple[str, str], np.ndarray] = {}
+    for idx, r in posts.iterrows():
+        f = r["fld"] if "fld" in pdf.columns else ""
         docs_tfs = decode_postings(r["data"])
-        decoded[r["term"]] = docs_tfs
+        decoded[(f, r["term"])] = docs_tfs
         if has_pos and r["pos_data"] is not None:
-            positions[r["term"]] = decode_positions(r["pos_data"], docs_tfs[1])
+            positions[(f, r["term"])] = decode_positions(r["pos_data"], docs_tfs[1])
 
-    def bm25(term: str) -> tuple[np.ndarray, np.ndarray]:
-        if term not in decoded or term not in idfs:
+    def bm25(term: str, fld: str) -> tuple[np.ndarray, np.ndarray]:
+        ctx = field_ctx.get(fld, field_ctx[""])
+        idfs, avgdl = ctx["idfs"], ctx["avgdl"]
+        fdls = dls_by_field.get(fld, dls)
+        f_lo = doc_lo_by_field.get(fld, doc_lo)
+        if (fld, term) not in decoded or term not in idfs:
             return np.array([], np.int64), np.array([], np.float64)
-        docs, tfs = decoded[term]
+        docs, tfs = decoded[(fld, term)]
         tf = tfs.astype(np.float64)
-        dl = dls[docs - doc_lo].astype(np.float64)
+        dl = fdls[docs - f_lo].astype(np.float64)
         s = idfs[term] * tf * (k1 + 1.0) / (
             tf + k1 * (1.0 - b + b * dl / avgdl)
         )
@@ -801,7 +819,38 @@ def _segment_boolean_topk(
         np.add.at(summed, inv, scores)
         return uniq, summed
 
-    def evaluate(node):
+    def range_eval(field: str, node) -> tuple[np.ndarray, np.ndarray]:
+        """Intrinsic doc_id range -> constant-score 1.0 docset (the
+        flat compiler's _range over the dense-minted key). Stored
+        columns have no packed representation — those stay flat."""
+        if field != "doc_id":
+            raise ValueError(
+                f"packed range supports the intrinsic doc_id key, not "
+                f"stored column {field!r} — use the flat path"
+            )
+
+        def _num(v: str) -> float:
+            try:
+                return float(int(v))
+            except ValueError:
+                return float(v)
+
+        lo_edge = float(doc_lo)
+        hi_edge = float(doc_lo + len(dls) - 1)
+        lo = lo_edge if node.low is None else _num(node.low)
+        hi = hi_edge if node.high is None else _num(node.high)
+        if node.low is not None and not node.include_low:
+            lo = np.floor(lo) + 1.0
+        if node.high is not None and not node.include_high:
+            hi = np.ceil(hi) - 1.0
+        lo = int(max(lo_edge, np.ceil(lo)))
+        hi = int(min(hi_edge, np.floor(hi)))
+        if hi < lo:
+            return np.array([], np.int64), np.array([], np.float64)
+        docs = np.arange(lo, hi + 1, dtype=np.int64)
+        return docs, np.ones(len(docs), np.float64)
+
+    def evaluate(node, fld: str = ""):
         from ..analysis.tokenizer import tokenize_pandas
 
         if isinstance(node, qast.Operand):
@@ -810,57 +859,71 @@ def _segment_boolean_topk(
             toks = sorted(set(tokenize_pandas(pd.Series([node.value]))[0]))
             acc = (np.array([], np.int64), np.array([], np.float64))
             for t in toks:
-                acc = union_sum(acc, bm25(t))
+                acc = union_sum(acc, bm25(t, fld))
             return acc
         if isinstance(node, qast.Or):
-            return union_sum(evaluate(node.left), evaluate(node.right))
+            return union_sum(evaluate(node.left, fld), evaluate(node.right, fld))
         if isinstance(node, qast.And):
             if isinstance(node.right, qast.Not):
-                ld, ls = evaluate(node.left)
-                rd, _ = evaluate(node.right.child)
+                ld, ls = evaluate(node.left, fld)
+                rd, _ = evaluate(node.right.child, fld)
                 keep = ~np.isin(ld, rd, assume_unique=True)
                 return ld[keep], ls[keep]
             if isinstance(node.left, qast.Not):
-                rd, rs = evaluate(node.right)
-                ld, _ = evaluate(node.left.child)
+                rd, rs = evaluate(node.right, fld)
+                ld, _ = evaluate(node.left.child, fld)
                 keep = ~np.isin(rd, ld, assume_unique=True)
                 return rd[keep], rs[keep]
-            ld, ls = evaluate(node.left)
-            rd, rs = evaluate(node.right)
+            ld, ls = evaluate(node.left, fld)
+            rd, rs = evaluate(node.right, fld)
             both = np.intersect1d(ld, rd, assume_unique=True)
             return both, (
                 ls[np.searchsorted(ld, both)] + rs[np.searchsorted(rd, both)]
             )
         if isinstance(node, qast.Not):
-            md, _ = evaluate(node.child)
+            md, _ = evaluate(node.child, fld)
             keep = ~np.isin(all_docs, md, assume_unique=True)
             docs = all_docs[keep]
             return docs, np.zeros(len(docs), np.float64)
+        if isinstance(node, qast.Range):
+            return range_eval("doc_id", node)
+        if isinstance(node, qast.FieldQuery):
+            fname = node.field.rstrip(":")
+            if isinstance(node.child, qast.Range):
+                return range_eval(fname, node.child)
+            if fname not in field_ctx:
+                raise ValueError(
+                    f"no packed index for field {fname!r} — pass it via "
+                    "field_segments (build_segments over that field's "
+                    "flat index; same doc space and seg_size)"
+                )
+            return evaluate(node.child, fname)
         if isinstance(node, qast.Quote):
             phrase = list(tokenize_pandas(pd.Series([node.child.evaluate()]))[0])
-            if not phrase or any(t not in positions for t in phrase):
+            f_lo = doc_lo_by_field.get(fld, doc_lo)
+            if not phrase or any((fld, t) not in positions for t in phrase):
                 return np.array([], np.int64), np.array([], np.float64)
             M = np.int64(1) << np.int64(32)
             keys = None
             for i, t in enumerate(phrase):
-                docs, tfs = decoded[t]
-                doc_per_pos = np.repeat(docs - doc_lo, tfs)
-                k_i = doc_per_pos * M + (positions[t] - i)
+                docs, tfs = decoded[(fld, t)]
+                doc_per_pos = np.repeat(docs - f_lo, tfs)
+                k_i = doc_per_pos * M + (positions[(fld, t)] - i)
                 keys = k_i if keys is None else np.intersect1d(keys, k_i)
                 if keys.size == 0:
                     return np.array([], np.int64), np.array([], np.float64)
-            hits = np.unique(keys // M) + doc_lo
+            hits = np.unique(keys // M) + f_lo
             # flat compiler semantics: member-term BM25 summed on hits
             acc = (hits, np.zeros(len(hits), np.float64))
             for t in sorted(set(phrase)):
-                d, s = bm25(t)
+                d, s = bm25(t, fld)
                 mask = np.isin(d, hits, assume_unique=True)
                 idx = np.searchsorted(acc[0], d[mask])
                 acc[1][idx] += s[mask]
             return acc
         raise ValueError(
-            f"packed boolean path supports Operand/And/Or/Not/Quote; "
-            f"got {type(node).__name__}"
+            f"packed boolean path supports Operand/And/Or/Not/Quote/"
+            f"FieldQuery/Range; got {type(node).__name__}"
         )
 
     docs, scores = evaluate(tree)
@@ -877,6 +940,7 @@ def wand_boolean_search(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
 ) -> DataFrame:
     """Parsed boolean query (NOT > AND > OR precedence, the reference
     grammar) over PACKED segments: the boolean tree evaluates
@@ -884,12 +948,24 @@ def wand_boolean_search(
     partition docs), one Spark job, k rows per segment merged
     globally. Rank-identical to the flat execute_query
     (tests/test_segments_v3.py). Supports Operand/And/Or/Not/Quote
-    (quoted phrases need a positions-bearing v3 index) — field routing
-    and ranges stay on the flat path (they need other indexes / the
-    stored corpus)."""
+    plus FieldQuery routing to per-field packed indexes
+    (``field_segments``: field name -> SegmentIndex built over that
+    field's flat index; must share the doc space and seg_size so the
+    per-segment evaluation stays aligned) and Range terminals over the
+    intrinsic doc_id key. Stored-column ranges stay on the flat path
+    (they need the corpus)."""
     from ..query import ast as qast
     from ..query.compiler import _leaf_terms
     from ..query.parser import parse_query
+
+    field_segments = field_segments or {}
+    for fname, fsi in field_segments.items():
+        if fsi.seg_size != seg_index.seg_size:
+            raise ValueError(
+                f"field index {fname!r} seg_size {fsi.seg_size} != "
+                f"{seg_index.seg_size} — per-segment routing needs "
+                "aligned doc ranges"
+            )
 
     def _has_quote(node) -> bool:
         if isinstance(node, qast.Quote):
@@ -903,24 +979,53 @@ def wand_boolean_search(
         return False
 
     tree, _errors = parse_query(query)
-    term_list = sorted(set(_leaf_terms(tree)))
-    dfs = _sidecar_dfs(seg_index.path, term_list) if term_list else {}
-    if dfs is None:
-        raise ValueError("boolean packed search needs the termstats sidecar")
-    n = seg_index.n_docs
-    idfs = {
-        t: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
-        for t, d in dfs.items()
-        if d > 0
-    }
-    unified = _unified_frame(
-        spark, [(0, seg_index)], term_list or ["\x00none"],
-        with_subs=_has_quote(tree),
-    )
-    avgdl = seg_index.avgdl
+    # per-field term sets: a field's dictionary only resolves terms
+    # under ITS FieldQuery subtrees; everything else is default-field
+    def _field_terms(node, fld: str, out: dict) -> None:
+        if isinstance(node, (qast.Or, qast.And)):
+            _field_terms(node.left, fld, out)
+            _field_terms(node.right, fld, out)
+        elif isinstance(node, (qast.Not, qast.Quote)):
+            _field_terms(node.child, fld, out)
+        elif isinstance(node, qast.FieldQuery):
+            fname = node.field.rstrip(":")
+            nxt = fname if fname in field_segments else fld
+            if not isinstance(node.child, qast.Range):
+                _field_terms(node.child, nxt, out)
+        elif isinstance(node, qast.Operand):
+            out.setdefault(fld, set()).update(_leaf_terms(node))
+
+    by_field: dict[str, set] = {}
+    _field_terms(tree, "", by_field)
+    with_subs = _has_quote(tree)
+
+    field_ctx: dict[str, dict] = {}
+    unified = None
+    for fname, fsi in [("", seg_index)] + sorted(field_segments.items()):
+        terms = sorted(by_field.get(fname, set()))
+        dfs = _sidecar_dfs(fsi.path, terms) if terms else {}
+        if dfs is None:
+            raise ValueError(
+                f"boolean packed search needs the termstats sidecar "
+                f"(field {fname or 'default'!r})"
+            )
+        n = fsi.n_docs
+        field_ctx[fname] = {
+            "idfs": {
+                t: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+                for t, d in dfs.items()
+                if d > 0
+            },
+            "avgdl": fsi.avgdl,
+        }
+        frame = _unified_frame(
+            spark, [(0, fsi)], terms or ["\x00none"],
+            with_subs=with_subs, field=fname,
+        )
+        unified = frame if unified is None else unified.unionByName(frame)
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_boolean_topk(pdf, tree, idfs, k, k1, b, avgdl)
+        return _segment_boolean_topk(pdf, tree, field_ctx, k, k1, b)
 
     seg_tops = unified.groupBy("seg").applyInPandas(
         per_segment, schema="doc_id long, score double"
@@ -1293,12 +1398,16 @@ def _unified_frame(
     gens: list[tuple[int, SegmentIndex]],
     term_list: list[str],
     with_subs: bool = False,
+    field: str = "",
 ) -> DataFrame:
     """Postings (term-pruned scan) + doclen rows stacked into one frame
     keyed by seg, for a single groupBy(seg).applyInPandas stage.
     ``with_subs`` adds the v3 positions/payload sub-stream columns
     (left out of the plain-BM25 scan so parquet column pruning skips
-    those bytes)."""
+    those bytes). ``field`` tags every row (fld column) so per-field
+    packed indexes over the SAME doc space can stack into one frame —
+    same seg covers the same doc range, so field routing stays
+    segment-local (wand_boolean_search field_segments)."""
     posts = None
     dls = None
     for gen_id, si in gens:
@@ -1336,6 +1445,7 @@ def _unified_frame(
     return posts.select(
         "seg",
         F.lit("post").alias("_kind"),
+        F.lit(field).alias("fld"),
         "term",
         "df",
         "block_last",
@@ -1348,6 +1458,7 @@ def _unified_frame(
         dls.select(
             "seg",
             F.lit("dl").alias("_kind"),
+            F.lit(field).alias("fld"),
             F.lit(None).cast("string").alias("term"),
             F.lit(None).cast("long").alias("df"),
             F.lit(None).cast("array<long>").alias("block_last"),
