@@ -279,20 +279,38 @@ def ngram_jaccard_pairs(
     max_candidates_per_ngram: int = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact word-n-gram jaccard over pairs
-    that share at least one n-gram (inverted candidate generation; a
-    per-ngram candidate cap bounds boilerplate skew)."""
+    that share at least one n-gram (inverted candidate generation).
+
+    Boilerplate skew: an n-gram whose posting exceeds
+    ``max_candidates_per_ngram`` is SALTED into ceil(df/cap) hash
+    buckets (salt = hash(ng, doc_id)) and candidates pair within a
+    bucket — no self-join key ever exceeds ~cap docs, yet every doc
+    keeps candidates (the old first-N truncation silently orphaned
+    docs past the cap; VERDICT r02 #7). Recall for over-cap near-dups:
+    two docs sharing G over-cap n-grams collide in at least one bucket
+    with prob 1-(1-1/s)^G — near-certain for real duplicates, which
+    share many n-grams (asserted by the 200-copy fixture in
+    tests/test_pipeline_ops.py). Under-cap n-grams have one bucket, so
+    behavior below the cap is exact and unchanged. ngram_cap_dropped
+    reports the over-cap n-grams and their bucket counts."""
     sh = docs.select(
         F.col(doc_col).alias("doc_id"), _shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0).persist()
     inv = sh.select("doc_id", F.explode("sh").alias("ng"))
     from pyspark.sql import Window as W
 
-    capped = inv.withColumn(
-        "_rn", F.row_number().over(W.partitionBy("ng").orderBy("doc_id"))
-    ).filter(F.col("_rn") <= max_candidates_per_ngram)
+    salted = inv.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("ng"))
+    ).withColumn(
+        "_salt",
+        F.pmod(
+            F.hash("ng", "doc_id"),
+            F.ceil(F.col("_df") / F.lit(max_candidates_per_ngram)).cast("int"),
+        ),
+    )
     cand = (
-        capped.alias("x")
-        .join(capped.alias("y"), "ng")
+        salted.alias("x")
+        .join(salted.alias("y"), ["ng", "_salt"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -473,11 +491,13 @@ def ngram_cap_dropped(
     doc_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Telemetry for the ngram_jaccard_pairs per-ngram candidate cap:
-    (ng, df, dropped) for every n-gram whose posting exceeds the cap.
-    The cap is a correctness-affecting knob under extreme boilerplate
-    skew — this counter makes the dropped volume observable instead of
-    silent (sum(dropped) == docs removed from candidate generation)."""
+    """Telemetry for the ngram_jaccard_pairs per-ngram salting:
+    (ng, df, salts) for every n-gram whose posting exceeds the cap and
+    therefore pairs within hash buckets instead of exhaustively.
+    ``salts`` is the bucket count ceil(df/cap); recall for a pair
+    sharing only over-cap n-grams degrades to 1-(1-1/salts)^shared —
+    this frame makes that degradation observable (and actionable:
+    raise the cap, or pre-strip the boilerplate n-grams it lists)."""
     sh = docs.select(
         F.col(doc_col).alias("doc_id"), _shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -486,5 +506,11 @@ def ngram_cap_dropped(
         inv.groupBy("ng")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_candidates_per_ngram)
-        .select("ng", "df", (F.col("df") - max_candidates_per_ngram).alias("dropped"))
+        .select(
+            "ng",
+            "df",
+            F.ceil(F.col("df") / F.lit(max_candidates_per_ngram))
+            .cast("int")
+            .alias("salts"),
+        )
     )

@@ -117,12 +117,33 @@ def test_ngram_cap_dropped_counter(dup_docs):
     from solrplugins_spark.dedup import ngram_cap_dropped
 
     # cap=2: the shared "quick brown fox"-family 3-grams appear in 4
-    # docs (0,1,2,5) -> dropped = 4 - 2 = 2 per over-cap ngram
+    # docs (0,1,2,5) -> salted into ceil(4/2)=2 buckets
     got = ngram_cap_dropped(dup_docs, n=3, max_candidates_per_ngram=2).toPandas()
     assert len(got) > 0
-    assert (got["dropped"] == got["df"] - 2).all()
+    assert (got["salts"] == np.ceil(got["df"] / 2)).all()
     # no ngram exceeds the cap when the cap is huge
     assert ngram_cap_dropped(dup_docs, n=3, max_candidates_per_ngram=100).count() == 0
+
+
+def test_ngram_salting_keeps_boilerplate_recall(spark):
+    """VERDICT r02 #7 fixture: many copies of one doc, far over the
+    per-ngram cap. The old first-N truncation orphaned every copy past
+    the cap; salted buckets must keep every copy paired and the whole
+    clique connected through transitive pairs."""
+    from solrplugins_spark.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    copies = spark.createDataFrame(
+        [(i, text) for i in range(200)], "doc_id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(
+        copies, n=3, threshold=0.9, max_candidates_per_ngram=20
+    ).persist()
+    got = pairs.toPandas()
+    seen = set(got["doc_a"]) | set(got["doc_b"])
+    assert seen == set(range(200)), f"orphaned copies: {set(range(200)) - seen}"
+    clusters = duplicate_clusters(pairs).toPandas()
+    assert set(clusters["cluster_id"]) == {0}, "copies split across clusters"
 
 
 # ---- ANN ------------------------------------------------------------
