@@ -68,7 +68,11 @@ def interesting_terms(
         .groupBy("term")
         .agg(F.sum("tf").alias("tf"))
     )
-    cand = seed_terms.join(index.terms.select("term", "df"), "term")
+    # broadcast the SEED side (bounded by the seed docs' vocabulary),
+    # never the dictionary: at 10^8+ terms the terms frame exceeds any
+    # broadcast threshold and would otherwise force a full-dictionary
+    # shuffle join per MLT query
+    cand = index.terms.select("term", "df").join(F.broadcast(seed_terms), "term")
     if params.min_term_freq > 0:
         cand = cand.filter(F.col("tf") >= params.min_term_freq)
     if params.min_doc_freq > 0:
