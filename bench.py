@@ -184,7 +184,7 @@ def contract_scaling(n_cores: int = 2, rounds: int = 3) -> dict:
 
 def main() -> None:
     t_start = time.time()
-    scaling = contract_scaling(n_cores=2, rounds=3)
+    scaling = contract_scaling(n_cores=2, rounds=4)
     tput_n, secs_n = build_throughput(8)
     tput_4n, secs_4n = build_throughput(CPUS)
     efficiency_8_32 = tput_4n / ((CPUS / 8.0) * tput_n)

@@ -98,6 +98,10 @@ class InvertedIndex:
     # queried vocabulary; the frames above are immutable so entries
     # never go stale. Absent terms cache as df=0.
     df_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    # tokenizer settings the index was built with — the re-analysis
+    # paths (MLT seed-doc term extraction, MoreLikeThis.java:1134-1144)
+    # must tokenize stored text identically to the build
+    tok_kwargs: dict = field(default_factory=dict, repr=False, compare=False)
 
     def persist(self) -> "InvertedIndex":
         self.postings = self.postings.persist()
@@ -185,6 +189,7 @@ def build_index(
         n_docs=n_docs,
         avgdl=avgdl,
         docs=docs,
+        tok_kwargs=tok_kwargs,
     )
 
 

@@ -48,6 +48,81 @@ class MLTParams:
     min_should_match: int = 1       # DEFAULT_MM "1" :147
 
 
+def _interesting_terms_driver(
+    index: InvertedIndex,
+    seed_doc_ids: list[int],
+    params: MLTParams,
+    round_to: int,
+) -> DataFrame:
+    """Driver-side term extraction for a BOUNDED seed list — the shape
+    of the reference itself: MoreLikeThis re-analyzes the stored seed
+    docs (ir.document -> analyzer, MoreLikeThis.java:1134-1144) and
+    builds createQueue's priority queue on the leader. One pruned
+    corpus fetch (doc_id pushdown) + one cached-dictionary df lookup;
+    no postings scan, no shuffle. Identical output to the distributed
+    path (asserted in tests/test_mlt.py)."""
+    import numpy as np
+
+    from .scorer import resolve_df
+
+    spark = index.postings.sparkSession
+    out_schema = "term string, tf long, df long, score double, raw_weight double"
+    texts = [
+        r["text"]
+        for r in index.docs.filter(
+            F.col("doc_id").isin([int(d) for d in seed_doc_ids])
+        ).select("text").collect()
+    ]
+    from ..analysis.tokenizer import tokenize_pandas
+
+    import pandas as pd
+
+    toks = tokenize_pandas(pd.Series(texts, dtype="object"), **index.tok_kwargs)
+    counts: dict[str, int] = {}
+    for lst in toks:
+        for t in lst:
+            counts[t] = counts.get(t, 0) + 1
+    if not counts:
+        return spark.createDataFrame([], out_schema)
+    df_map = resolve_df(index, sorted(counts))
+    cand = pd.DataFrame(
+        [(t, c, df_map[t]) for t, c in counts.items() if t in df_map],
+        columns=["term", "tf", "df"],
+    )
+    if params.min_term_freq > 0:
+        cand = cand[cand["tf"] >= params.min_term_freq]
+    if params.min_doc_freq > 0:
+        cand = cand[cand["df"] >= params.min_doc_freq]
+    cand = cand[cand["df"] <= params.max_doc_freq]
+    if len(cand) == 0:
+        return spark.createDataFrame([], out_schema)
+    idf = np.log(float(index.n_docs) / (cand["df"].to_numpy() + 1.0)) + 1.0
+    tf_val = (
+        np.log(cand["tf"].to_numpy() + 1.0)
+        if params.log_tf
+        else cand["tf"].to_numpy().astype(np.float64)
+    )
+    cand = cand.assign(weight=(tf_val * idf) if params.boost else 1.0)
+    max_terms = params.max_query_terms if params.max_query_terms > 0 else 2**31 - 1
+    top = cand.sort_values(
+        ["weight", "term"], ascending=[False, True], kind="stable"
+    ).head(max_terms)
+    veclen = float(np.sqrt((top["weight"].to_numpy() ** 2).sum()))
+    if veclen <= 0.0:
+        return spark.createDataFrame([], out_schema)
+    norm = veclen if params.normalize_boosts else 1.0
+    out = pd.DataFrame(
+        {
+            "term": top["term"],
+            "tf": top["tf"].astype("int64"),
+            "df": top["df"].astype("int64"),
+            "score": np.round(params.field_boost * top["weight"] / norm, round_to),
+            "raw_weight": top["weight"],
+        }
+    )
+    return spark.createDataFrame(out, schema=out_schema)
+
+
 def interesting_terms(
     index: InvertedIndex,
     seed_doc_ids: list[int] | DataFrame,
@@ -55,8 +130,20 @@ def interesting_terms(
     round_to: int = 5,
 ) -> DataFrame:
     """(term, tf, df, score) — the MLT expansion terms, scored and
-    L2-normalized exactly as getMostInterestingTerms does."""
+    L2-normalized exactly as getMostInterestingTerms does.
+
+    A bounded seed LIST takes the reference's own shape — re-analyze
+    the stored seed docs and build the PQ driver-side (one pruned
+    corpus fetch; _interesting_terms_driver). DataFrame seeds (or no
+    stored corpus) run the distributed pipeline below, which scales to
+    unbounded seed sets."""
     spark = index.postings.sparkSession
+    if (
+        isinstance(seed_doc_ids, list)
+        and index.docs is not None
+        and len(seed_doc_ids) <= 256
+    ):
+        return _interesting_terms_driver(index, seed_doc_ids, params, round_to)
     if isinstance(seed_doc_ids, list):
         seeds = spark.createDataFrame([(int(d),) for d in seed_doc_ids], "doc_id long")
     else:

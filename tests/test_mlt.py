@@ -169,3 +169,29 @@ def test_interesting_terms_many_seeds_size_guard(tiny_index, tiny_corpus_pd):
     want = {t: round(w / veclen, 5) for t, _, _, w in top}
     got_map = dict(zip(got["term"], got["score"]))
     assert got_map == want
+
+
+def test_interesting_terms_driver_matches_distributed(spark, tiny_index):
+    """The bounded-seed driver-side PQ (the reference's re-analysis
+    shape) must be row-identical to the distributed extraction
+    pipeline, across param combos."""
+    from solrplugins_spark.query.mlt import MLTParams, interesting_terms
+
+    for p in [
+        MLTParams(min_doc_freq=2, max_query_terms=10),
+        MLTParams(min_doc_freq=1, max_query_terms=5, log_tf=True),
+        MLTParams(min_doc_freq=2, max_query_terms=0, normalize_boosts=False),
+    ]:
+        seeds_list = [0, 3, 7]
+        seeds_df = spark.createDataFrame(
+            [(d,) for d in seeds_list], "doc_id long"
+        )
+        a = (
+            interesting_terms(tiny_index, seeds_list, p)
+            .orderBy("term").toPandas()
+        )
+        b = (
+            interesting_terms(tiny_index, seeds_df, p)
+            .orderBy("term").toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
