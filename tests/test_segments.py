@@ -179,3 +179,64 @@ def test_impact_ordered_pruning_skewed_tf():
 
     frac = stats["blocks_decoded"] / stats["blocks_total"]
     assert frac < 0.25, f"pruning ineffective: decoded {frac:.0%} of blocks"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(50, 4000),
+    n_terms=st.integers(1, 5),
+    k=st.integers(1, 20),
+)
+def test_impact_ordered_core_rank_identical_property(seed, n_docs, n_terms, k):
+    """Property: for random postings (random dfs, tf skew, doclens,
+    boosts), the impact-ordered pruned scorer returns exactly the
+    brute-force top-k — same docs, same scores, same tie-breaks."""
+    import numpy as np
+
+    from solrplugins_spark.index.codec import encode_postings
+    from solrplugins_spark.index.segments import _segment_topk_core, _topk_frame
+
+    rng = np.random.default_rng(seed)
+    dls = rng.integers(1, 80, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    k1, b = 1.2, 0.75
+    term_rows, boosts, idfs = [], {}, {}
+    truth = np.zeros(n_docs)
+    for ti in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        # heavy tf skew: mostly 1s, a few spikes
+        tfs = np.where(
+            rng.random(df) < 0.05, rng.integers(2, 60, size=df), 1
+        ).astype(np.int64)
+        data, bl, bm, bo = encode_postings(docs, tfs)
+        name = f"t{ti}"
+        term_rows.append({
+            "term": name, "data": data, "df": df,
+            "block_last": bl, "block_max": bm, "block_off": bo,
+        })
+        boosts[name] = float(rng.choice([0.5, 1.0, 2.0, 3.0]))
+        idfs[name] = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        tfd = tfs.astype(np.float64)
+        truth[docs] += (
+            boosts[name] * idfs[name] * tfd * (k1 + 1.0)
+            / (tfd + k1 * (1.0 - b + b * dls[docs] / avgdl))
+        )
+
+    acc_d, acc_s, _ = _segment_topk_core(
+        term_rows, dls, 0, boosts, idfs, k=k, k1=k1, b=b, avgdl=avgdl
+    )
+    got = _topk_frame(acc_d, acc_s, k)
+    hit = truth > 0
+    want = _topk_frame(
+        np.arange(n_docs, dtype=np.int64)[hit], truth[hit], k
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-12
+    )
