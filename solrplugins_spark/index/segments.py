@@ -78,6 +78,9 @@ class SegmentIndex:
     # instead of silently dropping positions for shared terms
     has_positions: bool | None = None
     has_payloads: bool | None = None
+    # numeric docvalues streams packed alongside (build_segments
+    # value_cols) — stored-column ranges on the packed path
+    value_cols: tuple = ()
 
     @classmethod
     def load(cls, path: str) -> "SegmentIndex":
@@ -95,6 +98,7 @@ class SegmentIndex:
             seg_size=m["seg_size"],
             has_positions=m.get("has_positions"),
             has_payloads=m.get("has_payloads"),
+            value_cols=tuple(m.get("value_cols", [])),
         )
 
 
@@ -123,6 +127,7 @@ def build_segments(
     seg_size: int = 65536,
     groups: int = 4,
     resume: bool = True,
+    value_cols: list[str] | None = None,
 ) -> SegmentIndex:
     """Pack the flat index into compressed segments, resumably.
 
@@ -132,11 +137,24 @@ def build_segments(
     version) and throughput. A killed build resumes from the manifest
     and yields byte-identical segments (content is a pure function of
     the flat index, which is deterministic given the corpus).
+
+    ``value_cols``: non-negative integer columns of the stored corpus
+    (``index.docs``) to pack as per-segment dense docvalues streams
+    (the Lucene NumericDocValues analogue, varint-encoded like
+    doclens) — enables stored-column range queries on the packed path
+    (wand_boolean_search) without touching the corpus at query time.
     """
     spark = index.postings.sparkSession
     n_docs = index.n_docs
     n_segments = max(1, (n_docs + seg_size - 1) // seg_size)
     groups = min(groups, n_segments)
+    value_cols = sorted(value_cols or [])
+    if value_cols:
+        if index.docs is None:
+            raise ValueError("value_cols needs the stored corpus (index.docs)")
+        missing = [c for c in value_cols if c not in index.docs.columns]
+        if missing:
+            raise ValueError(f"value_cols not in corpus: {missing}")
 
     m = _read_manifest(out_path) if resume else None
     if m is None or m.get("codec_version") != CODEC_VERSION:
@@ -150,6 +168,7 @@ def build_segments(
             "n_groups": groups,
             "has_positions": "positions" in index.postings.columns,
             "has_payloads": "payload" in index.postings.columns,
+            "value_cols": value_cols,
             "completed_groups": [],
             "lineage": [],
         }
@@ -157,6 +176,9 @@ def build_segments(
     else:
         assert m["n_docs"] == n_docs and m["seg_size"] == seg_size, (
             "resume with different corpus/params — wipe the output dir"
+        )
+        assert m.get("value_cols", []) == value_cols, (
+            "resume with different value_cols — wipe the output dir"
         )
         # a different `groups` would change the seg%groups assignment
         # and re-write segments already covered by completed groups
@@ -265,6 +287,42 @@ def build_segments(
             os.path.join(out_path, "doclens", f"group={g}")
         )
 
+        def _make_encode_values(_col: str):
+            # factory, NOT a default arg: applyInPandas dispatches on
+            # arity, and a 2-arg function would be called as (key, pdf)
+            def encode_values(pdf: pd.DataFrame) -> pd.DataFrame:
+                seg = int(pdf["seg"].iloc[0])
+                v_lo = seg * seg_size
+                docs = pdf["doc_id"].to_numpy()
+                vals = pdf[_col].to_numpy()
+                assert vals.min() >= 0, f"value_cols must be non-negative: {_col}"
+                n = int(docs.max() - v_lo + 1) if len(docs) else 0
+                dense = np.zeros(n, np.uint64)
+                dense[docs - v_lo] = vals.astype(np.uint64)
+                return pd.DataFrame(
+                    {
+                        "seg": [seg],
+                        "doc_lo": [v_lo],
+                        "n": [n],
+                        "dl_data": [varint_encode(dense).tobytes()],
+                    }
+                )
+
+            return encode_values
+
+        for vc in value_cols:
+
+            (
+                index.docs.select("doc_id", vc)
+                .withColumn("seg", seg_col)
+                .filter(F.col("seg") % groups == g)
+                .groupBy("seg")
+                .applyInPandas(_make_encode_values(vc), schema=DOCLEN_SCHEMA)
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(os.path.join(out_path, "docvalues", vc, f"group={g}"))
+            )
+
         elapsed = time.time() - t0
         n_rows = int(
             index.doclen.filter(
@@ -307,6 +365,7 @@ def build_segments(
         seg_size=seg_size,
         has_positions=m.get("has_positions"),
         has_payloads=m.get("has_payloads"),
+        value_cols=tuple(m.get("value_cols", [])),
     )
 
 
@@ -785,6 +844,12 @@ def _segment_boolean_topk(
     dls = dls_by_field[""]
     all_docs = doc_lo + np.flatnonzero(dls > 0).astype(np.int64)
 
+    dvs: dict[str, np.ndarray] = {}
+    dv_lo: dict[str, int] = {}
+    for _, r in pdf[pdf["_kind"] == "dv"].iterrows():
+        dvs[r["term"]] = _decode_doclens(r["data"])
+        dv_lo[r["term"]] = int(r["doc_lo"])
+
     posts = pdf[pdf["_kind"] == "post"]
     has_pos = "pos_data" in posts.columns
     decoded: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
@@ -820,20 +885,35 @@ def _segment_boolean_topk(
         return uniq, summed
 
     def range_eval(field: str, node) -> tuple[np.ndarray, np.ndarray]:
-        """Intrinsic doc_id range -> constant-score 1.0 docset (the
-        flat compiler's _range over the dense-minted key). Stored
-        columns have no packed representation — those stay flat."""
-        if field != "doc_id":
-            raise ValueError(
-                f"packed range supports the intrinsic doc_id key, not "
-                f"stored column {field!r} — use the flat path"
-            )
+        """Constant-score 1.0 range docset (the flat compiler's
+        _range semantic): intrinsic doc_id key, or any numeric column
+        packed as a docvalues stream (build_segments value_cols)."""
 
         def _num(v: str) -> float:
             try:
                 return float(int(v))
             except ValueError:
                 return float(v)
+
+        if field != "doc_id":
+            if field not in dvs:
+                raise ValueError(
+                    f"packed range over {field!r} needs a docvalues "
+                    "stream — rebuild with build_segments(..., "
+                    f"value_cols=[{field!r}]) (doc_id ranges are "
+                    "intrinsic)"
+                )
+            vals = dvs[field]
+            v_lo = dv_lo[field]
+            mask = np.ones(len(vals), dtype=bool)
+            if node.low is not None:
+                lo_v = _num(node.low)
+                mask &= (vals >= lo_v) if node.include_low else (vals > lo_v)
+            if node.high is not None:
+                hi_v = _num(node.high)
+                mask &= (vals <= hi_v) if node.include_high else (vals < hi_v)
+            docs = v_lo + np.flatnonzero(mask).astype(np.int64)
+            return docs, np.ones(len(docs), np.float64)
 
         lo_edge = float(doc_lo)
         hi_edge = float(doc_lo + len(dls) - 1)
@@ -951,9 +1031,9 @@ def wand_boolean_search(
     plus FieldQuery routing to per-field packed indexes
     (``field_segments``: field name -> SegmentIndex built over that
     field's flat index; must share the doc space and seg_size so the
-    per-segment evaluation stays aligned) and Range terminals over the
-    intrinsic doc_id key. Stored-column ranges stay on the flat path
-    (they need the corpus)."""
+    per-segment evaluation stays aligned) and Range terminals — over
+    the intrinsic doc_id key, or over any numeric column packed as a
+    docvalues stream (``build_segments(..., value_cols=[...])``)."""
     from ..query import ast as qast
     from ..query.compiler import _leaf_terms
     from ..query.parser import parse_query
@@ -999,6 +1079,31 @@ def wand_boolean_search(
     _field_terms(tree, "", by_field)
     with_subs = _has_quote(tree)
 
+    def _range_fields(node, out: set) -> None:
+        if isinstance(node, (qast.Or, qast.And)):
+            _range_fields(node.left, out)
+            _range_fields(node.right, out)
+        elif isinstance(node, (qast.Not, qast.Quote)):
+            _range_fields(node.child, out)
+        elif isinstance(node, qast.Range):
+            out.add("doc_id")
+        elif isinstance(node, qast.FieldQuery):
+            if isinstance(node.child, qast.Range):
+                out.add(node.field.rstrip(":"))
+            else:
+                _range_fields(node.child, out)
+
+    range_fields: set = set()
+    _range_fields(tree, range_fields)
+    dv_needed = sorted(range_fields - {"doc_id"})
+    not_packed = [c for c in dv_needed if c not in seg_index.value_cols]
+    if not_packed:
+        raise ValueError(
+            f"packed range over {not_packed} needs docvalues streams — "
+            f"rebuild with build_segments(..., value_cols={not_packed}) "
+            "or use the flat path (doc_id ranges are intrinsic)"
+        )
+
     field_ctx: dict[str, dict] = {}
     unified = None
     for fname, fsi in [("", seg_index)] + sorted(field_segments.items()):
@@ -1023,6 +1128,10 @@ def wand_boolean_search(
             with_subs=with_subs, field=fname,
         )
         unified = frame if unified is None else unified.unionByName(frame)
+    for col in dv_needed:
+        unified = unified.unionByName(
+            _dv_frame(spark, seg_index, col, with_subs)
+        )
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_boolean_topk(pdf, tree, field_ctx, k, k1, b)
@@ -1468,6 +1577,42 @@ def _unified_frame(
             F.col("dl_data").alias("data"),
             *sub_nulls,
         )
+    )
+
+
+def _dv_frame(
+    spark: SparkSession, si: SegmentIndex, col: str, with_subs: bool
+) -> DataFrame:
+    """Docvalues rows for one numeric column, shaped like the unified
+    frame (_kind='dv', term=column name, data=varint dense stream)."""
+    dv = (
+        spark.read.option(
+            "basePath", os.path.join(si.path, "docvalues", col)
+        )
+        .schema(DOCLEN_SCHEMA + ", group int")
+        .parquet(os.path.join(si.path, "docvalues", col))
+    )
+    sub_nulls = (
+        [
+            F.lit(None).cast("array<long>").alias("pos_off"),
+            F.lit(None).cast("binary").alias("pos_data"),
+            F.lit(None).cast("binary").alias("pay_data"),
+        ]
+        if with_subs
+        else []
+    )
+    return dv.select(
+        "seg",
+        F.lit("dv").alias("_kind"),
+        F.lit("").alias("fld"),
+        F.lit(col).alias("term"),
+        F.lit(None).cast("long").alias("df"),
+        F.lit(None).cast("array<long>").alias("block_last"),
+        F.lit(None).cast("array<int>").alias("block_max"),
+        F.lit(None).cast("array<long>").alias("block_off"),
+        "doc_lo",
+        F.col("dl_data").alias("data"),
+        *sub_nulls,
     )
 
 

@@ -1260,29 +1260,37 @@ def q_wand_field(spark, sf_dir):
     )
 
 
+_SEG_DV_CACHE: dict[str, object] = {}
+
+
+def _dv_segments(spark, sf_dir):
+    """Packed segments WITH the n_chars numeric docvalues stream —
+    stored-column range queries on the packed path."""
+    if sf_dir not in _SEG_DV_CACHE:
+        import tempfile
+
+        from .index.segments import build_segments
+
+        out = tempfile.mkdtemp(prefix="registry_segs_dv_")
+        _SEG_DV_CACHE[sf_dir] = build_segments(
+            _index(spark, sf_dir), f"{out}/idx", seg_size=128, groups=2,
+            value_cols=["n_chars"],
+        )
+    return _SEG_DV_CACHE[sf_dir]
+
+
 def q_wand_range(spark, sf_dir):
-    """Range terminal on the PACKED path: intrinsic doc_id range ANDed
-    with a scored term (constant-score 1.0 range matches, the
-    ConstantScoreRangeQuery semantic over the dense-minted key)."""
+    """Range terminal on the PACKED path: the SAME stored-column range
+    as the flat range_query gate ('n_chars:[100 TO 300] and dup'),
+    evaluated from the n_chars docvalues stream packed alongside the
+    segments (the Lucene NumericDocValues analogue) — same oracle as
+    range_query, so the packed path is value-identical to the flat
+    corpus filter. doc_id ranges are intrinsic (tests)."""
     from .index.segments import wand_boolean_search
 
     return wand_boolean_search(
-        spark, _pos_segments(spark, sf_dir), "doc_id:[100 TO 300] and dup", k=10
+        spark, _dv_segments(spark, sf_dir), "n_chars:[100 TO 300] and dup", k=10
     )
-
-
-SQL_WAND_RANGE = f"""
-WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
-in_range AS (
-  SELECT doc_id, 1.0 AS s FROM documents WHERE doc_id BETWEEN 100 AND 300
-),
-term_scored AS (
-  SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'
-)
-SELECT r.doc_id, round(r.s + t.s, 5) AS score
-FROM in_range r JOIN term_scored t USING (doc_id)
-ORDER BY score DESC, doc_id ASC LIMIT 10
-"""
 
 
 def q_classic_coord(spark, sf_dir):
@@ -1776,7 +1784,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_boolean": SQL_BOOLEAN_PRECEDENCE_REF,
         "wand_not": SQL_BOOLEAN_NOT_REF,
         "wand_field": SQL_FIELD_QUERY,
-        "wand_range": SQL_WAND_RANGE,
+        "wand_range": SQL_RANGE_QUERY,
         "classic_coord": SQL_CLASSIC_COORD,
         "boosted_fn": SQL_BOOSTED_FN,
         "range_query": SQL_RANGE_QUERY,

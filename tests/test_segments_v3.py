@@ -375,3 +375,45 @@ def test_phrase_across_generations_matches_compacted(
     assert len(single) > 0
     assert list(multi["doc_id"]) == list(single["doc_id"])
     assert np.allclose(multi["score"], single["score"], atol=1e-9)
+
+
+def test_packed_docvalues_ranges_match_flat(spark, tiny_index, tmp_path):
+    """Stored-column and doc_id ranges on the packed path equal the
+    flat compiler's constant-score range semantics; missing docvalues
+    streams fail fast with an actionable error."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from solrplugins_spark.index.segments import (
+        SegmentIndex,
+        build_segments,
+        wand_boolean_search,
+    )
+    from solrplugins_spark.query.compiler import execute_query
+
+    # tiny corpus has no numeric col besides doc_id — derive one
+    docs2 = tiny_index.docs.withColumn(
+        "nch", F.length("text").cast("long")
+    )
+    from solrplugins_spark.index.builder import build_index
+
+    idx = build_index(docs2).persist()
+    out = str(tmp_path / "dv")
+    seg = build_segments(idx, out, seg_size=64, groups=2, value_cols=["nch"])
+    assert seg.value_cols == ("nch",)
+    assert SegmentIndex.load(out).value_cols == ("nch",)
+
+    for q in (
+        "nch:[100 TO 160] and w0001",
+        "nch:{100 TO 160} and w0001",
+        "doc_id:[10 TO 120] and w0001",
+        "nch:[* TO 140] and w0001",
+    ):
+        got = wand_boolean_search(spark, seg, q, k=10).toPandas()
+        want = execute_query(idx, q, k=10).toPandas()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with _pytest.raises(ValueError, match="docvalues"):
+        wand_boolean_search(spark, seg, "other:[1 TO 2] and w0001", k=5)
+    with _pytest.raises(AssertionError, match="value_cols"):
+        build_segments(idx, out, seg_size=64, groups=2)  # resume mismatch
