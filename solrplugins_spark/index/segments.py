@@ -864,6 +864,10 @@ def _segment_boolean_topk(
     def bm25(term: str, fld: str) -> tuple[np.ndarray, np.ndarray]:
         ctx = field_ctx.get(fld, field_ctx[""])
         idfs, avgdl = ctx["idfs"], ctx["avgdl"]
+        # per-field k1/b (SchemaSimilarityFactory overrides); fall back
+        # to the query-level globals
+        fk1 = ctx.get("k1", k1)
+        fb = ctx.get("b", b)
         fdls = dls_by_field.get(fld, dls)
         f_lo = doc_lo_by_field.get(fld, doc_lo)
         if (fld, term) not in decoded or term not in idfs:
@@ -871,8 +875,8 @@ def _segment_boolean_topk(
         docs, tfs = decoded[(fld, term)]
         tf = tfs.astype(np.float64)
         dl = fdls[docs - f_lo].astype(np.float64)
-        s = idfs[term] * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * dl / avgdl)
+        s = idfs[term] * tf * (fk1 + 1.0) / (
+            tf + fk1 * (1.0 - fb + fb * dl / avgdl)
         )
         return docs, s
 
@@ -1021,6 +1025,7 @@ def wand_boolean_search(
     b: float = 0.75,
     round_to: int = 5,
     field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
 ) -> DataFrame:
     """Parsed boolean query (NOT > AND > OR precedence, the reference
     grammar) over PACKED segments: the boolean tree evaluates
@@ -1123,6 +1128,20 @@ def wand_boolean_search(
             },
             "avgdl": fsi.avgdl,
         }
+        # per-field k1/b (``field_sims``: field -> Similarity) — the
+        # SchemaSimilarityFactory per-field override mechanism. The
+        # packed boolean path is BM25-specialized; other kinds run via
+        # wand_search(sim=...).
+        fsim = (field_sims or {}).get(fname)
+        if fsim is not None:
+            if getattr(fsim, "kind", "bm25") != "bm25":
+                raise ValueError(
+                    "packed boolean field_sims supports BM25 variants "
+                    f"(per-field k1/b); got kind={fsim.kind!r} for "
+                    f"field {fname or 'default'!r}"
+                )
+            field_ctx[fname]["k1"] = float(fsim.k1)
+            field_ctx[fname]["b"] = float(fsim.b)
         frame = _unified_frame(
             spark, [(0, fsi)], terms or ["\x00none"],
             with_subs=with_subs, field=fname,

@@ -98,10 +98,16 @@ class QueryCompiler:
         index: InvertedIndex,
         sim: Similarity = BM25,
         field_indexes: dict[str, InvertedIndex] | None = None,
+        field_sims: dict[str, Similarity] | None = None,
     ):
+        """``field_sims``: per-field Similarity overrides — the
+        SchemaSimilarityFactory per-field k1/b mechanism the reference
+        leans on (README.md:25). A FieldQuery clause scores with its
+        field's similarity; unlisted fields inherit ``sim``."""
         self.index = index
         self.sim = sim
         self.field_indexes = field_indexes or {}
+        self.field_sims = field_sims or {}
 
     def compile(self, node: ast.Expression) -> DataFrame:
         """(doc_id, score) frame for the whole tree.
@@ -170,8 +176,12 @@ class QueryCompiler:
         if isinstance(node, ast.FieldQuery):
             if isinstance(node.child, ast.Range):
                 return self._range(node.field.rstrip(":"), node.child)
-            sub_index = self.field_indexes.get(node.field.rstrip(":"), self.index)
-            sub = QueryCompiler(sub_index, self.sim, self.field_indexes)
+            fname = node.field.rstrip(":")
+            sub_index = self.field_indexes.get(fname, self.index)
+            sub_sim = self.field_sims.get(fname, self.sim)
+            sub = QueryCompiler(
+                sub_index, sub_sim, self.field_indexes, self.field_sims
+            )
             return sub.compile(node.child)
         raise TypeError(f"unknown AST node: {node!r}")
 

@@ -417,3 +417,54 @@ def test_packed_docvalues_ranges_match_flat(spark, tiny_index, tmp_path):
         wand_boolean_search(spark, seg, "other:[1 TO 2] and w0001", k=5)
     with _pytest.raises(AssertionError, match="value_cols"):
         build_segments(idx, out, seg_size=64, groups=2)  # resume mismatch
+
+
+def test_per_field_k1b_flat_and_packed_agree(spark, tiny_corpus, tmp_path):
+    """Per-field k1/b (the SchemaSimilarityFactory override mechanism,
+    reference README.md:25): a FieldQuery clause scores with its
+    field's similarity on BOTH paths, and flat == packed."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments, wand_boolean_search
+    from solrplugins_spark.query.compiler import QueryCompiler
+    from solrplugins_spark.query.parser import parse_query
+    from solrplugins_spark.query.scorer import Similarity
+
+    idx = build_index(tiny_corpus).persist()
+    # route "body:" to the text index itself: tf/dl vary there, so a
+    # k1/b override measurably changes scores (single-token fields like
+    # role have tf=dl=avgdl=1, where BM25 is k1/b-invariant)
+    lang_idx = idx
+    lang_sim = Similarity(kind="bm25", k1=0.4, b=0.2)
+
+    def flat(q, field_sims):
+        comp = QueryCompiler(
+            idx, field_indexes={"body": lang_idx}, field_sims=field_sims
+        )
+        tree, _ = parse_query(q)
+        return (
+            comp.compile(tree)
+            .select("doc_id", F.round("score", 5).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .toPandas()
+        )
+
+    q = "body:w0001 and w0002"
+    base = flat(q, {})
+    tuned = flat(q, {"body": lang_sim})
+    # the override must actually change scores (lang tf/dl vary)
+    assert not base["score"].equals(tuned["score"])
+
+    seg = build_segments(idx, str(tmp_path / "m"), seg_size=64, groups=2)
+    lseg = build_segments(lang_idx, str(tmp_path / "l"), seg_size=64, groups=2)
+    packed = wand_boolean_search(
+        spark, seg, q, k=10,
+        field_segments={"body": lseg}, field_sims={"body": lang_sim},
+    ).toPandas()
+    pd.testing.assert_frame_equal(packed, tuned, check_dtype=False)
+
+    with pytest.raises(ValueError, match="BM25 variants"):
+        wand_boolean_search(
+            spark, seg, q, k=10, field_segments={"body": lseg},
+            field_sims={"body": Similarity(kind="classic")},
+        )
