@@ -81,6 +81,9 @@ class SegmentIndex:
     # numeric docvalues streams packed alongside (build_segments
     # value_cols) — stored-column ranges on the packed path
     value_cols: tuple = ()
+    # string ordinal docvalues (build_segments string_cols) — packed
+    # faceting (wand_facet_search)
+    string_cols: tuple = ()
 
     @classmethod
     def load(cls, path: str) -> "SegmentIndex":
@@ -99,6 +102,7 @@ class SegmentIndex:
             has_positions=m.get("has_positions"),
             has_payloads=m.get("has_payloads"),
             value_cols=tuple(m.get("value_cols", [])),
+            string_cols=tuple(m.get("string_cols", [])),
         )
 
 
@@ -128,6 +132,7 @@ def build_segments(
     groups: int = 4,
     resume: bool = True,
     value_cols: list[str] | None = None,
+    string_cols: list[str] | None = None,
 ) -> SegmentIndex:
     """Pack the flat index into compressed segments, resumably.
 
@@ -143,18 +148,27 @@ def build_segments(
     (the Lucene NumericDocValues analogue, varint-encoded like
     doclens) — enables stored-column range queries on the packed path
     (wand_boolean_search) without touching the corpus at query time.
+
+    ``string_cols``: string columns to pack as ORDINAL docvalues (the
+    SortedDocValues analogue): a global sorted value dictionary
+    (docvalues_str/<col>/dict parquet, ordinals from 1; 0 = missing)
+    plus per-segment dense ordinal streams — enables faceting over
+    query docsets on the packed path (wand_facet_search) with
+    segment-local counting.
     """
     spark = index.postings.sparkSession
     n_docs = index.n_docs
     n_segments = max(1, (n_docs + seg_size - 1) // seg_size)
     groups = min(groups, n_segments)
     value_cols = sorted(value_cols or [])
-    if value_cols:
-        if index.docs is None:
-            raise ValueError("value_cols needs the stored corpus (index.docs)")
-        missing = [c for c in value_cols if c not in index.docs.columns]
-        if missing:
-            raise ValueError(f"value_cols not in corpus: {missing}")
+    string_cols = sorted(string_cols or [])
+    for kind, cols in (("value_cols", value_cols), ("string_cols", string_cols)):
+        if cols:
+            if index.docs is None:
+                raise ValueError(f"{kind} needs the stored corpus (index.docs)")
+            missing = [c for c in cols if c not in index.docs.columns]
+            if missing:
+                raise ValueError(f"{kind} not in corpus: {missing}")
 
     m = _read_manifest(out_path) if resume else None
     if m is None or m.get("codec_version") != CODEC_VERSION:
@@ -169,6 +183,7 @@ def build_segments(
             "has_positions": "positions" in index.postings.columns,
             "has_payloads": "payload" in index.postings.columns,
             "value_cols": value_cols,
+            "string_cols": string_cols,
             "completed_groups": [],
             "lineage": [],
         }
@@ -180,6 +195,30 @@ def build_segments(
         assert m.get("value_cols", []) == value_cols, (
             "resume with different value_cols — wipe the output dir"
         )
+        assert m.get("string_cols", []) == string_cols, (
+            "resume with different string_cols — wipe the output dir"
+        )
+
+    # global ordinal dictionaries (sorted values, ordinals from 1;
+    # 0 = missing) — written once before the group loop so per-group
+    # ordinal streams can join against them; resumable via manifest
+    if string_cols and not m.get("string_dicts"):
+        from pyspark.sql import Window as _W
+
+        for sc in string_cols:
+            (
+                index.docs.select(F.col(sc).alias("value"))
+                .filter(F.col("value").isNotNull())
+                .distinct()
+                .withColumn(
+                    "ord",
+                    F.row_number().over(_W.orderBy("value")).cast("long"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_path, "docvalues_str", sc, "dict"))
+            )
+        m["string_dicts"] = True
+        _write_manifest(out_path, m)
         # a different `groups` would change the seg%groups assignment
         # and re-write segments already covered by completed groups
         # into new group=* dirs — duplicated postings at query time.
@@ -323,6 +362,27 @@ def build_segments(
                 .parquet(os.path.join(out_path, "docvalues", vc, f"group={g}"))
             )
 
+        for sc in string_cols:
+            dict_df = spark.read.parquet(
+                os.path.join(out_path, "docvalues_str", sc, "dict")
+            )
+            ords = index.docs.select("doc_id", F.col(sc).alias("value")).join(
+                F.broadcast(dict_df), "value", "left"
+            ).select("doc_id", F.coalesce("ord", F.lit(0)).alias("_ord"))
+            (
+                ords.withColumn("seg", seg_col)
+                .filter(F.col("seg") % groups == g)
+                .groupBy("seg")
+                .applyInPandas(_make_encode_values("_ord"), schema=DOCLEN_SCHEMA)
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(
+                    os.path.join(
+                        out_path, "docvalues_str", sc, "streams", f"group={g}"
+                    )
+                )
+            )
+
         elapsed = time.time() - t0
         n_rows = int(
             index.doclen.filter(
@@ -366,6 +426,7 @@ def build_segments(
         has_positions=m.get("has_positions"),
         has_payloads=m.get("has_payloads"),
         value_cols=tuple(m.get("value_cols", [])),
+        string_cols=tuple(m.get("string_cols", [])),
     )
 
 
@@ -810,6 +871,7 @@ def _segment_boolean_topk(
     k: int,
     k1: float,
     b: float,
+    facet_ord_col: str | None = None,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -839,7 +901,7 @@ def _segment_boolean_topk(
         dls_by_field[f] = _decode_doclens(r["data"])
         doc_lo_by_field[f] = int(r["doc_lo"])
     if "" not in dls_by_field:
-        return empty
+        return _empty_facet() if facet_ord_col is not None else empty
     doc_lo = doc_lo_by_field[""]
     dls = dls_by_field[""]
     all_docs = doc_lo + np.flatnonzero(dls > 0).astype(np.int64)
@@ -1011,34 +1073,41 @@ def _segment_boolean_topk(
         )
 
     docs, scores = evaluate(tree)
+    if facet_ord_col is not None:
+        if len(docs) == 0 or facet_ord_col not in dvs:
+            return _empty_facet()
+        ords_arr = dvs[facet_ord_col]
+        f_lo = dv_lo[facet_ord_col]
+        ids = docs - f_lo
+        valid = (ids >= 0) & (ids < len(ords_arr))
+        counts = np.bincount(ords_arr[ids[valid]].astype(np.int64))
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {"ord": nz.astype(np.int64), "cnt": counts[nz].astype(np.int64)}
+        )
     if len(docs) == 0:
         return empty
     return _topk_frame(docs, scores, k)
 
 
-def wand_boolean_search(
+def _empty_facet() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"ord": pd.Series([], dtype="int64"), "cnt": pd.Series([], dtype="int64")}
+    )
+
+
+def _prepare_boolean(
     spark: SparkSession,
     seg_index: SegmentIndex,
     query: str,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    round_to: int = 5,
     field_segments: dict[str, SegmentIndex] | None = None,
     field_sims: dict | None = None,
-) -> DataFrame:
-    """Parsed boolean query (NOT > AND > OR precedence, the reference
-    grammar) over PACKED segments: the boolean tree evaluates
-    independently per segment (boolean algebra is doc-local; segments
-    partition docs), one Spark job, k rows per segment merged
-    globally. Rank-identical to the flat execute_query
-    (tests/test_segments_v3.py). Supports Operand/And/Or/Not/Quote
-    plus FieldQuery routing to per-field packed indexes
-    (``field_segments``: field name -> SegmentIndex built over that
-    field's flat index; must share the doc space and seg_size so the
-    per-segment evaluation stays aligned) and Range terminals — over
-    the intrinsic doc_id key, or over any numeric column packed as a
-    docvalues stream (``build_segments(..., value_cols=[...])``)."""
+    str_cols: tuple = (),
+):
+    """Shared preparation for the packed boolean paths: parse, build
+    per-field scoring contexts (sidecar dfs, avgdl, k1/b overrides)
+    and the unified per-segment frame (postings + doclens + docvalues
+    rows). Returns (tree, field_ctx, unified)."""
     from ..query import ast as qast
     from ..query.compiler import _leaf_terms
     from ..query.parser import parse_query
@@ -1151,6 +1220,41 @@ def wand_boolean_search(
         unified = unified.unionByName(
             _dv_frame(spark, seg_index, col, with_subs)
         )
+    for col in str_cols:
+        unified = unified.unionByName(
+            _dv_frame(spark, seg_index, col, with_subs, subdir="docvalues_str")
+        )
+
+    return tree, field_ctx, unified
+
+
+def wand_boolean_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Parsed boolean query (NOT > AND > OR precedence, the reference
+    grammar) over PACKED segments: the boolean tree evaluates
+    independently per segment (boolean algebra is doc-local; segments
+    partition docs), one Spark job, k rows per segment merged
+    globally. Rank-identical to the flat execute_query
+    (tests/test_segments_v3.py). Supports Operand/And/Or/Not/Quote
+    plus FieldQuery routing to per-field packed indexes
+    (``field_segments``: field name -> SegmentIndex built over that
+    field's flat index; must share the doc space and seg_size so the
+    per-segment evaluation stays aligned; ``field_sims``: per-field
+    k1/b overrides) and Range terminals — over the intrinsic doc_id
+    key, or over any numeric column packed as a docvalues stream
+    (``build_segments(..., value_cols=[...])``)."""
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims
+    )
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_boolean_topk(pdf, tree, field_ctx, k, k1, b)
@@ -1162,6 +1266,55 @@ def wand_boolean_search(
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def wand_facet_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    facet_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Facet counts over the FULL docset matching a boolean query, on
+    the packed path (the match+facet behavior —
+    DiceMoreLikeThisHandler.java:263-271 / DocValuesFacets.getCounts):
+    the tree evaluates per segment, matched docs map to ordinals from
+    the ``facet_col`` SortedDocValues stream (build_segments
+    string_cols), and per-segment (ordinal, count) partials — at most
+    |facet vocabulary| rows each — merge in one vocab-bounded agg and
+    join the broadcast ordinal dictionary back to values. The corpus
+    is never touched at query time; ONE Spark job."""
+    if facet_col not in seg_index.string_cols:
+        raise ValueError(
+            f"packed faceting over {facet_col!r} needs an ordinal "
+            "docvalues stream — rebuild with build_segments(..., "
+            f"string_cols=[{facet_col!r}])"
+        )
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        str_cols=(facet_col,),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b, facet_ord_col=facet_col
+        )
+
+    partials = unified.groupBy("seg").applyInPandas(
+        per_segment, schema="ord long, cnt long"
+    )
+    dict_df = spark.read.parquet(
+        os.path.join(seg_index.path, "docvalues_str", facet_col, "dict")
+    )
+    return (
+        partials.groupBy("ord")
+        .agg(F.sum("cnt").alias("cnt"))
+        .join(F.broadcast(dict_df), "ord", "left")
+        .select(F.col("value").alias(facet_col), "cnt")
     )
 
 
@@ -1600,16 +1753,24 @@ def _unified_frame(
 
 
 def _dv_frame(
-    spark: SparkSession, si: SegmentIndex, col: str, with_subs: bool
+    spark: SparkSession,
+    si: SegmentIndex,
+    col: str,
+    with_subs: bool,
+    subdir: str = "docvalues",
 ) -> DataFrame:
-    """Docvalues rows for one numeric column, shaped like the unified
-    frame (_kind='dv', term=column name, data=varint dense stream)."""
+    """Docvalues rows for one numeric/ordinal column, shaped like the
+    unified frame (_kind='dv', term=column name, data=varint dense
+    stream)."""
+    base = (
+        os.path.join(si.path, subdir, col)
+        if subdir == "docvalues"
+        else os.path.join(si.path, subdir, col, "streams")
+    )
     dv = (
-        spark.read.option(
-            "basePath", os.path.join(si.path, "docvalues", col)
-        )
+        spark.read.option("basePath", base)
         .schema(DOCLEN_SCHEMA + ", group int")
-        .parquet(os.path.join(si.path, "docvalues", col))
+        .parquet(base)
     )
     sub_nulls = (
         [

@@ -336,6 +336,7 @@ _WINDOW_ORDER = [
     "wand_not",
     "wand_field",
     "wand_range",
+    "wand_facet",
     "classic_coord",
     "boosted_fn",
     "range_query",
@@ -362,7 +363,6 @@ _WINDOW_ORDER = [
     "dedup_clusters",
     "emb_near_dup",
     "knn_join",
-    "ann_cosine",
     "ann_lsh",
     "pii_redact",
     "sample",
@@ -372,6 +372,7 @@ _WINDOW_ORDER = [
     "contamination",
     # --- driver window boundary (position 50) ---
     # rotated out (2x driver-green; still oracle+pytest covered)
+    "ann_cosine",
     "joint_counts",
     "pivot_rollup",
     "dedup_exact",

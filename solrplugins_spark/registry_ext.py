@@ -1274,7 +1274,7 @@ def _dv_segments(spark, sf_dir):
         out = tempfile.mkdtemp(prefix="registry_segs_dv_")
         _SEG_DV_CACHE[sf_dir] = build_segments(
             _index(spark, sf_dir), f"{out}/idx", seg_size=128, groups=2,
-            value_cols=["n_chars"],
+            value_cols=["n_chars"], string_cols=["lang"],
         )
     return _SEG_DV_CACHE[sf_dir]
 
@@ -1291,6 +1291,17 @@ def q_wand_range(spark, sf_dir):
     return wand_boolean_search(
         spark, _dv_segments(spark, sf_dir), "n_chars:[100 TO 300] and dup", k=10
     )
+
+
+def q_wand_facet(spark, sf_dir):
+    """Facet counts over a query docset on the PACKED path: lang
+    counts for docs matching 'dup', read from the lang ordinal
+    docvalues stream (SortedDocValues analogue) — same oracle as
+    facet_counts, proving match+facet never needs the corpus at query
+    time (DiceMoreLikeThisHandler.java:263-271 semantics)."""
+    from .index.segments import wand_facet_search
+
+    return wand_facet_search(spark, _dv_segments(spark, sf_dir), "dup", "lang")
 
 
 def q_classic_coord(spark, sf_dir):
@@ -1723,6 +1734,7 @@ EXT_QUERIES = {
     "wand_not": q_wand_not,
     "wand_field": q_wand_field,
     "wand_range": q_wand_range,
+    "wand_facet": q_wand_facet,
     "classic_coord": q_classic_coord,
     "boosted_fn": q_boosted_fn,
     "range_query": q_range_query,
@@ -1736,6 +1748,7 @@ def ext_oracle_sql() -> dict[str, str]:
         SQL_BM25_OR_BOOSTED,
         SQL_BOOLEAN_NOT as SQL_BOOLEAN_NOT_REF,
         SQL_BOOLEAN_PRECEDENCE as SQL_BOOLEAN_PRECEDENCE_REF,
+        SQL_FACET_COUNTS as SQL_FACET_COUNTS_REF,
     )
 
     return {
@@ -1785,6 +1798,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_not": SQL_BOOLEAN_NOT_REF,
         "wand_field": SQL_FIELD_QUERY,
         "wand_range": SQL_RANGE_QUERY,
+        "wand_facet": SQL_FACET_COUNTS_REF,
         "classic_coord": SQL_CLASSIC_COORD,
         "boosted_fn": SQL_BOOSTED_FN,
         "range_query": SQL_RANGE_QUERY,

@@ -468,3 +468,37 @@ def test_per_field_k1b_flat_and_packed_agree(spark, tiny_corpus, tmp_path):
             spark, seg, q, k=10, field_segments={"body": lseg},
             field_sims={"body": Similarity(kind="classic")},
         )
+
+
+def test_wand_facet_search_matches_flat(spark, tiny_corpus, tmp_path):
+    """Packed match+facet (ordinal docvalues) equals the flat semi-join
+    + groupBy facet over the same query docset; missing streams fail
+    fast."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments, wand_facet_search
+    from solrplugins_spark.query.compiler import compile_ast
+    from solrplugins_spark.query.parser import parse_query
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "f"), seg_size=64, groups=2, string_cols=["role"]
+    )
+    for q in ("w0001", "w0001 and not w0002", "zephyrblade or w0004"):
+        got = (
+            wand_facet_search(spark, seg, q, "role").orderBy("role").toPandas()
+        )
+        tree, _ = parse_query(q)
+        match = compile_ast(idx, tree).select("doc_id")
+        want = (
+            tiny_corpus.join(match, "doc_id", "left_semi")
+            .groupBy("role")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("role")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False,
+        )
+    with pytest.raises(ValueError, match="string_cols"):
+        wand_facet_search(spark, seg, "w0001", "tool")
