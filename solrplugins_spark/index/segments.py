@@ -1382,6 +1382,26 @@ def compact_packed(
     def merge_postings(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
+            if len(g) == 1:
+                # (seg, term) present in a single generation — the
+                # common case, since generations hold disjoint doc
+                # ranges and most segments belong wholly to one
+                # generation. The packed binary is already exactly what
+                # a from-scratch build of these docs produces (content
+                # is a pure function of the postings), so pass it
+                # through untouched: zero decode/encode work, most of a
+                # compaction becomes a metadata rewrite.
+                r = g.iloc[0]
+                rows.append(
+                    (
+                        int(seg), term, int(r["df"]), int(r["cf"]),
+                        list(r["block_last"]), list(r["block_max"]),
+                        list(r["block_off"]), r["data"],
+                        None if r["pos_off"] is None else list(r["pos_off"]),
+                        r["pos_data"], r["pay_data"],
+                    )
+                )
+                continue
             docs_parts, tf_parts, pos_parts, pay_parts = [], [], [], []
             has_pos = has_pay = True
             for _, r in g.iterrows():
