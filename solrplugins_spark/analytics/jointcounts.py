@@ -81,9 +81,13 @@ class JointProbabilityModel:
         alpha: float = 0.01,
     ):
         self.alpha = float(alpha)
-        for name, frame in (("priors", priors_df), ("joints", joints_df)):
-            n = frame.limit(self.MAX_MODEL_ROWS + 1).count()
-            if n > self.MAX_MODEL_ROWS:
+
+        def bounded_collect(name: str, frame: DataFrame) -> list:
+            # ONE bounded collect serves both the cap check and the
+            # model build (limit caps the driver transfer; a separate
+            # guard count would re-execute the aggregation)
+            rows = frame.limit(self.MAX_MODEL_ROWS + 1).collect()
+            if len(rows) > self.MAX_MODEL_ROWS:
                 raise ValueError(
                     f"JointProbabilityModel: {name} frame exceeds "
                     f"{self.MAX_MODEL_ROWS} rows — the model is a "
@@ -91,11 +95,13 @@ class JointProbabilityModel:
                     "on low-cardinality fields or raise min_count "
                     "pruning; do not collect id-like columns."
                 )
+            return rows
+
         self.priors: dict[tuple[str, str], float] = {}
-        for r in priors_df.collect():
+        for r in bounded_collect("priors", priors_df):
             self.priors[(r["field"], str(r["value"]))] = r["cnt"] + self.alpha
         self.joints: dict[tuple[str, str, str, str], float] = {}
-        for r in joints_df.collect():
+        for r in bounded_collect("joints", joints_df):
             k = self._key(r["field_a"], str(r["a"]), r["field_b"], str(r["b"]))
             self.joints[k] = r["cnt"] + self.alpha
         self.total_priors = sum(self.priors.values())

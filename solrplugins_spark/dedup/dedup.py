@@ -432,6 +432,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    changed = -1  # sentinel: max_iter=0 reaches the for-else directly
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -476,9 +477,14 @@ def duplicate_clusters(
         labels.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — raise max_iter (rounds "
-            "needed = component diameter; near-clique duplicate "
-            "components converge in 2-3)"
+            + (
+                f"({changed} labels changed in the final round; a "
+                "fixpoint needs one change-free round to certify) "
+                if changed >= 0
+                else "(zero rounds allowed) "
+            )
+            + "— raise max_iter (rounds needed = component diameter; "
+            "near-clique duplicate components converge in 2-3)"
         )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -98,10 +98,13 @@ class InvertedIndex:
     # queried vocabulary; the frames above are immutable so entries
     # never go stale. Absent terms cache as df=0.
     df_cache: dict = field(default_factory=dict, repr=False, compare=False)
-    # tokenizer settings the index was built with — the re-analysis
-    # paths (MLT seed-doc term extraction, MoreLikeThis.java:1134-1144)
-    # must tokenize stored text identically to the build
+    # tokenizer settings and column names the index was built with —
+    # the re-analysis paths (MLT seed-doc term extraction,
+    # MoreLikeThis.java:1134-1144) must tokenize the SAME stored
+    # column identically to the build
     tok_kwargs: dict = field(default_factory=dict, repr=False, compare=False)
+    text_col: str = "text"
+    doc_col: str = "doc_id"
 
     def persist(self) -> "InvertedIndex":
         self.postings = self.postings.persist()
@@ -190,6 +193,8 @@ def build_index(
         avgdl=avgdl,
         docs=docs,
         tok_kwargs=tok_kwargs,
+        text_col=text_col,
+        doc_col=doc_col,
     )
 
 

@@ -199,6 +199,13 @@ def build_segments(
             "resume with different string_cols — wipe the output dir"
         )
 
+    # a different `groups` would change the seg%groups assignment and
+    # re-write segments already covered by completed groups into new
+    # group=* dirs — duplicated postings at query time. Derive groups
+    # from the manifest so resume is always safe (no-op on creation,
+    # where the manifest was just written with n_groups=groups).
+    groups = m["n_groups"]
+
     # global ordinal dictionaries (sorted values, ordinals from 1;
     # 0 = missing) — written once before the group loop so per-group
     # ordinal streams can join against them; resumable via manifest
@@ -219,11 +226,6 @@ def build_segments(
             )
         m["string_dicts"] = True
         _write_manifest(out_path, m)
-        # a different `groups` would change the seg%groups assignment
-        # and re-write segments already covered by completed groups
-        # into new group=* dirs — duplicated postings at query time.
-        # Derive groups from the manifest so resume is always safe.
-        groups = m["n_groups"]
 
     seg_col = (F.col("doc_id") / seg_size).cast("int")
     with_seg = index.postings.withColumn("seg", seg_col)
@@ -334,6 +336,13 @@ def build_segments(
                 v_lo = seg * seg_size
                 docs = pdf["doc_id"].to_numpy()
                 vals = pdf[_col].to_numpy()
+                if not np.issubdtype(vals.dtype, np.integer):
+                    raise ValueError(
+                        f"docvalues column {_col!r} must be integer-typed "
+                        f"(got {vals.dtype}) — floats would silently "
+                        "truncate and diverge from the flat range filter; "
+                        "cast explicitly or scale to integers first"
+                    )
                 assert vals.min() >= 0, f"value_cols must be non-negative: {_col}"
                 n = int(docs.max() - v_lo + 1) if len(docs) else 0
                 dense = np.zeros(n, np.uint64)
@@ -1478,6 +1487,8 @@ def compact_packed(
     )
     groups = max(1, min(groups, n_segments))
 
+    flags_pos_in = {s.has_positions for s in seg_indexes} - {None}
+    flags_pay_in = {s.has_payloads for s in seg_indexes} - {None}
     m = _read_manifest(out_path) if resume else None
     if m is None or m.get("codec_version") != CODEC_VERSION:
         os.makedirs(out_path, exist_ok=True)
@@ -1488,6 +1499,15 @@ def compact_packed(
             "seg_size": seg_size,
             "n_segments": n_segments,
             "n_groups": groups,
+            # propagate sub-stream presence so SegmentIndex.load of the
+            # compacted dir agrees with the returned object (and later
+            # compactions keep failing fast on mixed inputs). Docvalues
+            # streams are NOT carried through compaction — rebuild with
+            # build_segments(value_cols/string_cols) if needed.
+            "has_positions": flags_pos_in.pop() if flags_pos_in else None,
+            "has_payloads": flags_pay_in.pop() if flags_pay_in else None,
+            "value_cols": [],
+            "string_cols": [],
             "completed_groups": [],
             "lineage": [],
         }

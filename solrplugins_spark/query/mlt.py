@@ -68,10 +68,10 @@ def _interesting_terms_driver(
     spark = index.postings.sparkSession
     out_schema = "term string, tf long, df long, score double, raw_weight double"
     texts = [
-        r["text"]
+        r[index.text_col]
         for r in index.docs.filter(
-            F.col("doc_id").isin([int(d) for d in seed_doc_ids])
-        ).select("text").collect()
+            F.col(index.doc_col).isin([int(d) for d in seed_doc_ids])
+        ).select(index.text_col).collect()
     ]
     from ..analysis.tokenizer import tokenize_pandas
 
@@ -141,6 +141,7 @@ def interesting_terms(
     if (
         isinstance(seed_doc_ids, list)
         and index.docs is not None
+        and index.text_col in index.docs.columns
         and len(seed_doc_ids) <= 256
     ):
         return _interesting_terms_driver(index, seed_doc_ids, params, round_to)

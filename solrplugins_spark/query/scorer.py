@@ -168,6 +168,14 @@ def score_terms(
     constant, so a term query is a single pruned scan + projection.
     Returns (doc_id, term, boost, partial) — partial = boost * sim().
     """
+    # duplicate terms collapse by summing boosts (the boolean SHOULD
+    # semantic: two identical clauses score like one with the summed
+    # boost) — also required because the literal maps below need
+    # unique keys; matches the packed path's boosts-dict folding
+    folded: dict[str, float] = {}
+    for t, w in terms_boosts:
+        folded[t] = folded.get(t, 0.0) + float(w)
+    terms_boosts = list(folded.items())
     if df_map is None:
         df_map = resolve_df(index, [t for t, _ in terms_boosts])
     term_list = [t for t, _ in terms_boosts]

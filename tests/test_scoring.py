@@ -224,3 +224,16 @@ def test_range_query_compiler(spark):
     got = execute_query(idx, "n_chars:[* TO 99]", k=10).toPandas()
     assert set(got["doc_id"]) == {0}
     assert list(got["score"]) == [1.0]
+
+
+def test_duplicate_query_terms_fold(tiny_index):
+    """Duplicate SHOULD clauses collapse by summing boosts (the
+    literal-map scorer needs unique keys; code-review r03): scores
+    equal the single-clause summed-boost query."""
+    from solrplugins_spark.query.scorer import search_terms
+
+    a = search_terms(tiny_index, [("w0001", 1.0), ("w0001", 0.5)], k=10).toPandas()
+    b = search_terms(tiny_index, [("w0001", 1.5)], k=10).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

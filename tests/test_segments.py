@@ -82,7 +82,10 @@ def test_resume_is_identical(tiny_index, tmp_path):
         json.dump(m, f)
     with pytest.raises(ValueError, match="incomplete"):
         SegmentIndex.load(part)
-    resumed = build_segments(tiny_index, part, seg_size=64, groups=3, resume=True)
+    # resume with a DIFFERENT groups argument: the manifest's n_groups
+    # must win, or completed-group bookkeeping would skip segments
+    # (code-review r03 regression)
+    resumed = build_segments(tiny_index, part, seg_size=64, groups=2, resume=True)
     assert _dir_hash(os.path.join(full, "postings")) == _dir_hash(
         os.path.join(part, "postings")
     )
