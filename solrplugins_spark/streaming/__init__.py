@@ -1,3 +1,4 @@
+from .stateful import streaming_sessionize
 from .incremental import (
     incremental_index_build,
     merge_segment_stats,
@@ -5,6 +6,7 @@ from .incremental import (
 )
 
 __all__ = [
+    "streaming_sessionize",
     "incremental_index_build",
     "merge_segment_stats",
     "process_generation",

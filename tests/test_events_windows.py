@@ -92,3 +92,92 @@ def test_streaming_windows_match_batch(spark, tmp_path):
         pdlib.to_datetime(b["window_start"]) + pdlib.Timedelta("1 hour") <= cutoff
     ].reset_index(drop=True)
     pd.testing.assert_frame_equal(closed, s_append, check_dtype=False)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization vs the batch twin:
+    - one availableNow batch == batch sessionize exactly;
+    - TWO chronological micro-batches (time-split sources) == the same
+      one-big-batch result, proving per-user state (last ts + session
+      ordinal) genuinely carries across micro-batches."""
+    from solrplugins_spark.analytics.events import sessionize
+    from solrplugins_spark.streaming.stateful import streaming_sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = (
+        sessionize(ev, gap_minutes=30.0)
+        .orderBy("event_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+    def run(src_dir, name, ck):
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        q = (
+            streaming_sessionize(stream, gap_minutes=30.0)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # single batch
+    src1 = str(tmp_path / "all")
+    ev.coalesce(2).write.mode("overwrite").parquet(src1)
+    run(src1, "sess_all", "ck_all")
+    got1 = (
+        spark.sql("select * from sess_all")
+        .orderBy("event_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(got1) == len(batch) > 0
+    pd.testing.assert_frame_equal(got1, batch, check_dtype=False)
+
+    # two chronological micro-batches against ONE checkpoint: run over
+    # the early half, append the late half, run again with the SAME
+    # checkpoint (only new files process; state restores from it). The
+    # second run's output covers ONLY late events — their session ids
+    # must continue from the carried (last ts, ordinal) state, so
+    # early-output + late-output == the one-big-batch result.
+    from pyspark.sql import functions as F
+    mid = ev.agg(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).collect()[0][0]
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    early = ev.filter(micros <= mid)
+    late = ev.filter(micros > mid)
+    src2 = str(tmp_path / "inc")
+    out2 = str(tmp_path / "inc_out")
+
+    def run_file_sink(src_dir):
+        # the memory sink cannot recover from a checkpoint; the parquet
+        # sink can, which is what makes the state-carry leg honest
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        q = (
+            streaming_sessionize(stream, gap_minutes=30.0)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", str(tmp_path / "ck_inc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    early.coalesce(1).write.mode("overwrite").parquet(src2)
+    run_file_sink(src2)
+    n_first = spark.read.parquet(out2).count()
+    late.coalesce(1).write.mode("append").parquet(src2)
+    run_file_sink(src2)
+    got2 = (
+        spark.read.parquet(out2)
+        .orderBy("event_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert 0 < n_first < len(got2), "second run must process only late events"
+    pd.testing.assert_frame_equal(got2, batch, check_dtype=False)
