@@ -7,6 +7,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     ngram_cap_dropped,
     duplicate_clusters,
+    apply_dedup,
     embedding_near_duplicates,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_cap_dropped",
     "duplicate_clusters",
+    "apply_dedup",
     "embedding_near_duplicates",
 ]

@@ -490,6 +490,30 @@ def duplicate_clusters(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus from any pair operator's
+    output: cluster the pairs (connected components), keep each
+    cluster's canonical member (min doc id), anti-join the rest away.
+    This is the end of the dedup pipeline — the frame you train on.
+
+    Plan shape at scale: clustering touches only the pair frame
+    (bounded by duplicate volume, not corpus size); the final anti-join
+    is one hash join of the corpus against the (small) loser set —
+    broadcastable whenever duplicates are a minority."""
+    clusters = duplicate_clusters(pairs, a_col=a_col, b_col=b_col, max_iter=max_iter)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(doc_col)
+    )
+    return docs.join(losers, doc_col, "left_anti")
+
+
 def ngram_cap_dropped(
     docs: DataFrame,
     n: int = 3,

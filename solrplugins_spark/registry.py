@@ -385,6 +385,8 @@ _WINDOW_ORDER = [
     "fingerprint",
     "quality",
     "lang_id",
+    # new past-window gates (pytest-oracle-parity until rotated in)
+    "dedup_apply",
 ]
 
 

@@ -602,6 +602,37 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End of the dedup pipeline: the MATERIALIZED deduplicated corpus
+    — planted near-dup corpus minus every non-canonical cluster member
+    (keep min doc id per component). Oracle: recursive-CTE closure +
+    anti-join."""
+    from .dedup import apply_dedup
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" appended near duplicate marker")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    pairs = q_ngram_jaccard(spark, sf_dir)
+    return apply_dedup(corpus, pairs).select("doc_id")
+
+
+def _sql_dedup_apply() -> str:
+    cluster_sql = _sql_dedup_clusters().strip()
+    return f"""
+WITH clusters AS ({cluster_sql}),
+corpus AS (
+  SELECT doc_id FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 FROM documents WHERE doc_id < 10
+),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+SELECT c.doc_id FROM corpus c ANTI JOIN losers l USING (doc_id)
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs via multi-table hyperplane-LSH
     candidates + exact cosine verify. A planted exact duplicate
@@ -1713,6 +1744,7 @@ EXT_QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "emb_near_dup": q_emb_near_dup,
     "knn_join": q_knn_join,
     "ann_cosine": q_ann_cosine,
@@ -1777,6 +1809,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_clusters": _sql_dedup_clusters(),
+        "dedup_apply": _sql_dedup_apply(),
         "emb_near_dup": _sql_emb_near_dup(),
         "knn_join": _sql_knn_join(),
         "ann_cosine": SQL_ANN_COSINE,
