@@ -1489,6 +1489,21 @@ def compact_packed(
 
     flags_pos_in = {s.has_positions for s in seg_indexes} - {None}
     flags_pay_in = {s.has_payloads for s in seg_indexes} - {None}
+    # docvalues carry-through: columns packed by EVERY input generation
+    # survive compaction (numeric streams merge element-wise over the
+    # disjoint doc sets; ordinal streams remap to a merged dictionary).
+    # Columns missing from any generation are dropped — recorded in the
+    # manifest either way.
+    vc_common = sorted(
+        set.intersection(*(set(s.value_cols) for s in seg_indexes))
+        if seg_indexes
+        else set()
+    )
+    sc_common = sorted(
+        set.intersection(*(set(s.string_cols) for s in seg_indexes))
+        if seg_indexes
+        else set()
+    )
     m = _read_manifest(out_path) if resume else None
     if m is None or m.get("codec_version") != CODEC_VERSION:
         os.makedirs(out_path, exist_ok=True)
@@ -1501,13 +1516,11 @@ def compact_packed(
             "n_groups": groups,
             # propagate sub-stream presence so SegmentIndex.load of the
             # compacted dir agrees with the returned object (and later
-            # compactions keep failing fast on mixed inputs). Docvalues
-            # streams are NOT carried through compaction — rebuild with
-            # build_segments(value_cols/string_cols) if needed.
+            # compactions keep failing fast on mixed inputs)
             "has_positions": flags_pos_in.pop() if flags_pos_in else None,
             "has_payloads": flags_pay_in.pop() if flags_pay_in else None,
-            "value_cols": [],
-            "string_cols": [],
+            "value_cols": vc_common,
+            "string_cols": sc_common,
             "completed_groups": [],
             "lineage": [],
         }
@@ -1517,6 +1530,77 @@ def compact_packed(
             "resume with different inputs — wipe the output dir"
         )
         groups = m["n_groups"]
+
+    # merged ordinal dictionaries + per-generation remap arrays: each
+    # generation assigned its own ordinals; the compacted index needs
+    # ONE dictionary, so build the union (sorted values, ords from 1)
+    # and a facet-vocab-bounded old->new remap per (generation, col)
+    remaps: dict[tuple[int, str], np.ndarray] = {}
+    if sc_common:
+        for col in sc_common:
+            gen_dicts = []
+            for si in seg_indexes:
+                d = spark.read.parquet(
+                    os.path.join(si.path, "docvalues_str", col, "dict")
+                ).collect()
+                gen_dicts.append({r["value"]: int(r["ord"]) for r in d})
+            merged_vals = sorted(set().union(*(d.keys() for d in gen_dicts)))
+            new_ord = {v: i + 1 for i, v in enumerate(merged_vals)}
+            for gi, d in enumerate(gen_dicts):
+                arr = np.zeros(max(d.values(), default=0) + 1, np.int64)
+                for v, o in d.items():
+                    arr[o] = new_ord[v]
+                remaps[(gi, col)] = arr
+            if not m.get("string_dicts"):
+                spark.createDataFrame(
+                    [(new_ord[v], v) for v in merged_vals], "ord long, value string"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(out_path, "docvalues_str", col, "dict")
+                )
+        if not m.get("string_dicts"):
+            m["string_dicts"] = True
+            _write_manifest(out_path, m)
+
+    def _merge_dense_factory(remap_by_gen: dict[int, np.ndarray] | None):
+        def merge_dense(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["seg"].iloc[0])
+            d_lo = int(pdf["doc_lo"].iloc[0])
+            n = int(pdf["n"].max())
+            dense = np.zeros(n, np.int64)
+            for _, r in pdf.iterrows():
+                arr = _decode_doclens(r["data_dl"]).astype(np.int64)
+                if remap_by_gen is not None:
+                    arr = remap_by_gen[int(r["gen"])][arr]
+                # generations hold disjoint doc sets: absent docs hold
+                # 0 in a generation's dense array, so max() is the union
+                dense[: len(arr)] = np.maximum(dense[: len(arr)], arr)
+            return pd.DataFrame(
+                {
+                    "seg": [seg],
+                    "doc_lo": [d_lo],
+                    "n": [n],
+                    "dl_data": [varint_encode(dense.astype(np.uint64)).tobytes()],
+                }
+            )
+
+        return merge_dense
+
+    def _dv_streams(col: str, subdir: str) -> DataFrame:
+        out = None
+        for gi, si in enumerate(seg_indexes):
+            base = (
+                os.path.join(si.path, subdir, col)
+                if subdir == "docvalues"
+                else os.path.join(si.path, subdir, col, "streams")
+            )
+            d = (
+                spark.read.option("basePath", base)
+                .schema(DOCLEN_SCHEMA + ", group int")
+                .parquet(base)
+                .withColumn("gen", F.lit(gi))
+            )
+            out = d if out is None else out.unionByName(d)
+        return out
 
     for g in range(groups):
         if g in m["completed_groups"]:
@@ -1543,6 +1627,37 @@ def compact_packed(
             .partitionBy("seg")
             .parquet(os.path.join(out_path, "doclens", f"group={g}"))
         )
+        for vc in vc_common:
+            (
+                _dv_streams(vc, "docvalues")
+                .filter(F.col("seg") % groups == g)
+                .withColumnRenamed("dl_data", "data_dl")
+                .groupBy("seg")
+                .applyInPandas(_merge_dense_factory(None), schema=DOCLEN_SCHEMA)
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(os.path.join(out_path, "docvalues", vc, f"group={g}"))
+            )
+        for sc in sc_common:
+            remap_by_gen = {
+                gi: remaps[(gi, sc)] for gi in range(len(seg_indexes))
+            }
+            (
+                _dv_streams(sc, "docvalues_str")
+                .filter(F.col("seg") % groups == g)
+                .withColumnRenamed("dl_data", "data_dl")
+                .groupBy("seg")
+                .applyInPandas(
+                    _merge_dense_factory(remap_by_gen), schema=DOCLEN_SCHEMA
+                )
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(
+                    os.path.join(
+                        out_path, "docvalues_str", sc, "streams", f"group={g}"
+                    )
+                )
+            )
         elapsed = time.time() - t0
         m["completed_groups"].append(g)
         m["lineage"].append(
@@ -1581,6 +1696,8 @@ def compact_packed(
         n_segments=n_segments, seg_size=seg_size,
         has_positions=flags_pos.pop() if flags_pos else None,
         has_payloads=flags_pay.pop() if flags_pay else None,
+        value_cols=tuple(vc_common),
+        string_cols=tuple(sc_common),
     )
 
 

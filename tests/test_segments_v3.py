@@ -502,3 +502,45 @@ def test_wand_facet_search_matches_flat(spark, tiny_corpus, tmp_path):
         )
     with pytest.raises(ValueError, match="string_cols"):
         wand_facet_search(spark, seg, "w0001", "tool")
+
+
+def test_compact_carries_docvalues(spark, tiny_corpus_pd, tmp_path):
+    """Numeric + ordinal docvalues streams survive compaction: ranges
+    and facets over the compacted index equal a from-scratch build of
+    the full corpus (ordinals remapped to the merged dictionary)."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import (
+        build_segments,
+        compact_packed,
+        wand_boolean_search,
+        wand_facet_search,
+    )
+
+    pdf = tiny_corpus_pd.copy()
+    pdf["nch"] = pdf["text"].str.len().astype("int64")
+    half_a = spark.createDataFrame(pdf[pdf["doc_id"] < 200])
+    half_b = spark.createDataFrame(pdf[pdf["doc_id"] >= 200])
+    kw = dict(seg_size=64, groups=2, value_cols=["nch"], string_cols=["role"])
+    seg_a = build_segments(build_index(half_a), str(tmp_path / "a"), **kw)
+    seg_b = build_segments(build_index(half_b), str(tmp_path / "b"), **kw)
+    compacted = compact_packed(spark, [seg_a, seg_b], str(tmp_path / "c"))
+    assert compacted.value_cols == ("nch",)
+    assert compacted.string_cols == ("role",)
+
+    full = spark.createDataFrame(pdf)
+    seg_full = build_segments(build_index(full), str(tmp_path / "full"), **kw)
+
+    q = "nch:[100 TO 160] and w0001"
+    got = wand_boolean_search(spark, compacted, q, k=10).toPandas()
+    want = wand_boolean_search(spark, seg_full, q, k=10).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    gotf = (
+        wand_facet_search(spark, compacted, "w0001", "role")
+        .orderBy("role").toPandas().reset_index(drop=True)
+    )
+    wantf = (
+        wand_facet_search(spark, seg_full, "w0001", "role")
+        .orderBy("role").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gotf, wantf, check_dtype=False)
