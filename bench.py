@@ -283,8 +283,16 @@ def main() -> None:
         "build_secs_local8": round(secs_n, 2),
         "build_secs_local32": round(secs_4n, 2),
         # headline N->4N: contract job at 1->4 cores (see
-        # BENCH/BASELINE.md r03 protocol section for why this pair)
+        # BENCH/BASELINE.md r03 protocol section for why this pair).
+        # scaling_pair names the levels so scaling_efficiency_n_to_4n
+        # is self-describing across rounds (r02: 2->8 pooled-median;
+        # early r03: 2->8 paired; final r03: 1->4 paired), and the
+        # 2->8 key consumers saw in earlier runs stays present.
+        "scaling_pair": "1->4",
         **scaling,
+        "contract_scaling_efficiency_2_to_8": supp_2_8[
+            "scaling_efficiency_n_to_4n"
+        ],
         "supplementary_2_to_8": {
             k: supp_2_8[k]
             for k in (

@@ -1464,23 +1464,6 @@ def compact_packed(
             ],
         )
 
-    def merge_doclens(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["seg"].iloc[0])
-        doc_lo = int(pdf["doc_lo"].iloc[0])
-        n = int(pdf["n"].max())
-        dense = np.zeros(n, np.int64)
-        for _, r in pdf.iterrows():
-            arr = _decode_doclens(r["data_dl"])
-            dense[: len(arr)] = np.maximum(dense[: len(arr)], arr)
-        return pd.DataFrame(
-            {
-                "seg": [seg],
-                "doc_lo": [doc_lo],
-                "n": [n],
-                "dl_data": [varint_encode(dense.astype(np.uint64)).tobytes()],
-            }
-        )
-
     n_segments = max(
         int(np.ceil(n_docs / seg_size)),
         max(s.n_segments for s in seg_indexes),
@@ -1529,14 +1512,30 @@ def compact_packed(
         assert m["n_docs"] == n_docs and m["seg_size"] == seg_size, (
             "resume with different inputs — wipe the output dir"
         )
+        # a pre-docvalues (or differently-configured) partial output
+        # would resume with completed groups that lack the docvalues
+        # files this run promises — the returned SegmentIndex would
+        # claim streams that don't exist. Fail fast instead.
+        assert (
+            m.get("value_cols", []) == vc_common
+            and m.get("string_cols", []) == sc_common
+        ), (
+            "resume with different carried docvalues columns — wipe the "
+            "output dir (manifest "
+            f"{m.get('value_cols', [])}/{m.get('string_cols', [])} vs "
+            f"inputs {vc_common}/{sc_common})"
+        )
         groups = m["n_groups"]
 
+    _all_done = set(m["completed_groups"]) == set(range(groups))
     # merged ordinal dictionaries + per-generation remap arrays: each
     # generation assigned its own ordinals; the compacted index needs
     # ONE dictionary, so build the union (sorted values, ords from 1)
     # and a facet-vocab-bounded old->new remap per (generation, col)
     remaps: dict[tuple[int, str], np.ndarray] = {}
-    if sc_common:
+    if sc_common and not (_all_done and m.get("string_dicts")):
+        # skipped entirely on a fully-resumed dir: the remaps would
+        # feed a group loop that has nothing left to do
         for col in sc_common:
             gen_dicts = []
             for si in seg_indexes:
@@ -1622,7 +1621,9 @@ def compact_packed(
             dls.filter(F.col("seg") % groups == g)
             .withColumnRenamed("dl_data", "data_dl")
             .groupBy("seg")
-            .applyInPandas(merge_doclens, schema=DOCLEN_SCHEMA)
+            # doclens merge IS the dense max-union (disjoint docs,
+            # absent = 0) — same kernel as the docvalues streams
+            .applyInPandas(_merge_dense_factory(None), schema=DOCLEN_SCHEMA)
             .write.mode("overwrite")
             .partitionBy("seg")
             .parquet(os.path.join(out_path, "doclens", f"group={g}"))

@@ -497,6 +497,20 @@ FROM sh GROUP BY doc_id
 """
 
 
+def _planted_neardup_corpus(spark, sf_dir):
+    """The planted near-dup corpus shared by every ngram-dedup gate:
+    docs 0..59 plus docs 0..9 re-emitted with a suffix at
+    doc_id+100000. ONE Spark-side definition (mirrored verbatim by the
+    all_docs CTE in SQL_NGRAM_JACCARD) — tuning the plant in one place
+    keeps the pair gate and the apply gate on the same corpus."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" appended near duplicate marker")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Near-dup docs are PLANTED (doc 0..9 re-emitted with a suffix at
     doc_id+100000) so the gate covers real pairs — a 0-rows-both-sides
@@ -504,12 +518,9 @@ def q_ngram_jaccard(spark, sf_dir):
     empty` (round-1 verdict)."""
     from .dedup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat("text", F.lit(" appended near duplicate marker")).alias("text"),
+    return ngram_jaccard_pairs(
+        _planted_neardup_corpus(spark, sf_dir), n=3, threshold=0.3
     )
-    return ngram_jaccard_pairs(docs.unionByName(mutated), n=3, threshold=0.3)
 
 
 SQL_NGRAM_JACCARD = """
@@ -609,12 +620,7 @@ def q_dedup_apply(spark, sf_dir):
     anti-join."""
     from .dedup import apply_dedup
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat("text", F.lit(" appended near duplicate marker")).alias("text"),
-    )
-    corpus = docs.unionByName(mutated)
+    corpus = _planted_neardup_corpus(spark, sf_dir)
     pairs = q_ngram_jaccard(spark, sf_dir)
     return apply_dedup(corpus, pairs).select("doc_id")
 

@@ -32,6 +32,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _assign_sessions(
+    chunks: list[pd.DataFrame],
+    last_micros: int | None,
+    sess: int,
+    gap_micros: int,
+    id_col: str,
+) -> tuple[pd.DataFrame, int | None, int]:
+    """Session assignment core, shared by the streaming closure and
+    unit tests: concat ALL chunks, sort ONCE by (time, id), then walk.
+    Chunks arrive with no cross-chunk ordering guarantee, so a
+    per-chunk sort with carried state would corrupt session ids."""
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(pdf) == 0:
+        return pdf, last_micros, sess
+    pdf = pdf.sort_values(["_micros", id_col], kind="stable")
+    out_sess = []
+    for m in pdf["_micros"].to_numpy():
+        if last_micros is None or (m - last_micros) > gap_micros:
+            sess += 1
+        last_micros = int(m)
+        out_sess.append(sess)
+    out = pd.DataFrame(
+        {"event_id": pdf[id_col].to_numpy(), "session_id": out_sess}
+    )
+    return out, last_micros, sess
+
+
 def streaming_sessionize(
     stream_df: DataFrame,
     gap_minutes: float = 30.0,
@@ -54,34 +81,30 @@ def streaming_sessionize(
                 last_micros = None
         else:
             last_micros, sess = None, -1
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["_micros", id_col], kind="stable")
-            micros = pdf["_micros"].to_numpy()
-            out_sess = []
-            for m in micros:
-                if last_micros is None or (m - last_micros) > gap_micros:
-                    sess += 1
-                last_micros = int(m)
-                out_sess.append(sess)
-            yield pd.DataFrame(
-                {
-                    "event_id": pdf[id_col].to_numpy(),
-                    "user_id": key[0],
-                    "session_id": out_sess,
-                }
-            )
+        out, last_micros, sess = _assign_sessions(
+            list(pdfs), last_micros, sess, gap_micros, id_col
+        )
+        if len(out):
+            yield out.assign(user_id=key[0])[
+                ["event_id", "user_id", "session_id"]
+            ]
         state.update((last_micros if last_micros is not None else -1, sess))
 
+    # output types follow the input schema (the batch twin preserves
+    # them); null timestamps are dropped JVM-side — session assignment
+    # is undefined for them and int(NaN) would kill the whole query
+    user_type = stream_df.schema[user_col].dataType.simpleString()
+    id_type = stream_df.schema[id_col].dataType.simpleString()
     prepared = stream_df.select(
         F.col(user_col).alias(user_col),
         F.col(id_col),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_micros"),
-    )
+    ).filter(F.col("_micros").isNotNull())
     return prepared.groupBy(user_col).applyInPandasWithState(
         assign,
-        outputStructType="event_id long, user_id long, session_id long",
+        outputStructType=(
+            f"event_id {id_type}, user_id {user_type}, session_id long"
+        ),
         stateStructType="last_micros long, sess long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

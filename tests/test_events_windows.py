@@ -181,3 +181,45 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     )
     assert 0 < n_first < len(got2), "second run must process only late events"
     pd.testing.assert_frame_equal(got2, batch, check_dtype=False)
+
+
+def test_streaming_sessionize_multichunk_order(spark):
+    """applyInPandasWithState delivers a key's rows as Arrow-sized
+    chunks with NO cross-chunk ordering; the session core must concat
+    and sort ALL chunks before threading state (code-review r03).
+    Drives the REAL _assign_sessions core with reverse-time chunks and
+    with state carried across two calls."""
+    import pandas as pd_
+
+    from solrplugins_spark.streaming.stateful import _assign_sessions
+
+    gap_micros = int(30 * 60 * 1e6)
+    hours = [3, 4, 5, 0, 1, 2]  # hourly events -> each its own session
+    prep = pd_.DataFrame(
+        {
+            "event_id": hours,
+            "_micros": [h * 3600 * 1_000_000 for h in hours],
+        }
+    )
+    # reverse-time chunk split: later hours delivered first
+    out, last, sess = _assign_sessions(
+        [prep.iloc[:3].copy(), prep.iloc[3:].copy()], None, -1, gap_micros,
+        "event_id",
+    )
+    got = out.sort_values("event_id")
+    assert list(got["session_id"]) == [0, 1, 2, 3, 4, 5]
+    assert sess == 5 and last == 5 * 3600 * 1_000_000
+
+    # state carries into the next micro-batch: an event 10 min after
+    # the last one continues session 5; one 2 h later opens session 6
+    nxt = pd_.DataFrame(
+        {
+            "event_id": [10, 11],
+            "_micros": [
+                5 * 3600 * 1_000_000 + 10 * 60 * 1_000_000,
+                7 * 3600 * 1_000_000,
+            ],
+        }
+    )
+    out2, _, sess2 = _assign_sessions([nxt], last, sess, gap_micros, "event_id")
+    assert list(out2["session_id"]) == [5, 6] and sess2 == 6
