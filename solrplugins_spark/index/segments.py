@@ -84,6 +84,8 @@ class SegmentIndex:
     # string ordinal docvalues (build_segments string_cols) — packed
     # faceting (wand_facet_search)
     string_cols: tuple = ()
+    # stored-field columns (build_segments store_cols) — fetch_docs
+    store_cols: tuple = ()
 
     @classmethod
     def load(cls, path: str) -> "SegmentIndex":
@@ -103,6 +105,7 @@ class SegmentIndex:
             has_payloads=m.get("has_payloads"),
             value_cols=tuple(m.get("value_cols", [])),
             string_cols=tuple(m.get("string_cols", [])),
+            store_cols=tuple(m.get("store_cols", [])),
         )
 
 
@@ -133,6 +136,7 @@ def build_segments(
     resume: bool = True,
     value_cols: list[str] | None = None,
     string_cols: list[str] | None = None,
+    store_cols: list[str] | None = None,
 ) -> SegmentIndex:
     """Pack the flat index into compressed segments, resumably.
 
@@ -155,6 +159,12 @@ def build_segments(
     plus per-segment dense ordinal streams — enables faceting over
     query docsets on the packed path (wand_facet_search) with
     segment-local counting.
+
+    ``store_cols``: stored-field columns written seg-partitioned under
+    docstore/ (the Lucene stored-fields / ir.document analogue) so
+    ``fetch_docs`` can return full rows for a top-k result with
+    partition-pruned point reads — no flat corpus needed at serve
+    time.
     """
     spark = index.postings.sparkSession
     n_docs = index.n_docs
@@ -162,7 +172,12 @@ def build_segments(
     groups = min(groups, n_segments)
     value_cols = sorted(value_cols or [])
     string_cols = sorted(string_cols or [])
-    for kind, cols in (("value_cols", value_cols), ("string_cols", string_cols)):
+    store_cols = sorted(store_cols or [])
+    for kind, cols in (
+        ("value_cols", value_cols),
+        ("string_cols", string_cols),
+        ("store_cols", store_cols),
+    ):
         if cols:
             if index.docs is None:
                 raise ValueError(f"{kind} needs the stored corpus (index.docs)")
@@ -184,6 +199,7 @@ def build_segments(
             "has_payloads": "payload" in index.postings.columns,
             "value_cols": value_cols,
             "string_cols": string_cols,
+            "store_cols": store_cols,
             "completed_groups": [],
             "lineage": [],
         }
@@ -197,6 +213,9 @@ def build_segments(
         )
         assert m.get("string_cols", []) == string_cols, (
             "resume with different string_cols — wipe the output dir"
+        )
+        assert m.get("store_cols", []) == store_cols, (
+            "resume with different store_cols — wipe the output dir"
         )
 
     # a different `groups` would change the seg%groups assignment and
@@ -371,6 +390,16 @@ def build_segments(
                 .parquet(os.path.join(out_path, "docvalues", vc, f"group={g}"))
             )
 
+        if store_cols:
+            (
+                index.docs.select("doc_id", *store_cols)
+                .withColumn("seg", seg_col)
+                .filter(F.col("seg") % groups == g)
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(os.path.join(out_path, "docstore", f"group={g}"))
+            )
+
         for sc in string_cols:
             dict_df = spark.read.parquet(
                 os.path.join(out_path, "docvalues_str", sc, "dict")
@@ -436,6 +465,7 @@ def build_segments(
         has_payloads=m.get("has_payloads"),
         value_cols=tuple(m.get("value_cols", [])),
         string_cols=tuple(m.get("string_cols", [])),
+        store_cols=tuple(m.get("store_cols", [])),
     )
 
 
@@ -1275,6 +1305,35 @@ def wand_boolean_search(
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def fetch_docs(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    doc_ids: list[int],
+) -> DataFrame:
+    """Stored-field retrieval from the packed index — the
+    ir.document(docNum) analogue (MoreLikeThis.java:1113-1145): rows
+    for a bounded doc-id set (a top-k result page) from the
+    seg-partitioned docstore. The seg-isin predicate prunes to the
+    segments actually hit (partition pruning) and the doc_id filter
+    pushes into those files' row groups — a point-read pattern, never
+    a corpus scan."""
+    if not seg_index.store_cols:
+        raise ValueError(
+            "packed index has no docstore — rebuild with "
+            "build_segments(..., store_cols=[...])"
+        )
+    ids = [int(d) for d in doc_ids]
+    segs = sorted({d // seg_index.seg_size for d in ids})
+    base = os.path.join(seg_index.path, "docstore")
+    return (
+        spark.read.option("basePath", base)
+        .parquet(base)
+        .filter(F.col("seg").isin(segs))
+        .filter(F.col("doc_id").isin(ids))
+        .drop("seg", "group")
     )
 
 

@@ -544,3 +544,44 @@ def test_compact_carries_docvalues(spark, tiny_corpus_pd, tmp_path):
         .orderBy("role").toPandas().reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(gotf, wantf, check_dtype=False)
+
+
+def test_packed_docstore_fetch(spark, tiny_corpus, tmp_path):
+    """Stored-field retrieval (ir.document analogue): fetch_docs
+    returns exact rows for a top-k page with partition-pruned point
+    reads; indexes without a docstore fail fast."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import (
+        build_segments,
+        fetch_docs,
+        wand_search,
+    )
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "ds"), seg_size=64, groups=2,
+        store_cols=["conv_id", "turn_idx", "text"],
+    )
+    assert seg.store_cols == ("conv_id", "text", "turn_idx")
+
+    top = wand_search(spark, seg, [("w0001", 1.0)], k=5).toPandas()
+    ids = [int(d) for d in top["doc_id"]]
+    got = fetch_docs(spark, seg, ids).orderBy("doc_id").toPandas()
+    want = (
+        tiny_corpus.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "conv_id", "text", "turn_idx")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # partition pruning reaches the plan
+    plan = fetch_docs(spark, seg, ids)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "seg" in plan
+
+    seg_plain = build_segments(idx, str(tmp_path / "plain"), seg_size=64, groups=2)
+    with pytest.raises(ValueError, match="docstore"):
+        fetch_docs(spark, seg_plain, [1])
