@@ -104,6 +104,53 @@ def mlt_handler(
     return out
 
 
+def packed_select_handler(
+    seg_index,
+    query: str,
+    k: int = 10,
+    facet_fields: list[str] | None = None,
+    with_stored: bool = True,
+    field_segments=None,
+    field_sims=None,
+) -> dict[str, DataFrame]:
+    """The full /select response served ENTIRELY from a packed index:
+    top-k docs (boolean query, per-segment evaluation), stored fields
+    for the result page (docstore point reads), and facet counts over
+    the full match docset (ordinal docvalues) — no flat corpus, no
+    postings frame, each section one Spark job. This is the serving
+    deployment shape at 10^12 docs: everything a request needs lives
+    in the segment files.
+
+    Returns {"docs": (doc_id, score [, stored cols...]),
+             "facet_<field>": (value, cnt), ...}.
+    """
+    from ..index.segments import (
+        fetch_docs,
+        wand_boolean_search,
+        wand_facet_search,
+    )
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    top = wand_boolean_search(
+        spark, seg_index, query, k=k,
+        field_segments=field_segments, field_sims=field_sims,
+    )
+    docs = top
+    if with_stored and seg_index.store_cols:
+        ids = [int(r["doc_id"]) for r in top.collect()]  # bounded: k rows
+        if ids:
+            docs = top.join(fetch_docs(spark, seg_index, ids), "doc_id", "left")
+        docs = docs.orderBy(F.desc("score"), F.asc("doc_id"))
+    out: dict[str, DataFrame] = {"docs": docs}
+    for field in facet_fields or []:
+        out[f"facet_{field}"] = wand_facet_search(
+            spark, seg_index, query, field,
+            field_segments=field_segments, field_sims=field_sims,
+        )
+    return out
+
+
 def feedback_handler(
     index: InvertedIndex,
     query: str,

@@ -119,3 +119,32 @@ def test_boosted_search_ranks_after_boost(spark):
     got = boosted_search(idx, [("java", 1.0)], boost_fn=F.col("w"), k=2).toPandas()
     assert list(got["doc_id"])[0] == 3  # boost decided the top-1
     assert len(got) == 2
+
+
+def test_packed_select_handler(spark, tiny_corpus, tmp_path):
+    """The full /select response from the packed index alone: ranked
+    docs with stored fields + facet counts, no flat corpus access."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.compiler import execute_query
+    from solrplugins_spark.query.handlers import packed_select_handler
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "sel"), seg_size=64, groups=2,
+        string_cols=["role"], store_cols=["conv_id", "text"],
+    )
+    out = packed_select_handler(
+        seg, "w0001 and not w0002", k=5, facet_fields=["role"]
+    )
+    docs = out["docs"].toPandas()
+    want = execute_query(idx, "w0001 and not w0002", k=5).toPandas()
+    assert list(docs["doc_id"]) == list(want["doc_id"])
+    assert list(docs["score"]) == list(want["score"])
+    assert {"conv_id", "text"} <= set(docs.columns)
+    # stored text matches the corpus rows
+    corpus = tiny_corpus.toPandas().set_index("doc_id")
+    for _, r in docs.iterrows():
+        assert r["text"] == corpus.loc[r["doc_id"], "text"]
+    facets = out["facet_role"].toPandas()
+    assert facets["cnt"].sum() > 0 and set(facets.columns) == {"role", "cnt"}
