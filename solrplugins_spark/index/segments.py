@@ -236,6 +236,10 @@ def build_segments(
                 index.docs.select(F.col(sc).alias("value"))
                 .filter(F.col("value").isNotNull())
                 .distinct()
+                # global row_number = single-partition window: fine
+                # here because facet dictionaries are by definition
+                # low-cardinality (they get counted into one response);
+                # high-cardinality columns belong in value_cols/ranges
                 .withColumn(
                     "ord",
                     F.row_number().over(_W.orderBy("value")).cast("long"),
