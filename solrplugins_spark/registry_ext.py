@@ -1026,6 +1026,49 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_quality_gate(spark, sf_dir):
+    """The quality GATE applied (C4/Gopher-style curation step):
+    surviving doc_ids under thresholds chosen to be non-vacuous on
+    this corpus (token counts 10..99, alnum ratio 0.79..0.85 — both
+    rules reject real docs)."""
+    from .text import quality_filter
+
+    kept, _counts = quality_filter(
+        _docs(spark, sf_dir), min_tokens=30, min_alnum_ratio=0.8
+    )
+    return kept.select("doc_id")
+
+
+def _sql_quality_gate() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(lower(coalesce(text, ''))
+                     , '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(t)::DOUBLE AS n_chars,
+         len(toks)::DOUBLE AS n_tokens,
+         list_reduce(list_prepend(0.0, [len(x)::DOUBLE for x in toks]), (a, b) -> a + b) AS tok_chars,
+         len(regexp_replace(lower(t), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum
+  FROM base
+),
+calc AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_len,
+         CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0.0 END AS alnum_ratio
+  FROM feat
+)
+SELECT doc_id FROM calc
+WHERE NOT (n_tokens < 30 OR n_tokens > 100000
+           OR mean_len < 2.0 OR mean_len > 12.0
+           OR alnum_ratio < 0.8)
+"""
+
+
 def _sql_quality() -> str:
     from .text.analysis import STOPWORDS
 
@@ -1764,6 +1807,7 @@ EXT_QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "quality": q_quality,
+    "quality_gate": q_quality_gate,
     "wand_single": q_wand_single,
     "wand_or": q_wand_or,
     "wand_phrase": q_wand_phrase,
@@ -1829,6 +1873,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
         "quality": _sql_quality(),
+        "quality_gate": _sql_quality_gate(),
         "wand_single": SQL_BM25_SINGLE,
         "wand_or": SQL_BM25_OR_BOOSTED,
         "wand_phrase": SQL_PHRASE,

@@ -2,6 +2,7 @@ from .analysis import (
     STOPWORDS,
     language_id,
     quality_features,
+    quality_filter,
     token_counts,
     fingerprint_md5,
     rolling_fingerprint,
@@ -22,6 +23,7 @@ __all__ = [
     "STOPWORDS",
     "language_id",
     "quality_features",
+    "quality_filter",
     "token_counts",
     "fingerprint_md5",
     "rolling_fingerprint",

@@ -154,3 +154,50 @@ def rolling_fingerprint(
     return docs.select(F.col(doc_col).alias(doc_col), text_col).mapInPandas(
         kernel, schema=f"{doc_col} long, fp long"
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_alnum_ratio: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """The C4/Gopher-style quality GATE: apply hard thresholds over the
+    quality_features columns and return (kept_corpus, rule_counts).
+
+    kept_corpus keeps the input schema (feature columns dropped);
+    rule_counts is (rule, rejected) — how many docs EACH rule alone
+    would reject (rules overlap, so the sum can exceed total rejects) —
+    the telemetry a 100 TB curation run needs to see which thresholds
+    bite before committing to them. Pure column expressions end to end:
+    one corpus scan for the gate, one for the (parallel-aggregated)
+    counts; no shuffle beyond the count aggregation.
+    """
+    feats = quality_features(docs, text_col=text_col)
+    rules = {
+        "too_few_tokens": F.col("n_tokens_q") < min_tokens,
+        "too_many_tokens": F.col("n_tokens_q") > max_tokens,
+        "mean_token_too_short": F.col("mean_token_len") < min_mean_token_len,
+        "mean_token_too_long": F.col("mean_token_len") > max_mean_token_len,
+        "low_alnum_ratio": F.col("alnum_ratio") < min_alnum_ratio,
+    }
+    reject = None
+    for cond in rules.values():
+        reject = cond if reject is None else (reject | cond)
+    kept = feats.filter(~reject).select(*docs.columns)
+    counts = feats.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in rules.items()
+        ]
+    )
+    rule_counts = counts.selectExpr(
+        "stack({n}, {pairs}) as (rule, rejected)".format(
+            n=len(rules),
+            pairs=", ".join(f"'{name}', {name}" for name in rules),
+        )
+    )
+    return kept, rule_counts

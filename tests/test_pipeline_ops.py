@@ -456,3 +456,24 @@ def test_pack_sequences_partition_invariant(spark):
     # is nondecreasing in doc order
     assert (a["offset"] < 2048).all()
     assert list(a["seq_id"]) == sorted(a["seq_id"])
+
+
+def test_quality_filter_rules_and_counts(spark):
+    """quality_filter: the gate keeps exactly the docs no rule
+    rejects, and rule_counts reports each rule's standalone bite."""
+    from solrplugins_spark.text import quality_filter
+
+    rows = [
+        (0, "one two three four five six seven eight nine ten"),  # keeps
+        (1, "hi"),                                                # too few tokens
+        (2, "!!!! %%%% ^^^^ &&&& ****"),                          # low alnum
+        (3, "a b c d e f g h i j"),                               # mean token too short
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, counts = quality_filter(docs, min_tokens=5)
+    assert set(kept.toPandas()["doc_id"]) == {0}
+    c = dict(zip(*counts.toPandas()[["rule", "rejected"]].T.values))
+    assert c["too_few_tokens"] >= 1
+    assert c["low_alnum_ratio"] >= 1
+    assert c["mean_token_too_short"] >= 1
+    assert set(kept.columns) == {"doc_id", "text"}
