@@ -198,7 +198,7 @@ def main() -> None:
     from solrplugins_spark.session import get_spark
     from solrplugins_spark.corpus import transcripts
     from solrplugins_spark.index.builder import build_index, mint_doc_ids
-    from solrplugins_spark.index.segments import build_segments, wand_search
+    from solrplugins_spark.index.segments import build_segments, wand_facet_search, wand_search
     from solrplugins_spark.query.scorer import search_terms
     from solrplugins_spark.query.compiler import execute_query
     from solrplugins_spark.query.feedback import unsupervised_feedback
@@ -228,7 +228,12 @@ def main() -> None:
 
     seg_dir = tempfile.mkdtemp(prefix="bench_segs_")
     t0 = time.time()
-    seg = build_segments(idx, os.path.join(seg_dir, "idx"), seg_size=65536, groups=4)
+    # string_cols: the role ordinal stream powers the q_wand_facet
+    # serving-path benchmark line (match+facet from segment files)
+    seg = build_segments(
+        idx, os.path.join(seg_dir, "idx"), seg_size=65536, groups=4,
+        string_cols=["role"],
+    )
     seg_build_secs = time.time() - t0
 
     phrase = docs.select("text").first()["text"].lower().split()[:2]
@@ -254,6 +259,9 @@ def main() -> None:
             spark, seg, [("w0000", 1.0), ("w0001", 1.0), ("zephyrblade", 2.0)], k=10
         ),
         "q_wand_phrase": lambda: wand_phrase_search(spark, seg, phrase, k=10),
+        "q_wand_facet": lambda: wand_facet_search(
+            spark, seg, "zephyrblade or w0003", "role"
+        ),
     }
 
     timings: dict[str, float] = {}

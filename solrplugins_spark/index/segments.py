@@ -1090,6 +1090,17 @@ def _segment_boolean_topk(
         if isinstance(node, qast.Quote):
             phrase = list(tokenize_pandas(pd.Series([node.child.evaluate()]))[0])
             f_lo = doc_lo_by_field.get(fld, doc_lo)
+            # distinguish "term has no postings here" (empty match, fine)
+            # from "postings exist but the positions sub-stream doesn't"
+            # (index built without positions — raise like the phrase
+            # path, never silently return empty)
+            for t in phrase:
+                if (fld, t) in decoded and (fld, t) not in positions:
+                    raise ValueError(
+                        f"packed index for field {fld or 'default'!r} "
+                        "lacks positions (codec<3 build) — phrase "
+                        "queries need build_index(positions=True)"
+                    )
             if not phrase or any((fld, t) not in positions for t in phrase):
                 return np.array([], np.int64), np.array([], np.float64)
             M = np.int64(1) << np.int64(32)
