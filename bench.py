@@ -259,10 +259,11 @@ def main() -> None:
             spark, seg, [("w0000", 1.0), ("w0001", 1.0), ("zephyrblade", 2.0)], k=10
         ),
         "q_wand_phrase": lambda: wand_phrase_search(spark, seg, phrase, k=10),
-        "q_wand_facet": lambda: wand_facet_search(
-            spark, seg, "zephyrblade or w0003", "role"
-        ),
     }
+    # facet latency measured separately: it is a match+facet request,
+    # not a BM25 top-10 query, so it reports under its own key instead
+    # of skewing the headline p95's semantics
+    facet_fn = lambda: wand_facet_search(spark, seg, "zephyrblade or w0003", "role")
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
@@ -273,6 +274,13 @@ def main() -> None:
             fn().collect()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 4)
+
+    facet_fn().collect()
+    facet_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        facet_fn().collect()
+        facet_best = min(facet_best, time.time() - t0)
 
     lat = sorted(timings.values())
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
@@ -311,6 +319,7 @@ def main() -> None:
             )
         },
         "scaling_efficiency_8_to_32_fullbuild": round(efficiency_8_32, 3),
+        "wand_facet_secs": round(facet_best, 4),
         "segment_build_secs": round(seg_build_secs, 2),
         "total_bench_secs": round(time.time() - t_start, 1),
     }
