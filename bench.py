@@ -265,22 +265,17 @@ def main() -> None:
     # of skewing the headline p95's semantics
     facet_fn = lambda: wand_facet_search(spark, seg, "zephyrblade or w0003", "role")
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    def time_query(fn) -> float:
         fn().collect()  # warm (plan + code paths), not timed
         best = float("inf")
         for _ in range(3):  # best-of-3: the host shows 2-3x run noise
             t0 = time.time()
             fn().collect()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 4)
+        return round(best, 4)
 
-    facet_fn().collect()
-    facet_best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        facet_fn().collect()
-        facet_best = min(facet_best, time.time() - t0)
+    timings = {name: time_query(fn) for name, fn in queries.items()}
+    facet_best = time_query(facet_fn)
 
     lat = sorted(timings.values())
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]

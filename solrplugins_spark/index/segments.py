@@ -395,10 +395,17 @@ def build_segments(
             )
 
         if store_cols:
+            # repartition('seg') + in-partition doc_id sort: one file
+            # per seg with monotone doc_ids, so fetch_docs' doc_id-isin
+            # predicate prunes row groups instead of scanning every
+            # upstream task's interleaved output (same discipline as
+            # the postings/doclens/docvalues writes)
             (
                 index.docs.select("doc_id", *store_cols)
                 .withColumn("seg", seg_col)
                 .filter(F.col("seg") % groups == g)
+                .repartition("seg")
+                .sortWithinPartitions("seg", "doc_id")
                 .write.mode("overwrite")
                 .partitionBy("seg")
                 .parquet(os.path.join(out_path, "docstore", f"group={g}"))
@@ -1561,6 +1568,11 @@ def compact_packed(
         if seg_indexes
         else set()
     )
+    st_common = sorted(
+        set.intersection(*(set(s.store_cols) for s in seg_indexes))
+        if seg_indexes
+        else set()
+    )
     m = _read_manifest(out_path) if resume else None
     if m is None or m.get("codec_version") != CODEC_VERSION:
         os.makedirs(out_path, exist_ok=True)
@@ -1578,6 +1590,7 @@ def compact_packed(
             "has_payloads": flags_pay_in.pop() if flags_pay_in else None,
             "value_cols": vc_common,
             "string_cols": sc_common,
+            "store_cols": st_common,
             "completed_groups": [],
             "lineage": [],
         }
@@ -1593,11 +1606,13 @@ def compact_packed(
         assert (
             m.get("value_cols", []) == vc_common
             and m.get("string_cols", []) == sc_common
+            and m.get("store_cols", []) == st_common
         ), (
-            "resume with different carried docvalues columns — wipe the "
-            "output dir (manifest "
-            f"{m.get('value_cols', [])}/{m.get('string_cols', [])} vs "
-            f"inputs {vc_common}/{sc_common})"
+            "resume with different carried docvalues/docstore columns — "
+            "wipe the output dir (manifest "
+            f"{m.get('value_cols', [])}/{m.get('string_cols', [])}/"
+            f"{m.get('store_cols', [])} vs inputs "
+            f"{vc_common}/{sc_common}/{st_common})"
         )
         groups = m["n_groups"]
 
@@ -1713,6 +1728,28 @@ def compact_packed(
                 .partitionBy("seg")
                 .parquet(os.path.join(out_path, "docvalues", vc, f"group={g}"))
             )
+        if st_common:
+            # docstore rows carry through as-is (disjoint doc sets);
+            # repartition+sort restores the one-file-per-seg, doc_id-
+            # ordered layout fetch_docs' row-group pruning relies on
+            st = None
+            for si in seg_indexes:
+                base = os.path.join(si.path, "docstore")
+                d = (
+                    spark.read.option("basePath", base)
+                    .parquet(base)
+                    .select("seg", "doc_id", *st_common)
+                )
+                st = d if st is None else st.unionByName(d)
+            (
+                st.filter(F.col("seg") % groups == g)
+                .repartition("seg")
+                .sortWithinPartitions("seg", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(os.path.join(out_path, "docstore", f"group={g}"))
+            )
+
         for sc in sc_common:
             remap_by_gen = {
                 gi: remaps[(gi, sc)] for gi in range(len(seg_indexes))
@@ -1773,6 +1810,7 @@ def compact_packed(
         has_payloads=flags_pay.pop() if flags_pay else None,
         value_cols=tuple(vc_common),
         string_cols=tuple(sc_common),
+        store_cols=tuple(st_common),
     )
 
 

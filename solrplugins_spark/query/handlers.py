@@ -105,6 +105,7 @@ def mlt_handler(
 
 
 def packed_select_handler(
+    spark,
     seg_index,
     query: str,
     k: int = 10,
@@ -129,18 +130,23 @@ def packed_select_handler(
         wand_boolean_search,
         wand_facet_search,
     )
-    from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
     top = wand_boolean_search(
         spark, seg_index, query, k=k,
         field_segments=field_segments, field_sims=field_sims,
     )
     docs = top
     if with_stored and seg_index.store_cols:
-        ids = [int(r["doc_id"]) for r in top.collect()]  # bounded: k rows
+        # collect the k-row page ONCE and rebuild it as a local frame —
+        # joining the lazy `top` against fetch_docs would re-execute
+        # the whole per-segment evaluation a second time
+        rows = top.collect()
+        page = spark.createDataFrame(rows, top.schema)
+        ids = [int(r["doc_id"]) for r in rows]
         if ids:
-            docs = top.join(fetch_docs(spark, seg_index, ids), "doc_id", "left")
+            docs = page.join(fetch_docs(spark, seg_index, ids), "doc_id", "left")
+        else:
+            docs = page
         docs = docs.orderBy(F.desc("score"), F.asc("doc_id"))
     out: dict[str, DataFrame] = {"docs": docs}
     for field in facet_fields or []:

@@ -1057,9 +1057,12 @@ feat AS (
   FROM base
 ),
 calc AS (
+  -- round(.,5) mirrors quality_features' rounded columns: the gate
+  -- thresholds compare against the ROUNDED values on the Spark side,
+  -- so the oracle must too (boundary values diverge otherwise)
   SELECT doc_id, n_tokens,
-         CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_len,
-         CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0.0 END AS alnum_ratio
+         round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END, 5) AS mean_len,
+         round(CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0.0 END, 5) AS alnum_ratio
   FROM feat
 )
 SELECT doc_id FROM calc

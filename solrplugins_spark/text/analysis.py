@@ -59,8 +59,14 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alnum_ratio, quality_score (a simple monotone composite).
 
     The composite: docs score higher for having enough tokens, typical
-    word lengths, some function words, and mostly-alphanumeric text."""
-    toks = tokens_col(text_col)
+    word lengths, some function words, and mostly-alphanumeric text.
+
+    NULL text is treated as empty text throughout (coalesce before
+    tokenizing), so every feature — and every quality_filter rule —
+    evaluates to a definite value: a NULL-text doc is rejected by the
+    token-count rule and COUNTED in its telemetry, never silently
+    dropped by a three-valued NULL condition."""
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     n_tokens = F.size(toks).cast("double")
     n_chars = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("double")
     tok_chars = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))

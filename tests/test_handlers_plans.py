@@ -135,7 +135,7 @@ def test_packed_select_handler(spark, tiny_corpus, tmp_path):
         string_cols=["role"], store_cols=["conv_id", "text"],
     )
     out = packed_select_handler(
-        seg, "w0001 and not w0002", k=5, facet_fields=["role"]
+        spark, seg, "w0001 and not w0002", k=5, facet_fields=["role"]
     )
     docs = out["docs"].toPandas()
     want = execute_query(idx, "w0001 and not w0002", k=5).toPandas()

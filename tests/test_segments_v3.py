@@ -585,3 +585,33 @@ def test_packed_docstore_fetch(spark, tiny_corpus, tmp_path):
     seg_plain = build_segments(idx, str(tmp_path / "plain"), seg_size=64, groups=2)
     with pytest.raises(ValueError, match="docstore"):
         fetch_docs(spark, seg_plain, [1])
+
+
+def test_compact_carries_docstore(spark, tiny_corpus_pd, tmp_path):
+    """store_cols survive compaction like the docvalues streams do —
+    /select keeps serving stored fields after generations merge."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import (
+        build_segments,
+        compact_packed,
+        fetch_docs,
+    )
+
+    half_a = spark.createDataFrame(tiny_corpus_pd[tiny_corpus_pd["doc_id"] < 200])
+    half_b = spark.createDataFrame(tiny_corpus_pd[tiny_corpus_pd["doc_id"] >= 200])
+    kw = dict(seg_size=64, groups=2, store_cols=["text"])
+    seg_a = build_segments(build_index(half_a), str(tmp_path / "a"), **kw)
+    seg_b = build_segments(build_index(half_b), str(tmp_path / "b"), **kw)
+    compacted = compact_packed(spark, [seg_a, seg_b], str(tmp_path / "c"))
+    assert compacted.store_cols == ("text",)
+
+    ids = [5, 150, 250, 399]
+    got = fetch_docs(spark, compacted, ids).orderBy("doc_id").toPandas()
+    want = (
+        tiny_corpus_pd[tiny_corpus_pd["doc_id"].isin(ids)][["doc_id", "text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "text"]].reset_index(drop=True), want, check_dtype=False
+    )
