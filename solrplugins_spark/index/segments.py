@@ -922,6 +922,7 @@ def _segment_boolean_topk(
     k1: float,
     b: float,
     facet_ord_col: str | None = None,
+    boost_terms: list[tuple[str, float]] | None = None,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1134,6 +1135,18 @@ def _segment_boolean_topk(
         )
 
     docs, scores = evaluate(tree)
+    # boosted SHOULD clauses over the tree's match docset — the
+    # feedback final query (seed MUST + expansion SHOULD,
+    # UnsupervisedFeedbackHelper.java:110-118): candidates stay the
+    # tree's matches; each expansion term adds boost*BM25 where it
+    # co-occurs. Doc-local, so per-segment evaluation stays exact.
+    if boost_terms and len(docs):
+        for t, bst in boost_terms:
+            d, s = bm25(t, "")
+            mask = np.isin(d, docs, assume_unique=True)
+            if mask.any():
+                idx = np.searchsorted(docs, d[mask])
+                scores[idx] += bst * s[mask]
     if facet_ord_col is not None:
         if len(docs) == 0 or facet_ord_col not in dvs:
             return _empty_facet()
@@ -1164,11 +1177,14 @@ def _prepare_boolean(
     field_segments: dict[str, SegmentIndex] | None = None,
     field_sims: dict | None = None,
     str_cols: tuple = (),
+    extra_terms: tuple = (),
 ):
     """Shared preparation for the packed boolean paths: parse, build
     per-field scoring contexts (sidecar dfs, avgdl, k1/b overrides)
     and the unified per-segment frame (postings + doclens + docvalues
-    rows). Returns (tree, field_ctx, unified)."""
+    rows). ``extra_terms`` adds default-field terms beyond the tree's
+    own leaves to the postings fetch + idf context (the feedback
+    expansion SHOULD terms). Returns (tree, field_ctx, unified)."""
     from ..query import ast as qast
     from ..query.compiler import _leaf_terms
     from ..query.parser import parse_query
@@ -1212,6 +1228,8 @@ def _prepare_boolean(
 
     by_field: dict[str, set] = {}
     _field_terms(tree, "", by_field)
+    if extra_terms:
+        by_field.setdefault("", set()).update(extra_terms)
     with_subs = _has_quote(tree)
 
     def _range_fields(node, out: set) -> None:
@@ -1319,6 +1337,45 @@ def wand_boolean_search(
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_boolean_topk(pdf, tree, field_ctx, k, k1, b)
+
+    seg_tops = unified.groupBy("seg").applyInPandas(
+        per_segment, schema="doc_id long, score double"
+    )
+    return (
+        seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def wand_boolean_boosted_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    boost_terms: list[tuple[str, float]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """The feedback FINAL query on the packed path: seed query MUST +
+    expansion SHOULD (UnsupervisedFeedbackHelper.java:110-118).
+    Candidates are the boolean tree's matches; each (term, boost) in
+    ``boost_terms`` adds boost*BM25 on co-occurring docs. Same
+    one-job shape as wand_boolean_search — the expansion terms ride
+    the same term-isin-pruned postings scan and the same per-segment
+    Arrow stage; the merge stays k rows per segment."""
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        extra_terms=tuple(sorted({t for t, _ in boost_terms})),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, k, k1, b, boost_terms=boost_terms
+        )
 
     seg_tops = unified.groupBy("seg").applyInPandas(
         per_segment, schema="doc_id long, score double"

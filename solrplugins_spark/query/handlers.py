@@ -157,6 +157,153 @@ def packed_select_handler(
     return out
 
 
+_MLT_TERMS_SCHEMA = "term string, tf long, df long, score double, raw_weight double"
+
+
+def _packed_interesting_terms(
+    spark,
+    seg_index,
+    seed_doc_ids: list[int],
+    params: MLTParams,
+    text_col: str = "text",
+    round_to: int = 5,
+    tok_kwargs: dict | None = None,
+):
+    """MLT term extraction served ENTIRELY from segment files: stored
+    seed text via the docstore (fetch_docs — the ir.document analogue,
+    MoreLikeThis.java:1113-1145), df via the termstats sidecar (a
+    driver-side pyarrow point read, no Spark job), and the createQueue
+    PQ built driver-side for the bounded seed list — identical queue
+    to the flat path (shared mlt_queue). Returns a pandas frame
+    (term, tf, df, score, raw_weight), <= max_query_terms rows."""
+    from ..index.segments import _sidecar_dfs, fetch_docs
+    from .mlt import mlt_queue, seed_term_counts
+
+    if text_col not in seg_index.store_cols:
+        raise ValueError(
+            f"packed MLT needs the stored {text_col!r} column — rebuild "
+            f"with build_segments(..., store_cols=[{text_col!r}, ...])"
+        )
+    texts = [
+        r[text_col]
+        for r in fetch_docs(spark, seg_index, seed_doc_ids)
+        .select(text_col)
+        .collect()
+    ]
+    counts = seed_term_counts(texts, tok_kwargs)
+    df_map = _sidecar_dfs(seg_index.path, sorted(counts)) if counts else {}
+    if df_map is None:
+        raise ValueError(
+            "packed MLT needs the termstats sidecar — rebuild the "
+            "segments (pre-sidecar layout)"
+        )
+    return mlt_queue(counts, df_map, seg_index.n_docs, params, round_to)
+
+
+def packed_mlt_handler(
+    spark,
+    seg_index,
+    seed_doc_ids: list[int],
+    params: MLTParams = MLTParams(),
+    k: int = 10,
+    facet_fields: list[str] | None = None,
+    text_col: str = "text",
+    interesting_terms_detail: bool = True,
+    tok_kwargs: dict | None = None,
+) -> dict[str, DataFrame]:
+    """/mlt served ENTIRELY from a packed index — no flat corpus, no
+    postings frame (DiceMoreLikeThisHandler.java:67-271 at the
+    10^12-doc serve tier, where only segment files exist).
+
+    Job shape matches the flat path's bounded driver crossings: one
+    docstore point read (seed texts), zero jobs for df (sidecar), one
+    wand_search execution of the expansion query, seed docs excluded
+    (MoreLikeThisHelper.java:152-160) by over-fetching k+|seeds| then
+    anti-filtering — exact, since seeds can displace at most |seeds|
+    rows of the true top-k."""
+    from ..index.segments import fetch_docs, wand_search
+
+    if params.min_should_match > 1:
+        raise ValueError(
+            "packed MLT serves mm=1 (the reference default, "
+            "MoreLikeThis.java:147); use the flat path for mm>1"
+        )
+    seed_ids = [int(d) for d in seed_doc_ids]
+    queue = _packed_interesting_terms(
+        spark, seg_index, seed_ids, params, text_col, tok_kwargs=tok_kwargs
+    )
+    terms = spark.createDataFrame(queue, schema=_MLT_TERMS_SCHEMA)
+    if not interesting_terms_detail:
+        terms = terms.select("term", "score")  # mlt.interestingTerms=list
+    boosts = [(t, float(s)) for t, s in zip(queue["term"], queue["score"])]
+    if not boosts:
+        docs = spark.createDataFrame([], "doc_id long, score double")
+    else:
+        docs = (
+            wand_search(spark, seg_index, boosts, k=k + len(seed_ids))
+            .filter(~F.col("doc_id").isin(seed_ids))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    out: dict[str, DataFrame] = {"docs": docs, "interesting_terms": terms}
+    if facet_fields:
+        missing = [f for f in facet_fields if f not in seg_index.store_cols]
+        if missing:
+            raise ValueError(
+                f"packed /mlt facets need stored columns {missing} — "
+                "rebuild with build_segments(..., store_cols=[...])"
+            )
+        # facets count over the RESULT page (DiceMoreLikeThisHandler
+        # .java:263-271): k rows — one docstore point read covers all
+        # requested fields
+        ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
+        page = fetch_docs(spark, seg_index, ids) if ids else None
+        for field in facet_fields:
+            if page is None:
+                out[f"facet_{field}"] = spark.createDataFrame(
+                    [], f"{field} string, cnt long"
+                )
+            else:
+                out[f"facet_{field}"] = page.groupBy(field).agg(
+                    F.count(F.lit(1)).alias("cnt")
+                )
+    return out
+
+
+def packed_feedback_handler(
+    spark,
+    seg_index,
+    query: str,
+    params: MLTParams = MLTParams(),
+    k: int = 10,
+    max_seed_docs: int = 5,
+    text_col: str = "text",
+    tok_kwargs: dict | None = None,
+) -> dict[str, DataFrame]:
+    """/uf served ENTIRELY from a packed index
+    (DiceUnsupervisedFeedbackHandler + UnsupervisedFeedbackHelper
+    .java:101-131 at the serve tier): seed top-N via the per-segment
+    boolean path, term extraction from docstore + termstats sidecar,
+    and the final query (seed MUST + expansion SHOULD, seeds NOT
+    excluded) as ONE boosted per-segment job — three Spark jobs total
+    plus the bounded docstore point read, matching the flat path's
+    driver-crossing count."""
+    from ..index.segments import wand_boolean_boosted_search, wand_boolean_search
+
+    seeds = wand_boolean_search(spark, seg_index, query, k=max_seed_docs)
+    seed_ids = [int(r["doc_id"]) for r in seeds.collect()]
+    queue = _packed_interesting_terms(
+        spark, seg_index, seed_ids, params, text_col, tok_kwargs=tok_kwargs
+    )
+    terms = spark.createDataFrame(queue, schema=_MLT_TERMS_SCHEMA)
+    boosts = [(t, float(s)) for t, s in zip(queue["term"], queue["score"])]
+    if boosts:
+        docs = wand_boolean_boosted_search(spark, seg_index, query, boosts, k=k)
+    else:
+        docs = wand_boolean_search(spark, seg_index, query, k=k)
+    return {"docs": docs, "interesting_terms": terms}
+
+
 def feedback_handler(
     index: InvertedIndex,
     query: str,

@@ -48,6 +48,88 @@ class MLTParams:
     min_should_match: int = 1       # DEFAULT_MM "1" :147
 
 
+def seed_term_counts(texts: list[str], tok_kwargs: dict | None = None) -> dict[str, int]:
+    """Accumulate term freqs across seed-doc texts into one map — the
+    like(List<Integer>) accumulation (MoreLikeThis.java:861-881),
+    driver-side for a bounded seed list."""
+    import pandas as pd
+
+    from ..analysis.tokenizer import tokenize_pandas
+
+    toks = tokenize_pandas(pd.Series(texts, dtype="object"), **(tok_kwargs or {}))
+    counts: dict[str, int] = {}
+    for lst in toks:
+        for t in lst:
+            counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def mlt_queue(
+    counts: dict[str, int],
+    df_map: dict[str, int],
+    n_docs: int,
+    params: MLTParams,
+    round_to: int = 5,
+) -> "pd.DataFrame":
+    """createQueue + getMostInterestingTerms as one pandas computation
+    (MoreLikeThis.java:996-1055, :961-989): tf/df predicates, classic
+    idf weighting, top max_query_terms by (weight desc, term asc),
+    L2 normalization. Shared by the flat driver path and the packed
+    (segment-file) handlers — both produce identical queues.
+
+    Returns columns (term, tf, df, score, raw_weight); empty frame if
+    nothing survives the predicates."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "term": pd.Series([], dtype="object"),
+            "tf": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "raw_weight": pd.Series([], dtype="float64"),
+        }
+    )
+    if not counts:
+        return empty
+    cand = pd.DataFrame(
+        [(t, c, df_map[t]) for t, c in counts.items() if t in df_map],
+        columns=["term", "tf", "df"],
+    )
+    if params.min_term_freq > 0:
+        cand = cand[cand["tf"] >= params.min_term_freq]
+    if params.min_doc_freq > 0:
+        cand = cand[cand["df"] >= params.min_doc_freq]
+    cand = cand[cand["df"] <= params.max_doc_freq]
+    if len(cand) == 0:
+        return empty
+    idf = np.log(float(n_docs) / (cand["df"].to_numpy() + 1.0)) + 1.0
+    tf_val = (
+        np.log(cand["tf"].to_numpy() + 1.0)
+        if params.log_tf
+        else cand["tf"].to_numpy().astype(np.float64)
+    )
+    cand = cand.assign(weight=(tf_val * idf) if params.boost else 1.0)
+    max_terms = params.max_query_terms if params.max_query_terms > 0 else 2**31 - 1
+    top = cand.sort_values(
+        ["weight", "term"], ascending=[False, True], kind="stable"
+    ).head(max_terms)
+    veclen = float(np.sqrt((top["weight"].to_numpy() ** 2).sum()))
+    if veclen <= 0.0:
+        return empty
+    norm = veclen if params.normalize_boosts else 1.0
+    return pd.DataFrame(
+        {
+            "term": top["term"],
+            "tf": top["tf"].astype("int64"),
+            "df": top["df"].astype("int64"),
+            "score": np.round(params.field_boost * top["weight"] / norm, round_to),
+            "raw_weight": top["weight"],
+        }
+    )
+
+
 def _interesting_terms_driver(
     index: InvertedIndex,
     seed_doc_ids: list[int],
@@ -61,8 +143,6 @@ def _interesting_terms_driver(
     corpus fetch (doc_id pushdown) + one cached-dictionary df lookup;
     no postings scan, no shuffle. Identical output to the distributed
     path (asserted in tests/test_mlt.py)."""
-    import numpy as np
-
     from .scorer import resolve_df
 
     spark = index.postings.sparkSession
@@ -73,53 +153,13 @@ def _interesting_terms_driver(
             F.col(index.doc_col).isin([int(d) for d in seed_doc_ids])
         ).select(index.text_col).collect()
     ]
-    from ..analysis.tokenizer import tokenize_pandas
-
-    import pandas as pd
-
-    toks = tokenize_pandas(pd.Series(texts, dtype="object"), **index.tok_kwargs)
-    counts: dict[str, int] = {}
-    for lst in toks:
-        for t in lst:
-            counts[t] = counts.get(t, 0) + 1
+    counts = seed_term_counts(texts, index.tok_kwargs)
     if not counts:
         return spark.createDataFrame([], out_schema)
     df_map = resolve_df(index, sorted(counts))
-    cand = pd.DataFrame(
-        [(t, c, df_map[t]) for t, c in counts.items() if t in df_map],
-        columns=["term", "tf", "df"],
-    )
-    if params.min_term_freq > 0:
-        cand = cand[cand["tf"] >= params.min_term_freq]
-    if params.min_doc_freq > 0:
-        cand = cand[cand["df"] >= params.min_doc_freq]
-    cand = cand[cand["df"] <= params.max_doc_freq]
-    if len(cand) == 0:
+    out = mlt_queue(counts, df_map, index.n_docs, params, round_to)
+    if len(out) == 0:
         return spark.createDataFrame([], out_schema)
-    idf = np.log(float(index.n_docs) / (cand["df"].to_numpy() + 1.0)) + 1.0
-    tf_val = (
-        np.log(cand["tf"].to_numpy() + 1.0)
-        if params.log_tf
-        else cand["tf"].to_numpy().astype(np.float64)
-    )
-    cand = cand.assign(weight=(tf_val * idf) if params.boost else 1.0)
-    max_terms = params.max_query_terms if params.max_query_terms > 0 else 2**31 - 1
-    top = cand.sort_values(
-        ["weight", "term"], ascending=[False, True], kind="stable"
-    ).head(max_terms)
-    veclen = float(np.sqrt((top["weight"].to_numpy() ** 2).sum()))
-    if veclen <= 0.0:
-        return spark.createDataFrame([], out_schema)
-    norm = veclen if params.normalize_boosts else 1.0
-    out = pd.DataFrame(
-        {
-            "term": top["term"],
-            "tf": top["tf"].astype("int64"),
-            "df": top["df"].astype("int64"),
-            "score": np.round(params.field_boost * top["weight"] / norm, round_to),
-            "raw_weight": top["weight"],
-        }
-    )
     return spark.createDataFrame(out, schema=out_schema)
 
 

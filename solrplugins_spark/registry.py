@@ -304,8 +304,8 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # position 50 keep their oracles and pytest parity (test_oracle_parity
 # runs ALL of them at sf0.01) but get no driver row this round.
 #
-# Rotation policy (VERDICT r02 item #1): gates green in BOTH r01 and
-# r02 driver runs may rotate past the window to make room for
+# Rotation policy (VERDICT r02 item #1): gates green in BOTH of the
+# last two driver runs may rotate past the window to make room for
 # never-driver-checked gates. Rotated out for r03 (all 2x green,
 # all trivial column-expression or hash-agg shapes): fq_termfreq,
 # fq_fieldlen, fq_fieldval, fq_termintersect, fq_termoverlap,
@@ -314,6 +314,13 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # (wand_*, classic_coord, boosted_fn, range_query, mlt_docs) that were
 # registered past the cap in r02, plus the new wand_field / wand_range
 # packed-path routing gates.
+#
+# r04 rotation: IN — wand_mlt + wand_feedback (new packed-serving
+# handlers, VERDICT r03 item #1) and quality_gate + dedup_apply (the
+# only two gates never driver-checked, VERDICT r03 item #2). OUT —
+# sessionize, context_window, sample, sample_stratified (3x driver
+# green r01-r03, all simple window/hash-predicate shapes; still
+# oracle-paired + pytest-parity-checked every round).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",
@@ -337,6 +344,8 @@ _WINDOW_ORDER = [
     "wand_field",
     "wand_range",
     "wand_facet",
+    "wand_mlt",
+    "wand_feedback",
     "classic_coord",
     "boosted_fn",
     "range_query",
@@ -350,8 +359,6 @@ _WINDOW_ORDER = [
     "spellcheck_collate",
     "suggest_canonical",
     # analytics
-    "sessionize",
-    "context_window",
     "event_windows",
     "nb_classify",
     "stumps",
@@ -361,17 +368,21 @@ _WINDOW_ORDER = [
     "dedup_minhash_sig",
     "ngram_jaccard",
     "dedup_clusters",
+    "dedup_apply",
     "emb_near_dup",
     "knn_join",
     "ann_lsh",
     "pii_redact",
-    "sample",
-    "sample_stratified",
     "pack_sequences",
     "repetition",
     "contamination",
+    "quality_gate",
     # --- driver window boundary (position 50) ---
-    # rotated out (2x driver-green; still oracle+pytest covered)
+    # rotated out (>=2x driver-green; still oracle+pytest covered)
+    "sessionize",
+    "context_window",
+    "sample",
+    "sample_stratified",
     "ann_cosine",
     "joint_counts",
     "pivot_rollup",
@@ -385,8 +396,6 @@ _WINDOW_ORDER = [
     "fingerprint",
     "quality",
     "lang_id",
-    # new past-window gates (pytest-oracle-parity until rotated in)
-    "dedup_apply",
 ]
 
 

@@ -148,3 +148,61 @@ def test_packed_select_handler(spark, tiny_corpus, tmp_path):
         assert r["text"] == corpus.loc[r["doc_id"], "text"]
     facets = out["facet_role"].toPandas()
     assert facets["cnt"].sum() > 0 and set(facets.columns) == {"role", "cnt"}
+
+
+def test_packed_mlt_handler_matches_flat(spark, tiny_corpus, tmp_path):
+    """/mlt from segment files alone (docstore + termstats sidecar +
+    wand_search) is value-identical to the flat mlt_handler."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.handlers import packed_mlt_handler
+    from solrplugins_spark.query.mlt import MLTParams, more_like_this, interesting_terms
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "mlt"), seg_size=64, groups=2,
+        store_cols=["text", "role"],
+    )
+    params = MLTParams(min_term_freq=1, min_doc_freq=2, max_query_terms=15)
+    out = packed_mlt_handler(
+        spark, seg, [0, 3], params, k=8, facet_fields=["role"]
+    )
+    want_docs = more_like_this(idx, [0, 3], params, k=8).toPandas()
+    got_docs = out["docs"].toPandas()
+    assert list(got_docs["doc_id"]) == list(want_docs["doc_id"])
+    assert list(got_docs["score"]) == pytest.approx(list(want_docs["score"]))
+    # seed docs excluded
+    assert not set(got_docs["doc_id"]) & {0, 3}
+    want_terms = interesting_terms(idx, [0, 3], params).toPandas()
+    got_terms = out["interesting_terms"].toPandas()
+    assert list(got_terms["term"]) == list(want_terms["term"])
+    assert list(got_terms["score"]) == pytest.approx(list(want_terms["score"]))
+    facets = out["facet_role"].toPandas()
+    assert facets["cnt"].sum() == len(got_docs)
+
+
+def test_packed_feedback_handler_matches_flat(spark, tiny_corpus, tmp_path):
+    """/uf from segment files alone: seed top-N, extraction, and the
+    boosted seed-MUST + expansion-SHOULD final query match the flat
+    unsupervised_feedback exactly."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.feedback import unsupervised_feedback
+    from solrplugins_spark.query.handlers import packed_feedback_handler
+    from solrplugins_spark.query.mlt import MLTParams
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "uf"), seg_size=64, groups=2, store_cols=["text"],
+    )
+    params = MLTParams(min_term_freq=1, min_doc_freq=2, max_query_terms=15)
+    for query in ["w0001", "w0001 or w0003", "w0001 and not w0002"]:
+        out = packed_feedback_handler(
+            spark, seg, query, params, k=8, max_seed_docs=4
+        )
+        want = unsupervised_feedback(
+            idx, query, k=8, max_seed_docs=4, params=params
+        ).toPandas()
+        got = out["docs"].toPandas()
+        assert list(got["doc_id"]) == list(want["doc_id"]), query
+        assert list(got["score"]) == pytest.approx(list(want["score"])), query
