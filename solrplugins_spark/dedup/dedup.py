@@ -292,20 +292,37 @@ def ngram_jaccard_pairs(
     share many n-grams (asserted by the 200-copy fixture in
     tests/test_pipeline_ops.py). Under-cap n-grams have one bucket, so
     behavior below the cap is exact and unchanged. ngram_cap_dropped
-    reports the over-cap n-grams and their bucket counts."""
+    reports the over-cap n-grams and their bucket counts.
+
+    The df step is skew-safe (VERDICT r03 #1): a hash groupBy — whose
+    map-side partial agg absorbs even a 10^8-row boilerplate n-gram —
+    replaces the old count().over(partitionBy(ng)) window, which
+    shuffled every (doc_id, ng) row AND funnelled each n-gram's whole
+    posting through one window task. Only the OVER-CAP n-grams join
+    back, as a broadcast: at most total_rows/cap distinct keys by
+    construction (each carries > cap rows), and in any real corpus a
+    handful of boilerplate shingles. Under-cap n-grams never shuffle
+    for the salt at all — they default to bucket 0 on the miss side of
+    the left join."""
     sh = docs.select(
         F.col(doc_col).alias("doc_id"), _shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0).persist()
     inv = sh.select("doc_id", F.explode("sh").alias("ng"))
-    from pyspark.sql import Window as W
-
-    salted = inv.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("ng"))
-    ).withColumn(
+    over_cap = (
+        inv.groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_candidates_per_ngram)
+        .select(
+            "ng",
+            F.ceil(F.col("_df") / F.lit(max_candidates_per_ngram))
+            .cast("int")
+            .alias("_buckets"),
+        )
+    )
+    salted = inv.join(F.broadcast(over_cap), "ng", "left").withColumn(
         "_salt",
-        F.pmod(
-            F.hash("ng", "doc_id"),
-            F.ceil(F.col("_df") / F.lit(max_candidates_per_ngram)).cast("int"),
+        F.when(F.col("_buckets").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.hash("ng", "doc_id"), F.col("_buckets"))
         ),
     )
     cand = (
@@ -403,6 +420,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over duplicate
     pairs, cluster_id = min doc_id of the component. This is the step
@@ -417,7 +435,23 @@ def duplicate_clusters(
     this converges in 2-3 rounds; ``max_iter`` bounds pathological
     chains. Each round is two shuffles on bounded frames (vertices +
     edges), never touching the corpus.
+
+    ``checkpoint``: how each round's label frame is pinned —
+    ``"local"`` (localCheckpoint: executor-local blocks, fastest, but
+    a lost executor loses blocks with no lineage to recompute them) or
+    ``"reliable"`` (checkpoint() to ``spark.sparkContext
+    .setCheckpointDir``: survives executor churn — the right choice
+    for a long-running 100-TB job on spot/preemptible nodes).
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = pairs.sparkSession.sparkContext
+        if sc._jsc.sc().checkpointDir().isEmpty():
+            raise ValueError(
+                "checkpoint='reliable' needs "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+            )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -442,21 +476,21 @@ def duplicate_clusters(
             .agg(F.min("label").alias("nmin"))
             .select(F.col("src").alias("doc_id"), "nmin")
         )
-        # localCheckpoint (not persist): each round references `labels`
+        # checkpoint (not persist): each round references `labels`
         # twice, so without lineage truncation the logical plan DOUBLES
         # per round — by ~10 rounds the driver OOMs just stringifying
         # the tree. Checkpointing pins the data AND cuts the plan to a
-        # leaf, so per-round cost is flat in the round count. (On a
-        # cluster with executor churn, swap for reliable checkpoint().)
+        # leaf, so per-round cost is flat in the round count.
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            new_labels.checkpoint(eager=True)
+            if checkpoint == "reliable"
+            else new_labels.localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -477,3 +477,64 @@ def test_quality_filter_rules_and_counts(spark):
     assert c["low_alnum_ratio"] >= 1
     assert c["mean_token_too_short"] >= 1
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_ngram_df_no_window_in_plan(dup_docs):
+    """VERDICT r03 #1: the per-ngram df must be a hash aggregate (map-
+    side partial combine absorbs boilerplate skew), never a Window over
+    the raw inverted (doc_id, ng) frame — a window funnels each
+    n-gram's whole posting through one task before salting can help."""
+    plan = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_rolling_fingerprint_golden(spark):
+    """Golden values captured from the pre-vectorization kernel
+    (per-char FNV-1a loops) — the vectorized byte-matrix sweep must be
+    bit-identical. Covers: multi-window docs, a doc shorter than the
+    window, empty text, all-same-token text, and shift equivalence
+    (docs 0/5 share every window of doc 0)."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs right now"),
+        (2, "a b c"),
+        (3, ""),
+        (4, "sameword sameword sameword sameword sameword sameword sameword sameword sameword"),
+        (5, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    golden = {
+        4: {0: 417389765242221439, 1: 1281289764353492443, 2: 2151851377401696701,
+            3: 0, 4: 7191719456818382008, 5: 417389765242221439},
+        8: {0: 1783908375548134547, 1: 2603461094314453598, 2: 2151851377401696701,
+            3: 0, 4: 6638372681904771312, 5: 1783908375548134547},
+    }
+    for w, want in golden.items():
+        got = dict(
+            rolling_fingerprint(docs, window=w).toPandas().itertuples(index=False)
+        )
+        assert got == want, (w, got)
+
+
+def test_duplicate_clusters_checkpoint_modes(spark, tmp_path):
+    """The 100-TB deployment choice is API-visible (VERDICT r03 #8):
+    reliable checkpointing survives executor churn but needs a
+    checkpoint dir; both modes produce identical clusters."""
+    from solrplugins_spark.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    local = duplicate_clusters(pairs).toPandas().set_index("doc_id")["cluster_id"]
+    with pytest.raises(ValueError, match="checkpoint"):
+        duplicate_clusters(pairs, checkpoint="bogus")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        duplicate_clusters(pairs, checkpoint="reliable")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = (
+        duplicate_clusters(pairs, checkpoint="reliable")
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert dict(local) == dict(rel) == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
