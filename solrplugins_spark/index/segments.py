@@ -1184,12 +1184,31 @@ def _prepare_boolean(
     and the unified per-segment frame (postings + doclens + docvalues
     rows). ``extra_terms`` adds default-field terms beyond the tree's
     own leaves to the postings fetch + idf context (the feedback
-    expansion SHOULD terms). Returns (tree, field_ctx, unified)."""
+    expansion SHOULD terms).
+
+    ``seg_index`` may be a LIST of SegmentIndex (streamed generations
+    before compaction, disjoint doc sets): dfs sum across the
+    generations' sidecars, n/avgdl aggregate globally, and every
+    generation's segments stack into the one unified frame with
+    namespaced seg ids — the wand_search_multi statistics contract
+    applied to the whole boolean path. Returns (tree, field_ctx,
+    unified)."""
     from ..query import ast as qast
     from ..query.compiler import _leaf_terms
     from ..query.parser import parse_query
 
+    gens: list[tuple[int, SegmentIndex]] = (
+        list(enumerate(seg_index))
+        if isinstance(seg_index, (list, tuple))
+        else [(0, seg_index)]
+    )
+    seg_index = gens[0][1]
     field_segments = field_segments or {}
+    if field_segments and len(gens) > 1:
+        raise ValueError(
+            "field_segments with multiple generations is unsupported — "
+            "compact each field index first (compact_packed), then route"
+        )
     for fname, fsi in field_segments.items():
         if fsi.seg_size != seg_index.seg_size:
             raise ValueError(
@@ -1249,32 +1268,39 @@ def _prepare_boolean(
     range_fields: set = set()
     _range_fields(tree, range_fields)
     dv_needed = sorted(range_fields - {"doc_id"})
-    not_packed = [c for c in dv_needed if c not in seg_index.value_cols]
-    if not_packed:
-        raise ValueError(
-            f"packed range over {not_packed} needs docvalues streams — "
-            f"rebuild with build_segments(..., value_cols={not_packed}) "
-            "or use the flat path (doc_id ranges are intrinsic)"
-        )
+    for _, si in gens:
+        not_packed = [c for c in dv_needed if c not in si.value_cols]
+        if not_packed:
+            raise ValueError(
+                f"packed range over {not_packed} needs docvalues streams — "
+                f"rebuild with build_segments(..., value_cols={not_packed}) "
+                "or use the flat path (doc_id ranges are intrinsic)"
+            )
 
     field_ctx: dict[str, dict] = {}
     unified = None
     for fname, fsi in [("", seg_index)] + sorted(field_segments.items()):
+        f_gens = gens if fname == "" else [(0, fsi)]
         terms = sorted(by_field.get(fname, set()))
-        dfs = _sidecar_dfs(fsi.path, terms) if terms else {}
-        if dfs is None:
-            raise ValueError(
-                f"boolean packed search needs the termstats sidecar "
-                f"(field {fname or 'default'!r})"
-            )
-        n = fsi.n_docs
+        dfs: dict[str, int] = {}
+        for _, si in f_gens:
+            d = _sidecar_dfs(si.path, terms) if terms else {}
+            if d is None:
+                raise ValueError(
+                    f"boolean packed search needs the termstats sidecar "
+                    f"(field {fname or 'default'!r})"
+                )
+            for t, v in d.items():
+                dfs[t] = dfs.get(t, 0) + int(v)
+        n = sum(si.n_docs for _, si in f_gens)
+        total_tokens = sum(si.avgdl * si.n_docs for _, si in f_gens)
         field_ctx[fname] = {
             "idfs": {
                 t: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
                 for t, d in dfs.items()
                 if d > 0
             },
-            "avgdl": fsi.avgdl,
+            "avgdl": total_tokens / n if n else 0.0,
         }
         # per-field k1/b (``field_sims``: field -> Similarity) — the
         # SchemaSimilarityFactory per-field override mechanism. The
@@ -1291,18 +1317,23 @@ def _prepare_boolean(
             field_ctx[fname]["k1"] = float(fsim.k1)
             field_ctx[fname]["b"] = float(fsim.b)
         frame = _unified_frame(
-            spark, [(0, fsi)], terms or ["\x00none"],
+            spark, f_gens, terms or ["\x00none"],
             with_subs=with_subs, field=fname,
         )
         unified = frame if unified is None else unified.unionByName(frame)
     for col in dv_needed:
-        unified = unified.unionByName(
-            _dv_frame(spark, seg_index, col, with_subs)
-        )
+        for gen_id, si in gens:
+            unified = unified.unionByName(
+                _dv_frame(spark, si, col, with_subs, seg_offset=gen_id * 1_000_000)
+            )
     for col in str_cols:
-        unified = unified.unionByName(
-            _dv_frame(spark, seg_index, col, with_subs, subdir="docvalues_str")
-        )
+        for gen_id, si in gens:
+            unified = unified.unionByName(
+                _dv_frame(
+                    spark, si, col, with_subs, subdir="docvalues_str",
+                    seg_offset=gen_id * 1_000_000,
+                )
+            )
 
     return tree, field_ctx, unified
 
@@ -1330,7 +1361,12 @@ def wand_boolean_search(
     per-segment evaluation stays aligned; ``field_sims``: per-field
     k1/b overrides) and Range terminals — over the intrinsic doc_id
     key, or over any numeric column packed as a docvalues stream
-    (``build_segments(..., value_cols=[...])``)."""
+    (``build_segments(..., value_cols=[...])``).
+
+    ``seg_index`` may be a LIST of generations (streamed deltas,
+    disjoint doc sets): dfs sum across the generations' sidecars and
+    n/avgdl aggregate globally, so results equal the compacted
+    index's — boolean serving never waits for compaction."""
     tree, field_ctx, unified = _prepare_boolean(
         spark, seg_index, query, field_segments, field_sims
     )
@@ -1399,21 +1435,39 @@ def fetch_docs(
     segments actually hit (partition pruning) and the doc_id filter
     pushes into those files' row groups — a point-read pattern, never
     a corpus scan."""
-    if not seg_index.store_cols:
+    gens = (
+        list(enumerate(seg_index))
+        if isinstance(seg_index, (list, tuple))
+        else [(0, seg_index)]
+    )
+    for _, si in gens:
+        if not si.store_cols:
+            raise ValueError(
+                "packed index has no docstore — rebuild with "
+                "build_segments(..., store_cols=[...])"
+            )
+    if len({si.store_cols for _, si in gens}) > 1:
         raise ValueError(
-            "packed index has no docstore — rebuild with "
-            "build_segments(..., store_cols=[...])"
+            "fetch_docs across generations needs identical store_cols; "
+            f"got {[si.store_cols for _, si in gens]}"
         )
     ids = [int(d) for d in doc_ids]
-    segs = sorted({d // seg_index.seg_size for d in ids})
-    base = os.path.join(seg_index.path, "docstore")
-    return (
-        spark.read.option("basePath", base)
-        .parquet(base)
-        .filter(F.col("seg").isin(segs))
-        .filter(F.col("doc_id").isin(ids))
-        .drop("seg", "group")
-    )
+    out = None
+    for _, si in gens:
+        # generations hold disjoint doc sets: each point read prunes to
+        # the segments the ids COULD live in; ids outside this
+        # generation's doc range just match nothing
+        segs = sorted({d // si.seg_size for d in ids})
+        base = os.path.join(si.path, "docstore")
+        f = (
+            spark.read.option("basePath", base)
+            .parquet(base)
+            .filter(F.col("seg").isin(segs))
+            .filter(F.col("doc_id").isin(ids))
+            .drop("seg", "group")
+        )
+        out = f if out is None else out.unionByName(f)
+    return out
 
 
 def wand_facet_search(
@@ -1434,33 +1488,51 @@ def wand_facet_search(
     string_cols), and per-segment (ordinal, count) partials — at most
     |facet vocabulary| rows each — merge in one vocab-bounded agg and
     join the broadcast ordinal dictionary back to values. The corpus
-    is never touched at query time; ONE Spark job."""
-    if facet_col not in seg_index.string_cols:
-        raise ValueError(
-            f"packed faceting over {facet_col!r} needs an ordinal "
-            "docvalues stream — rebuild with build_segments(..., "
-            f"string_cols=[{facet_col!r}])"
-        )
+    is never touched at query time; ONE Spark job.
+
+    ``seg_index`` may be a LIST of generations (disjoint doc sets):
+    each generation has its OWN ordinal dictionary, so partials carry
+    the generation id, join their generation's dictionary, and merge
+    by VALUE — counts equal the compacted index's."""
+    gens = (
+        list(enumerate(seg_index))
+        if isinstance(seg_index, (list, tuple))
+        else [(0, seg_index)]
+    )
+    for _, si in gens:
+        if facet_col not in si.string_cols:
+            raise ValueError(
+                f"packed faceting over {facet_col!r} needs an ordinal "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"string_cols=[{facet_col!r}])"
+            )
     tree, field_ctx, unified = _prepare_boolean(
         spark, seg_index, query, field_segments, field_sims,
         str_cols=(facet_col,),
     )
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_boolean_topk(
+        out = _segment_boolean_topk(
             pdf, tree, field_ctx, 0, k1, b, facet_ord_col=facet_col
         )
+        out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
+        return out
 
     partials = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="ord long, cnt long"
+        per_segment, schema="gen long, ord long, cnt long"
     )
-    dict_df = spark.read.parquet(
-        os.path.join(seg_index.path, "docvalues_str", facet_col, "dict")
-    )
+    dicts = None
+    for gen_id, si in gens:
+        d = spark.read.parquet(
+            os.path.join(si.path, "docvalues_str", facet_col, "dict")
+        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dicts = d if dicts is None else dicts.unionByName(d)
     return (
-        partials.groupBy("ord")
+        partials.groupBy("gen", "ord")
         .agg(F.sum("cnt").alias("cnt"))
-        .join(F.broadcast(dict_df), "ord", "left")
+        .join(F.broadcast(dicts), ["gen", "ord"], "left")
+        .groupBy("value")
+        .agg(F.sum("cnt").alias("cnt"))
         .select(F.col("value").alias(facet_col), "cnt")
     )
 
@@ -2085,10 +2157,12 @@ def _dv_frame(
     col: str,
     with_subs: bool,
     subdir: str = "docvalues",
+    seg_offset: int = 0,
 ) -> DataFrame:
     """Docvalues rows for one numeric/ordinal column, shaped like the
     unified frame (_kind='dv', term=column name, data=varint dense
-    stream)."""
+    stream). ``seg_offset`` namespaces seg ids per generation, matching
+    _unified_frame's gen_id*1e6 scheme."""
     base = (
         os.path.join(si.path, subdir, col)
         if subdir == "docvalues"
@@ -2109,7 +2183,7 @@ def _dv_frame(
         else []
     )
     return dv.select(
-        "seg",
+        (F.col("seg") + F.lit(seg_offset)).alias("seg"),
         F.lit("dv").alias("_kind"),
         F.lit("").alias("fld"),
         F.lit(col).alias("term"),

@@ -122,6 +122,12 @@ def packed_select_handler(
     deployment shape at 10^12 docs: everything a request needs lives
     in the segment files.
 
+    ``seg_index`` may be a LIST of generations (streamed deltas before
+    compaction, disjoint doc sets): scoring uses global statistics,
+    stored fields union the generations' docstores, and facets merge
+    per-generation ordinal counts by value — responses equal the
+    compacted index's, so serving never waits for compaction.
+
     Returns {"docs": (doc_id, score [, stored cols...]),
              "facet_<field>": (value, cnt), ...}.
     """
@@ -131,12 +137,13 @@ def packed_select_handler(
         wand_facet_search,
     )
 
+    first = seg_index[0] if isinstance(seg_index, (list, tuple)) else seg_index
     top = wand_boolean_search(
         spark, seg_index, query, k=k,
         field_segments=field_segments, field_sims=field_sims,
     )
     docs = top
-    if with_stored and seg_index.store_cols:
+    if with_stored and first.store_cols:
         # collect the k-row page ONCE and rebuild it as a local frame —
         # joining the lazy `top` against fetch_docs would re-execute
         # the whole per-segment evaluation a second time
@@ -174,16 +181,22 @@ def _packed_interesting_terms(
     MoreLikeThis.java:1113-1145), df via the termstats sidecar (a
     driver-side pyarrow point read, no Spark job), and the createQueue
     PQ built driver-side for the bounded seed list — identical queue
-    to the flat path (shared mlt_queue). Returns a pandas frame
+    to the flat path (shared mlt_queue). ``seg_index`` may be a list
+    of generations: dfs sum across sidecars, n_docs aggregates, and
+    the docstore point read unions. Returns a pandas frame
     (term, tf, df, score, raw_weight), <= max_query_terms rows."""
     from ..index.segments import _sidecar_dfs, fetch_docs
     from .mlt import mlt_queue, seed_term_counts
 
-    if text_col not in seg_index.store_cols:
-        raise ValueError(
-            f"packed MLT needs the stored {text_col!r} column — rebuild "
-            f"with build_segments(..., store_cols=[{text_col!r}, ...])"
-        )
+    sis = (
+        list(seg_index) if isinstance(seg_index, (list, tuple)) else [seg_index]
+    )
+    for si in sis:
+        if text_col not in si.store_cols:
+            raise ValueError(
+                f"packed MLT needs the stored {text_col!r} column — rebuild "
+                f"with build_segments(..., store_cols=[{text_col!r}, ...])"
+            )
     texts = [
         r[text_col]
         for r in fetch_docs(spark, seg_index, seed_doc_ids)
@@ -191,13 +204,18 @@ def _packed_interesting_terms(
         .collect()
     ]
     counts = seed_term_counts(texts, tok_kwargs)
-    df_map = _sidecar_dfs(seg_index.path, sorted(counts)) if counts else {}
-    if df_map is None:
-        raise ValueError(
-            "packed MLT needs the termstats sidecar — rebuild the "
-            "segments (pre-sidecar layout)"
-        )
-    return mlt_queue(counts, df_map, seg_index.n_docs, params, round_to)
+    df_map: dict[str, int] = {}
+    for si in sis:
+        d = _sidecar_dfs(si.path, sorted(counts)) if counts else {}
+        if d is None:
+            raise ValueError(
+                "packed MLT needs the termstats sidecar — rebuild the "
+                "segments (pre-sidecar layout)"
+            )
+        for t, v in d.items():
+            df_map[t] = df_map.get(t, 0) + int(v)
+    n_docs = sum(si.n_docs for si in sis)
+    return mlt_queue(counts, df_map, n_docs, params, round_to)
 
 
 def packed_mlt_handler(
@@ -220,14 +238,17 @@ def packed_mlt_handler(
     wand_search execution of the expansion query, seed docs excluded
     (MoreLikeThisHelper.java:152-160) by over-fetching k+|seeds| then
     anti-filtering — exact, since seeds can displace at most |seeds|
-    rows of the true top-k."""
-    from ..index.segments import fetch_docs, wand_search
+    rows of the true top-k. ``seg_index`` may be a list of generations
+    (wand_search_multi global statistics)."""
+    from ..index.segments import fetch_docs, wand_search, wand_search_multi
 
     if params.min_should_match > 1:
         raise ValueError(
             "packed MLT serves mm=1 (the reference default, "
             "MoreLikeThis.java:147); use the flat path for mm>1"
         )
+    is_multi = isinstance(seg_index, (list, tuple))
+    first = seg_index[0] if is_multi else seg_index
     seed_ids = [int(d) for d in seed_doc_ids]
     queue = _packed_interesting_terms(
         spark, seg_index, seed_ids, params, text_col, tok_kwargs=tok_kwargs
@@ -240,14 +261,18 @@ def packed_mlt_handler(
         docs = spark.createDataFrame([], "doc_id long, score double")
     else:
         docs = (
-            wand_search(spark, seg_index, boosts, k=k + len(seed_ids))
-            .filter(~F.col("doc_id").isin(seed_ids))
+            wand_search_multi(spark, list(seg_index), boosts, k=k + len(seed_ids))
+            if is_multi
+            else wand_search(spark, seg_index, boosts, k=k + len(seed_ids))
+        )
+        docs = (
+            docs.filter(~F.col("doc_id").isin(seed_ids))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
     out: dict[str, DataFrame] = {"docs": docs, "interesting_terms": terms}
     if facet_fields:
-        missing = [f for f in facet_fields if f not in seg_index.store_cols]
+        missing = [f for f in facet_fields if f not in first.store_cols]
         if missing:
             raise ValueError(
                 f"packed /mlt facets need stored columns {missing} — "

@@ -615,3 +615,78 @@ def test_compact_carries_docstore(spark, tiny_corpus_pd, tmp_path):
     pd.testing.assert_frame_equal(
         got[["doc_id", "text"]].reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_packed_select_handler_multi_generation(
+    spark, tiny_corpus, tiny_corpus_pd, tmp_path
+):
+    """VERDICT r03 item #6: the full /select response (match + facet +
+    stored fields) served from TWO uncompacted generations must equal
+    the response from one batch-built index — scoring via global
+    stats, docstore union, per-generation ordinal dictionaries merged
+    by value. Serving never waits for compaction."""
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.handlers import packed_select_handler
+
+    kw = dict(
+        seg_size=128, groups=2, string_cols=["role"],
+        store_cols=["conv_id", "text"],
+    )
+    mid = int(tiny_corpus_pd["doc_id"].median())
+    segs = []
+    for i, gen in enumerate(
+        (
+            tiny_corpus.filter(F.col("doc_id") <= mid),
+            tiny_corpus.filter(F.col("doc_id") > mid),
+        )
+    ):
+        segs.append(
+            build_segments(build_index(gen), str(tmp_path / f"selgen{i}"), **kw)
+        )
+    batch = build_segments(
+        build_index(tiny_corpus), str(tmp_path / "selbatch"), **kw
+    )
+
+    toks = tiny_corpus_pd.iloc[0]["text"].lower().split()
+    query = f"{toks[0]} and not {toks[1]} or {toks[2]}"
+    got = packed_select_handler(spark, segs, query, k=6, facet_fields=["role"])
+    want = packed_select_handler(spark, batch, query, k=6, facet_fields=["role"])
+    g, w = got["docs"].toPandas(), want["docs"].toPandas()
+    assert list(g["doc_id"]) == list(w["doc_id"])
+    assert np.allclose(g["score"], w["score"], atol=1e-9)
+    assert list(g["text"]) == list(w["text"])  # stored fields union
+    gf = got["facet_role"].toPandas().set_index("role")["cnt"]
+    wf = want["facet_role"].toPandas().set_index("role")["cnt"]
+    assert dict(gf) == dict(wf) and gf.sum() > 0
+
+
+def test_packed_feedback_multi_generation(spark, tiny_corpus, tiny_corpus_pd, tmp_path):
+    """The boosted feedback final query also serves from generation
+    lists (sum-of-sidecars stats reach the boosted path through
+    _prepare_boolean)."""
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.handlers import packed_feedback_handler
+    from solrplugins_spark.query.mlt import MLTParams
+
+    kw = dict(seg_size=128, groups=2, store_cols=["text"])
+    mid = int(tiny_corpus_pd["doc_id"].median())
+    segs = [
+        build_segments(build_index(gen), str(tmp_path / f"ufgen{i}"), **kw)
+        for i, gen in enumerate(
+            (
+                tiny_corpus.filter(F.col("doc_id") <= mid),
+                tiny_corpus.filter(F.col("doc_id") > mid),
+            )
+        )
+    ]
+    batch = build_segments(build_index(tiny_corpus), str(tmp_path / "ufbatch"), **kw)
+    params = MLTParams(min_term_freq=1, min_doc_freq=2, max_query_terms=10)
+    toks = tiny_corpus_pd.iloc[0]["text"].lower().split()
+    got = packed_feedback_handler(spark, segs, toks[0], params, k=8)["docs"].toPandas()
+    want = packed_feedback_handler(spark, batch, toks[0], params, k=8)["docs"].toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
