@@ -186,10 +186,101 @@ def contract_scaling(n_cores: int = 1, rounds: int = 3) -> dict:
     }
 
 
+def cluster_scaling(rounds: int = 2, trials: int = 2, turns: int = 200_000) -> dict:
+    """Real-executor-PROCESS scaling evidence (VERDICT r03 item #5):
+    zip the package, spark-submit scripts/scaling_cluster.py at 1 vs 4
+    single-core executors under local-cluster — separate executor JVMs
+    registering with a master, exactly the deployment shape of a real
+    cluster minus the network. Every run also exercises --py-files
+    packaging (the script imports solrplugins_spark ONLY from the
+    zip). Interleaved rounds + median-of-ratios estimator, same
+    protocol as contract_scaling.
+
+    Caveat (BENCH/BASELINE.md): this host globally serializes
+    syscalls, so multi-PROCESS Spark pays a measured extra tax that
+    thread-mode local[] does not — these numbers evidence the
+    packaging and the per-executor-process plan shape, while the
+    in-process 1->4 pair remains the cleaner efficiency signal."""
+    import statistics
+    import subprocess
+    import tempfile
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="pkg_")
+    zpath = os.path.join(tmp, "solrplugins_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(repo, "solrplugins_spark")
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+
+    levels = {1: "local-cluster[1,1,2304]", 4: "local-cluster[4,1,2304]"}
+    samples: dict[int, list[float]] = {1: [], 4: []}
+    pids: dict[int, list[int]] = {}
+    round_ratios: list[float] = []
+    for _ in range(rounds):
+        visit: dict[int, list[float]] = {}
+        for n, master in levels.items():
+            cmd = [
+                "spark-submit", "--master", master,
+                "--py-files", zpath,
+                "--conf", "spark.ui.enabled=false",
+                os.path.join(repo, "scripts", "scaling_cluster.py"),
+                "--turns", str(turns), "--trials", str(trials),
+            ]
+            # cwd=tmp so `import solrplugins_spark` cannot fall back to
+            # the repo working copy — the zip is the only source
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=900, cwd=tmp
+            )
+            lines = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ]
+            if proc.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"spark-submit failed at {master}: {proc.stderr[-2000:]}"
+                )
+            rec = json.loads(lines[-1])
+            assert rec["master"] == master, rec["master"]
+            assert len(rec["executor_pids"]) == n, rec
+            assert rec["driver_pid"] not in rec["executor_pids"]
+            visit[n] = rec["times"]
+            samples[n].extend(rec["times"])
+            pids[n] = rec["executor_pids"]
+        round_ratios.append(
+            statistics.median(visit[1]) / (4.0 * statistics.median(visit[4]))
+        )
+    med_1 = statistics.median(samples[1])
+    med_4 = statistics.median(samples[4])
+    return {
+        "cluster_mode": "spark-submit --py-files + local-cluster (separate executor JVMs)",
+        "cluster_turns": turns,
+        "cluster_levels": list(levels.values()),
+        "cluster_samples_1exec": [round(x, 2) for x in samples[1]],
+        "cluster_samples_4exec": [round(x, 2) for x in samples[4]],
+        "cluster_secs_1exec": round(med_1, 2),
+        "cluster_secs_4exec": round(med_4, 2),
+        "cluster_tput_1exec": round(turns / med_1, 1),
+        "cluster_tput_4exec": round(turns / med_4, 1),
+        "cluster_scaling_efficiency_1_to_4": round(
+            statistics.median(round_ratios), 3
+        ),
+        "cluster_round_ratios": [round(r, 3) for r in round_ratios],
+        "cluster_executor_pids_distinct": {
+            str(n): p for n, p in pids.items()
+        },
+    }
+
+
 def main() -> None:
     t_start = time.time()
     scaling = contract_scaling(n_cores=1, rounds=3)
     supp_2_8 = contract_scaling(n_cores=2, rounds=1)
+    cluster = cluster_scaling(rounds=2, trials=2)
     tput_n, secs_n = build_throughput(8)
     tput_4n, secs_4n = build_throughput(CPUS)
     efficiency_8_32 = tput_4n / ((CPUS / 8.0) * tput_n)
@@ -314,6 +405,7 @@ def main() -> None:
             )
         },
         "scaling_efficiency_8_to_32_fullbuild": round(efficiency_8_32, 3),
+        **cluster,
         "wand_facet_secs": round(facet_best, 4),
         "segment_build_secs": round(seg_build_secs, 2),
         "total_bench_secs": round(time.time() - t_start, 1),

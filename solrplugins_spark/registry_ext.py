@@ -133,11 +133,27 @@ _SPELL_TOKENS = ["bacth", "wind0w", "dup", "batc"]
 _SPELL_TYPOS = {"bacth": "batch"}
 
 
+_SPELL_NGRAM_CACHE: dict[str, object] = {}
+
+
+def _spell_ngrams(spark, sf_dir):
+    """Build-time char-n-gram candidate index (FST-automaton analogue,
+    VERDICT r03 item #7) — one dictionary explosion, reused per query."""
+    if sf_dir not in _SPELL_NGRAM_CACHE:
+        from .suggest import build_spell_ngram_index
+
+        _SPELL_NGRAM_CACHE[sf_dir] = build_spell_ngram_index(
+            _index(spark, sf_dir)
+        ).persist()
+    return _SPELL_NGRAM_CACHE[sf_dir]
+
+
 def q_spellcheck(spark, sf_dir):
     from .suggest import spellcheck_suggest
 
     return spellcheck_suggest(
-        _index(spark, sf_dir), _SPELL_TOKENS, typos=_SPELL_TYPOS
+        _index(spark, sf_dir), _SPELL_TOKENS, typos=_SPELL_TYPOS,
+        ngram_index=_spell_ngrams(spark, sf_dir),
     )
 
 
@@ -198,6 +214,7 @@ def q_spellcheck_collate(spark, sf_dir):
         typos=_SPELL_TYPOS,
         suggestions_per_token=3,
         max_collations=5,
+        ngram_index=_spell_ngrams(spark, sf_dir),
     )
 
 

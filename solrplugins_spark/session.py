@@ -28,9 +28,20 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # under spark-submit (or with $SPARK_GRAFT_MASTER set) the master
+    # comes from outside — local-cluster / standalone / YARN; only
+    # default to local[cores] when nothing chose one, so the SAME
+    # get_spark entry points run unchanged on a real cluster
+    from pyspark import SparkConf
+
+    master = os.environ.get("SPARK_GRAFT_MASTER") or os.environ.get("MASTER")
+    if master is None and not SparkConf().contains("spark.master"):
+        master = f"local[{cores}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,4 +1,9 @@
-from .spellcheck import load_typos, spellcheck_collations, spellcheck_suggest
+from .spellcheck import (
+    build_spell_ngram_index,
+    load_typos,
+    spellcheck_collations,
+    spellcheck_suggest,
+)
 from .suggester import (
     case_variants,
     case_variant_suggest,
@@ -8,6 +13,7 @@ from .suggester import (
 )
 
 __all__ = [
+    "build_spell_ngram_index",
     "load_typos",
     "spellcheck_suggest",
     "spellcheck_collations",

@@ -36,6 +36,40 @@ def load_typos(lines: list[str]) -> dict[str, str]:
     return out
 
 
+def _grams_col(col: str, n: int):
+    """array of DISTINCT char n-grams of ``col`` (empty when shorter
+    than n — sequence(1, len-n+1) would otherwise run DESCENDING and
+    emit junk grams)."""
+    seq = F.sequence(F.lit(1), F.length(col) - n + 1)
+    grams = F.array_distinct(
+        F.transform(seq, lambda i: F.col(col).substr(i, F.lit(n)))
+    )
+    return F.when(F.length(col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def build_spell_ngram_index(
+    index: InvertedIndex, n: int = 2, min_prefix: int = 1
+) -> DataFrame:
+    """Char-n-gram candidate index over the term dictionary — the
+    Spark-native analogue of DirectSpellChecker's FST Levenshtein
+    automaton (DiceDirectSolrSpellChecker.java:80-98 builds against
+    Lucene's term FST): one build-time explosion of the dictionary
+    into (term, df, _pfx, _ng) rows, ~(len-1) rows per term. Candidate
+    generation then equi-joins on (_pfx, _ng) — buckets are finer than
+    the 1-char prefix's |vocab|/|alphabet| by the n-gram's selectivity
+    — and is COMPLETE for tokens of length >= n*(max_edits+1): by the
+    q-gram lemma one edit destroys at most n char n-grams, so any term
+    within max_edits shares >= max(len)-n+1-max_edits*n >= 1 n-gram
+    (shorter tokens fall back to the prefix bucket). Persist the
+    result next to the index and reuse it across queries."""
+    return index.terms.select(
+        "term", "df", F.substring("term", 1, min_prefix).alias("_pfx"),
+        F.explode(_grams_col("term", n)).alias("_ng"),
+    )
+
+
 def spellcheck_suggest(
     index: InvertedIndex,
     tokens: list[str],
@@ -45,6 +79,8 @@ def spellcheck_suggest(
     accuracy: float = 0.5,
     max_query_frequency: float = 0.01,
     count: int = 5,
+    ngram_index: DataFrame | None = None,
+    ngram_n: int = 2,
 ) -> DataFrame:
     """(token, suggestion, freq, distance) ranked per token.
 
@@ -55,6 +91,14 @@ def spellcheck_suggest(
     get no edit-distance suggestions (DirectSpellChecker semantics).
     Typo overrides bypass the edit-distance limit but obey the
     matchFreq>freq rule.
+
+    ``ngram_index``: a build_spell_ngram_index frame (built with the
+    same ``ngram_n``/``min_prefix``). When given, tokens long enough
+    for the q-gram completeness bound generate candidates via the
+    finer (_pfx, _ng) equi-key — a fraction of the prefix bucket pays
+    the levenshtein — and only short tokens use the prefix bucket.
+    Output is identical either way (the candidate set is a superset of
+    the filtered result in both paths).
     """
     spark = index.terms.sparkSession
     tok_df = spark.createDataFrame([(t,) for t in tokens], "token string")
@@ -75,14 +119,40 @@ def spellcheck_suggest(
     # prunable hash join, never a full-vocab nested-loop scan
     # (at 10^8+ terms a per-token dictionary scan is the difference
     # between a lookup and a table pass). Remaining conditions
-    # (length window, levenshtein) filter the bucket.
+    # (length window, levenshtein) filter the bucket. With an
+    # ``ngram_index`` the join key refines to (prefix, char-n-gram).
     if min_prefix >= 1:
         pfx_terms = index.terms.select(
             "term", "df", F.substring("term", 1, min_prefix).alias("_pfx")
         )
-        cand = F.broadcast(
-            tok_freq.withColumn("_pfx", F.substring("token", 1, min_prefix))
-        ).join(pfx_terms, "_pfx")
+        tok_keyed = tok_freq.withColumn(
+            "_pfx", F.substring("token", 1, min_prefix)
+        )
+        if ngram_index is not None:
+            thr = ngram_n * (max_edits + 1)  # q-gram completeness bound
+            long_toks = (
+                tok_keyed.filter(F.length("token") >= thr)
+                .withColumn(
+                    "_ng",
+                    F.explode(
+                        _grams_col("token", ngram_n)
+                    ),
+                )
+            )
+            cand_long = (
+                F.broadcast(long_toks)
+                .join(ngram_index, ["_pfx", "_ng"])
+                .dropDuplicates(["token", "term"])
+                .select("token", "token_df", "term", "df")
+            )
+            cand_short = (
+                F.broadcast(tok_keyed.filter(F.length("token") < thr))
+                .join(pfx_terms, "_pfx")
+                .select("token", "token_df", "term", "df")
+            )
+            cand = cand_long.unionByName(cand_short)
+        else:
+            cand = F.broadcast(tok_keyed).join(pfx_terms, "_pfx")
     else:  # degenerate config: no prefix key to join on
         cand = F.broadcast(tok_freq).crossJoin(index.terms.select("term", "df"))
     cand = cand.filter(

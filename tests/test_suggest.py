@@ -130,3 +130,39 @@ def test_spellcheck_candidates_equi_join_plan(spark, tiny_index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spellcheck_ngram_index_identical_output(spell_index):
+    """The char-n-gram candidate index (FST-automaton analogue,
+    VERDICT r03 #7) must be output-identical to the prefix-bucket
+    path: the (prefix, n-gram) key is complete for tokens >= n*(e+1)
+    chars by the q-gram lemma, shorter tokens fall back to the prefix
+    bucket."""
+    from solrplugins_spark.suggest import build_spell_ngram_index
+
+    ng = build_spell_ngram_index(spell_index).persist()
+    toks = ["developr", "pythn", "rby", "devops", "xzq"]
+    typos = load_typos(["develope=>developer"])
+    base = spellcheck_suggest(spell_index, toks, typos=typos).toPandas()
+    fast = spellcheck_suggest(
+        spell_index, toks, typos=typos, ngram_index=ng
+    ).toPandas()
+    key = ["token", "suggestion", "freq", "distance", "rank"]
+    b = base[key].sort_values(key).reset_index(drop=True)
+    f = fast[key].sort_values(key).reset_index(drop=True)
+    assert b.equals(f), (b, f)
+    assert len(b) > 0
+
+
+def test_spellcheck_ngram_plan_has_finer_key(spell_index):
+    """With the n-gram index, long tokens' candidate join keys on
+    (_pfx, _ng) — visible in the physical plan — and stays an equi
+    hash join (no nested loop)."""
+    from solrplugins_spark.suggest import build_spell_ngram_index
+
+    ng = build_spell_ngram_index(spell_index)
+    df = spellcheck_suggest(spell_index, ["developr"], ngram_index=ng)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_ng" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
