@@ -321,9 +321,11 @@ def main() -> None:
     t0 = time.time()
     # string_cols: the role ordinal stream powers the q_wand_facet
     # serving-path benchmark line (match+facet from segment files)
+    # store_cols: the docstore powers the packed /mlt + /uf serving
+    # lines (q_wand_mlt / q_wand_feedback) — the serve-tier shape
     seg = build_segments(
         idx, os.path.join(seg_dir, "idx"), seg_size=65536, groups=4,
-        string_cols=["role"],
+        string_cols=["role"], store_cols=["text"],
     )
     seg_build_secs = time.time() - t0
 
@@ -368,6 +370,36 @@ def main() -> None:
     timings = {name: time_query(fn) for name, fn in queries.items()}
     facet_best = time_query(facet_fn)
 
+    # packed /mlt + /uf serving lines (VERDICT r03 item #1 "Done"):
+    # latency + SPARK JOB COUNT vs the flat handlers — parity means the
+    # segment-file path pays the same bounded driver crossings (<=3
+    # jobs), not a job-per-stage regression. Reported under their own
+    # keys (like wand_facet) to keep the headline p95's 11-query set
+    # comparable across rounds.
+    from solrplugins_spark.query.handlers import (
+        packed_feedback_handler,
+        packed_mlt_handler,
+    )
+
+    def count_jobs(name: str, fn) -> int:
+        sc = spark.sparkContext
+        sc.setJobGroup(name, name)
+        try:
+            fn().collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(name))
+
+    serving = {}
+    for name, fn in (
+        ("wand_mlt", lambda: packed_mlt_handler(spark, seg, [7], mlt_params, k=10)["docs"]),
+        ("wand_feedback", lambda: packed_feedback_handler(spark, seg, "embermoth", mlt_params, k=10)["docs"]),
+        ("flat_mlt", lambda: more_like_this(idx, [7], mlt_params, k=10)),
+        ("flat_feedback", lambda: unsupervised_feedback(idx, "embermoth", k=10, params=mlt_params)),
+    ):
+        serving[f"{name}_secs"] = time_query(fn)
+        serving[f"{name}_spark_jobs"] = count_jobs(name, fn)
+
     lat = sorted(timings.values())
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
     spark.stop()
@@ -407,6 +439,7 @@ def main() -> None:
         "scaling_efficiency_8_to_32_fullbuild": round(efficiency_8_32, 3),
         **cluster,
         "wand_facet_secs": round(facet_best, 4),
+        **serving,
         "segment_build_secs": round(seg_build_secs, 2),
         "total_bench_secs": round(time.time() - t_start, 1),
     }

@@ -86,6 +86,10 @@ class SegmentIndex:
     string_cols: tuple = ()
     # stored-field columns (build_segments store_cols) — fetch_docs
     store_cols: tuple = ()
+    # docstore DDL ("doc_id bigint, text string, ...") recorded at
+    # build time so fetch_docs passes an explicit read schema —
+    # parquet footer inference would cost one Spark job per request
+    store_schema: str | None = None
 
     @classmethod
     def load(cls, path: str) -> "SegmentIndex":
@@ -106,6 +110,7 @@ class SegmentIndex:
             value_cols=tuple(m.get("value_cols", [])),
             string_cols=tuple(m.get("string_cols", [])),
             store_cols=tuple(m.get("store_cols", [])),
+            store_schema=m.get("store_schema"),
         )
 
 
@@ -200,6 +205,14 @@ def build_segments(
             "value_cols": value_cols,
             "string_cols": string_cols,
             "store_cols": store_cols,
+            "store_schema": (
+                ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in index.docs.select("doc_id", *store_cols).schema.fields
+                )
+                if store_cols
+                else None
+            ),
             "completed_groups": [],
             "lineage": [],
         }
@@ -477,6 +490,7 @@ def build_segments(
         value_cols=tuple(m.get("value_cols", [])),
         string_cols=tuple(m.get("string_cols", [])),
         store_cols=tuple(m.get("store_cols", [])),
+        store_schema=m.get("store_schema"),
     )
 
 
@@ -1459,9 +1473,14 @@ def fetch_docs(
         # generation's doc range just match nothing
         segs = sorted({d // si.seg_size for d in ids})
         base = os.path.join(si.path, "docstore")
+        rd = spark.read.option("basePath", base)
+        if si.store_schema:
+            # explicit schema (recorded at build time): skips the
+            # footer-inference Spark job a bare parquet read pays —
+            # the point read stays a single job
+            rd = rd.schema(si.store_schema + ", seg int, group int")
         f = (
-            spark.read.option("basePath", base)
-            .parquet(base)
+            rd.parquet(base)
             .filter(F.col("seg").isin(segs))
             .filter(F.col("doc_id").isin(ids))
             .drop("seg", "group")
@@ -1702,6 +1721,20 @@ def compact_packed(
         if seg_indexes
         else set()
     )
+    # carry the docstore read schema, projected to the carried columns
+    # (fetch_docs on the compacted index keeps its one-job point read)
+    st_schema = None
+    if st_common:
+        src = next((s.store_schema for s in seg_indexes if s.store_schema), None)
+        if src is not None:
+            from pyspark.sql.types import _parse_datatype_string
+
+            by_name = {f.name: f for f in _parse_datatype_string(src).fields}
+            if all(c in by_name for c in ["doc_id", *st_common]):
+                st_schema = ", ".join(
+                    f"{c} {by_name[c].dataType.simpleString()}"
+                    for c in ["doc_id", *st_common]
+                )
     m = _read_manifest(out_path) if resume else None
     if m is None or m.get("codec_version") != CODEC_VERSION:
         os.makedirs(out_path, exist_ok=True)
@@ -1720,6 +1753,7 @@ def compact_packed(
             "value_cols": vc_common,
             "string_cols": sc_common,
             "store_cols": st_common,
+            "store_schema": st_schema,
             "completed_groups": [],
             "lineage": [],
         }
@@ -1940,6 +1974,7 @@ def compact_packed(
         value_cols=tuple(vc_common),
         string_cols=tuple(sc_common),
         store_cols=tuple(st_common),
+        store_schema=m.get("store_schema"),
     )
 
 

@@ -690,3 +690,39 @@ def test_packed_feedback_multi_generation(spark, tiny_corpus, tiny_corpus_pd, tm
     want = packed_feedback_handler(spark, batch, toks[0], params, k=8)["docs"].toPandas()
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+
+def test_docstore_schema_recorded_and_point_read_is_one_job(
+    spark, tiny_corpus, tmp_path
+):
+    """build_segments records the docstore DDL in the manifest so
+    fetch_docs passes an explicit read schema — the point read is ONE
+    Spark job (no parquet footer-inference job), load() round-trips
+    it, and compaction carries the projected schema."""
+    from solrplugins_spark.index.segments import (
+        SegmentIndex,
+        build_segments,
+        compact_packed,
+        fetch_docs,
+    )
+
+    idx = build_index(tiny_corpus)
+    seg = build_segments(
+        idx, str(tmp_path / "ss"), seg_size=64, groups=2,
+        store_cols=["conv_id", "text"],
+    )
+    assert seg.store_schema is not None and "text string" in seg.store_schema
+    assert SegmentIndex.load(str(tmp_path / "ss")).store_schema == seg.store_schema
+
+    sc = spark.sparkContext
+    fetch_docs(spark, seg, [0, 1]).collect()  # warm (files listed once)
+    sc.setJobGroup("fd_probe", "fd_probe")
+    try:
+        rows = fetch_docs(spark, seg, [0, 1]).collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(rows) == 2
+    assert len(sc.statusTracker().getJobIdsForGroup("fd_probe")) == 1
+
+    compacted = compact_packed(spark, [seg], str(tmp_path / "ss_c"))
+    assert compacted.store_schema == seg.store_schema
