@@ -28,20 +28,23 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
-    # under spark-submit (or with $SPARK_GRAFT_MASTER set) the master
-    # comes from outside — local-cluster / standalone / YARN; only
-    # default to local[cores] when nothing chose one, so the SAME
-    # get_spark entry points run unchanged on a real cluster
-    from pyspark import SparkConf
-
-    master = os.environ.get("SPARK_GRAFT_MASTER") or os.environ.get("MASTER")
-    if master is None and not SparkConf().contains("spark.master"):
-        master = f"local[{cores}]"
-    builder = SparkSession.builder.appName(app_name)
-    if master is not None:
-        builder = builder.master(master)
+    # under spark-submit (which exports $MASTER for python apps) or
+    # with $SPARK_GRAFT_MASTER set, the master comes from outside —
+    # local-cluster / standalone / YARN; otherwise default to
+    # local[cores], so the SAME get_spark entry points run unchanged
+    # on a real cluster. Detection is ENV-ONLY on purpose: probing
+    # SparkConf() in-process is unreliable — after a context stops,
+    # its spark.master lingers in the JVM-side defaults, and every
+    # later get_spark(cores=N) would silently reuse the OLD core count
+    # (measured: a "4-core" session running local[1]).
+    master = (
+        os.environ.get("SPARK_GRAFT_MASTER")
+        or os.environ.get("MASTER")
+        or f"local[{cores}]"
+    )
     builder = (
-        builder
+        SparkSession.builder.master(master)
+        .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
