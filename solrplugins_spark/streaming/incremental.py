@@ -37,6 +37,8 @@ def incremental_index_build(
     text_col: str = "text",
     trigger_available_now: bool = True,
     positions: bool = False,
+    pack: bool = False,
+    **pack_kwargs,
 ):
     """Start a streaming index build; returns the StreamingQuery.
 
@@ -44,12 +46,16 @@ def incremental_index_build(
       postings/gen=<batch_id>/   (doc_id, term, tf, dl)
       terms/gen=<batch_id>/      (term, df, cf) partials
     and a manifest line with lineage + throughput (north-rule metrics).
+    ``pack=True`` (+ process_generation's seg_size/seg_groups/
+    store_cols/... kwargs) also packs each generation into servable
+    segments — see process_generation.
     """
     os.makedirs(out_path, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         process_generation(
-            batch_df, batch_id, out_path, doc_col, text_col, positions=positions
+            batch_df, batch_id, out_path, doc_col, text_col,
+            positions=positions, pack=pack, **pack_kwargs,
         )
 
     writer = (
@@ -76,6 +82,12 @@ def process_generation(
     doc_col: str = "doc_id",
     text_col: str = "text",
     positions: bool = False,
+    pack: bool = False,
+    seg_size: int = 65536,
+    seg_groups: int = 2,
+    store_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    string_cols: list[str] | None = None,
 ) -> bool:
     """Commit one microbatch as an index generation; returns True if it
     wrote, False if skipped (empty or already committed).
@@ -87,6 +99,17 @@ def process_generation(
     compact_generations' sum over lines would inflate n_docs/avgdl
     and skew BM25 idf/norms after exactly the resume scenario this
     module exists for.
+
+    ``pack=True`` additionally builds a PACKED per-generation
+    SegmentIndex under ``segments/gen=<id>`` (with the termstats
+    sidecar, plus any docstore/docvalues columns) — so every committed
+    microbatch is IMMEDIATELY servable by the multi-generation packed
+    surfaces (wand_boolean_search / packed_select_handler /
+    packed_mlt_handler / packed_feedback_handler over
+    ``packed_generations(out_path)``) without waiting for compaction.
+    The packed build runs BEFORE the manifest append and is itself
+    resumable (build_segments manifest), so a replayed batch finishes
+    a half-built generation instead of double-committing.
     """
     manifest = os.path.join(out_path, "stream_manifest.jsonl")
     t0 = time.time()
@@ -108,6 +131,41 @@ def process_generation(
     terms.write.mode("overwrite").parquet(
         os.path.join(out_path, "terms", f"gen={batch_id}")
     )
+    if pack:
+        from ..index.builder import InvertedIndex
+        from ..index.segments import build_segments
+
+        postings_w = postings.persist()
+        total_dl = (
+            postings_w.select(doc_col, "dl")
+            .dropDuplicates([doc_col])
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0
+        )
+        docs = batch_df
+        if doc_col != "doc_id":
+            docs = docs.withColumnRenamed(doc_col, "doc_id")
+            postings_w = postings_w.withColumnRenamed(doc_col, "doc_id")
+        gen_idx = InvertedIndex(
+            postings=postings_w,
+            terms=terms,
+            doclen=postings_w.select("doc_id", "dl").dropDuplicates(["doc_id"]),
+            n_docs=int(n),
+            avgdl=float(total_dl) / int(n),
+            docs=docs,
+            text_col=text_col,
+        )
+        build_segments(
+            gen_idx,
+            os.path.join(out_path, "segments", f"gen={batch_id}"),
+            seg_size=seg_size,
+            groups=seg_groups,
+            store_cols=store_cols,
+            value_cols=value_cols,
+            string_cols=string_cols,
+        )
+        postings_w.unpersist()
     elapsed = time.time() - t0
     with open(manifest, "a") as f:
         f.write(
@@ -179,3 +237,30 @@ def merge_segment_stats(spark: SparkSession, out_path: str) -> DataFrame:
     return terms.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
+
+
+def packed_generations(out_path: str) -> list:
+    """SegmentIndex list for every generation packed by
+    ``process_generation(pack=True)``, ordered by generation id — the
+    frame-of-reference for the multi-generation packed serving
+    surfaces (wand_boolean_search / packed_select_handler /
+    packed_mlt_handler / packed_feedback_handler all accept this list
+    directly). Only generations whose stream-manifest line committed
+    are returned: a half-written packed build without its manifest
+    line is in-flight, not servable."""
+    import glob as _glob
+
+    from ..index.segments import SegmentIndex
+
+    committed = _manifest_generations(
+        os.path.join(out_path, "stream_manifest.jsonl")
+    )
+    out = []
+    for d in sorted(
+        _glob.glob(os.path.join(out_path, "segments", "gen=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    ):
+        gen = int(d.rsplit("=", 1)[1])
+        if gen in committed:
+            out.append(SegmentIndex.load(d))
+    return out

@@ -200,3 +200,68 @@ def test_streamed_positions_phrase_after_compaction(spark, tmp_path):
     assert len(flat) > 0
     assert list(packed["doc_id"]) == list(flat["doc_id"])
     assert np.allclose(packed["score"], flat["score"], atol=1e-5)
+
+
+def test_streamed_generations_serve_packed_before_compaction(spark, tmp_path):
+    """The full streaming->serving loop with NO compaction step:
+    readStream chunks -> process_generation(pack=True) packs each
+    microbatch into servable segments -> packed_generations() feeds
+    the multi-generation /select and /uf surfaces directly — results
+    identical to a from-scratch batch build. This is the at-scale
+    ingest story: a committed microbatch is queryable immediately."""
+    import numpy as np
+
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.handlers import (
+        packed_feedback_handler,
+        packed_select_handler,
+    )
+    from solrplugins_spark.query.mlt import MLTParams
+    from solrplugins_spark.streaming import (
+        incremental_index_build,
+        packed_generations,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = transcripts_pandas(600)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    for i in range(3):
+        chunk = spark.createDataFrame(pdf.iloc[i * 200 : (i + 1) * 200])
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk{i}"))
+
+    out = str(tmp_path / "inc_pack")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "chunk0")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "chunk*"))
+    )
+    q = incremental_index_build(
+        stream, out, str(tmp_path / "ckpt_pack"),
+        pack=True, seg_size=64, seg_groups=2, store_cols=["text", "role"],
+    )
+    q.awaitTermination(180)
+
+    gens = packed_generations(out)
+    assert len(gens) == 3
+    assert all(g.store_cols == ("role", "text") for g in gens)
+
+    batch = build_segments(
+        build_index(spark.createDataFrame(pdf)), str(tmp_path / "batch_pack"),
+        seg_size=64, groups=2, store_cols=["text", "role"],
+    )
+    toks = pdf.iloc[0]["text"].lower().split()
+    query = f"{toks[0]} and not {toks[1]} or {toks[2]}"
+    got = packed_select_handler(spark, gens, query, k=6)["docs"].toPandas()
+    want = packed_select_handler(spark, batch, query, k=6)["docs"].toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+    assert list(got["text"]) == list(want["text"])
+
+    params = MLTParams(min_term_freq=1, min_doc_freq=2, max_query_terms=10)
+    gf = packed_feedback_handler(spark, gens, toks[0], params, k=8)["docs"].toPandas()
+    wf = packed_feedback_handler(spark, batch, toks[0], params, k=8)["docs"].toPandas()
+    assert list(gf["doc_id"]) == list(wf["doc_id"])
+    assert np.allclose(gf["score"], wf["score"], atol=1e-9)
