@@ -1000,6 +1000,61 @@ FROM run
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking of documents into training windows
+    (64-token chunks, 16-token overlap): the long-document
+    pretraining prep step — pure column expressions, output-sized
+    explode, no shuffle."""
+    from .text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=64, overlap=16
+    )
+
+
+# stride = 64-16 = 48; Spark emits starts 0..(n-overlap-1) inclusive by
+# stride <=> DuckDB range(0, greatest(n-16, 1), 48) exclusive stop
+SQL_CHUNK_DOCS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     t -> len(t) >= 1) AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(n - 16, 1), 48)) AS start,
+         unnest(generate_series(0, len(range(0, greatest(n - 16, 1), 48)) - 1)) AS chunk_id
+  FROM nz
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       len(list_slice(toks, start + 1, start + 64))::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
+FROM starts
+"""
+
+
+def q_epoch_shard(spark, sf_dir):
+    """Deterministic per-epoch shuffle/shard assignment (epoch 3,
+    8 shards): pure function of (doc_id, epoch) — reproducible across
+    partitionings and cluster sizes; consumers repartition on shard +
+    sort by sort_key to materialize the epoch with one shuffle."""
+    from .text import epoch_shard
+
+    return epoch_shard(_docs(spark, sf_dir), n_shards=8, epoch=3)
+
+
+SQL_EPOCH_SHARD = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('e3:' || doc_id), 1, 15)) AS BIGINT) AS sort_key
+  FROM documents
+)
+SELECT doc_id, (sort_key % 8)::BIGINT AS shard, sort_key FROM keyed
+"""
+
+
 def q_token_counts(spark, sf_dir):
     from .text import token_counts
 
@@ -1864,6 +1919,8 @@ EXT_QUERIES = {
     "sample": q_sample,
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
+    "chunk_docs": q_chunk_docs,
+    "epoch_shard": q_epoch_shard,
     "repetition": q_repetition,
     "contamination": q_contamination,
     "token_counts": q_token_counts,
@@ -1933,6 +1990,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "sample": SQL_SAMPLE,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "chunk_docs": SQL_CHUNK_DOCS,
+        "epoch_shard": SQL_EPOCH_SHARD,
         "repetition": SQL_REPETITION,
         "contamination": SQL_CONTAMINATION,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -14,7 +14,9 @@ from .cleaning import (
     repetition_features,
 )
 from .sampling import (
+    chunk_documents,
     deterministic_sample,
+    epoch_shard,
     pack_sequences,
     stratified_sample,
 )
@@ -34,4 +36,6 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "pack_sequences",
+    "chunk_documents",
+    "epoch_shard",
 ]

@@ -114,3 +114,82 @@ def pack_sequences(
     return with_pid.mapInPandas(
         assign, schema="doc_id long, n_tokens long, seq_id long, offset long"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk) — sliding-window chunking of
+    long documents into training windows: chunk c covers tokens
+    [c*stride, c*stride + max_tokens) with stride = max_tokens -
+    overlap, so consecutive chunks share ``overlap`` tokens (the
+    context-continuity trick for long-document pretraining). The last
+    chunk may be shorter; a chunk is only emitted if it contributes at
+    least one NEW token (start < n_tokens - overlap, or start == 0),
+    so a short doc yields exactly one chunk and nothing is emitted
+    twice. Token-less docs yield no rows.
+
+    Pure column expressions (sequence + explode + slice + array_join):
+    no shuffle, no UDF — the explode multiplies rows ~n/stride, which
+    is the output size itself."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    from ..analysis.tokenizer import tokens_col
+
+    stride = max_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size("_toks")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(F.col(doc_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            "doc_id",
+            F.col("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens).alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk"),
+        )
+    )
+
+
+def epoch_shard(
+    docs: DataFrame,
+    n_shards: int,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard, sort_key) — deterministic per-epoch shuffling
+    for training: every doc gets a shard in [0, n_shards) and a
+    within-shard order key, both pure functions of (id, epoch) — a
+    different epoch reshuffles everything, re-running the same epoch
+    (any partitioning, any cluster size) reproduces the exact order.
+    The md5-derived key is oracle-mirrorable; consumers
+    ``repartition(n_shards, "shard").sortWithinPartitions("sort_key")``
+    to materialize the epoch — one shuffle, no global sort."""
+    h = F.md5(
+        F.concat(F.lit(f"e{int(epoch)}:"), F.col(id_col).cast("string"))
+    )
+    key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(key, F.lit(int(n_shards))).cast("long").alias("shard"),
+        key.alias("sort_key"),
+    )

@@ -538,3 +538,48 @@ def test_duplicate_clusters_checkpoint_modes(spark, tmp_path):
         .set_index("doc_id")["cluster_id"]
     )
     assert dict(local) == dict(rel) == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding windows: full chunks share exactly `overlap` tokens,
+    the tail chunk is shorter, every token is covered, a short doc
+    yields one chunk, an empty doc yields none."""
+    from solrplugins_spark.text import chunk_documents
+
+    text = " ".join(f"t{i:03d}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(0, text), (1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    got = chunk_documents(docs, max_tokens=10, overlap=4).toPandas()
+    d0 = got[got["doc_id"] == 0].sort_values("chunk_id")
+    # stride 6: starts 0,6,12,18 (18 <= 25-4-1); chunk 18 covers 18..24
+    assert list(d0["chunk_id"]) == [0, 1, 2, 3]
+    assert list(d0["n_tokens"]) == [10, 10, 10, 7]
+    chunks = [c.split() for c in d0["chunk"]]
+    assert chunks[0][6:] == chunks[1][:4]  # consecutive chunks overlap by 4
+    assert chunks[-1][-1] == "t024"        # every token covered
+    d1 = got[got["doc_id"] == 1]
+    assert len(d1) == 1 and d1.iloc[0]["chunk"] == "a b c"
+    assert (got["doc_id"] != 2).all()
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_epoch_shard_determinism_and_reshuffle(spark):
+    """Same epoch reproduces identical assignment across
+    partitionings; a different epoch reshuffles; shards are balanced
+    within loose bounds."""
+    from solrplugins_spark.text import epoch_shard
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = epoch_shard(docs, n_shards=8, epoch=3).toPandas().set_index("doc_id")
+    b = (
+        epoch_shard(docs.repartition(7), n_shards=8, epoch=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert dict(a["sort_key"]) == dict(b["sort_key"])
+    c = epoch_shard(docs, n_shards=8, epoch=4).toPandas().set_index("doc_id")
+    assert dict(a["sort_key"]) != dict(c["sort_key"])
+    counts = a.groupby("shard").size()
+    assert len(counts) == 8 and counts.min() > 20
