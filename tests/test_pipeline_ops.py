@@ -583,3 +583,48 @@ def test_epoch_shard_determinism_and_reshuffle(spark):
     assert dict(a["sort_key"]) != dict(c["sort_key"])
     counts = a.groupby("shard").size()
     assert len(counts) == 8 and counts.min() > 20
+
+
+def test_multimodal_real_decode_wav_and_pgm(spark):
+    """The REAL decode path (stdlib codecs): a synthesized 16-bit PCM
+    WAV round-trips to its normalized samples and a binary PGM to its
+    normalized gradient; compressed payloads still raise the honest
+    NotImplementedError; features pool over variable-length real
+    decodes."""
+    import numpy as np
+
+    from solrplugins_spark.multimodal.media import (
+        decode_media,
+        extract_features,
+        synth_pgm_bytes,
+        synth_wav_bytes,
+    )
+
+    wav = synth_wav_bytes(n_samples=800, freq=440.0)
+    pgm = synth_pgm_bytes(8, 8)
+    media = spark.createDataFrame(
+        [(0, bytearray(wav), "audio/wav"), (1, bytearray(pgm), "image/x-pgm")],
+        "media_id long, media binary, mime string",
+    )
+    got = decode_media(media, decoder="real").toPandas().set_index("media_id")
+    audio = np.asarray(got.loc[0, "decoded"], dtype=np.float32)
+    assert len(audio) == 800
+    t = np.arange(800) / 16000.0
+    want = np.round(0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767.0) / 32768.0
+    assert np.allclose(audio, want, atol=1e-4)
+    img = np.asarray(got.loc[1, "decoded"], dtype=np.float32)
+    assert len(img) == 64
+    assert img[0] == 0.0 and abs(img[-1] - 1.0) < 1e-6
+    assert np.all(np.diff(img) >= 0)  # gradient is monotone
+
+    feats = extract_features(media, decoder="real", n_features=8).toPandas()
+    assert all(len(f) == 8 for f in feats["features"])
+
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"\x89PNG\r\n\x1a\n...."), "image/png")],
+        "media_id long, media binary, mime string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|real decode"):
+        decode_media(bad, decoder="real").collect()
