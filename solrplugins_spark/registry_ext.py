@@ -1884,6 +1884,69 @@ ORDER BY cosine DESC, id ASC LIMIT 10
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k: nearest-centroid cell
+    assignment + nprobe cell probing + exact candidate rank — the
+    coarse-quantizer ANN shape (vs ann_lsh's hash buckets). Fully
+    oracle-checked: the gate uses the DATA-INDEPENDENT deterministic
+    codebook (splitmix64, seed=11), so the oracle SQL embeds the
+    centroids as literals and recomputes assignment, probe set, and
+    candidate cosines (the trained spherical-k-means codebook is
+    pytest-covered: test_pipeline_ops)."""
+    from .similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=3)
+
+
+def _sql_ann_ivf(dim: int = 64, n_centroids: int = 8, nprobe: int = 3) -> str:
+    """Mirror of cosine_topk_ivf's random-codebook path for the fixed
+    driver embedding dim: literal centroids; per-vector assignment =
+    max dot (ties -> lowest centroid id, matching array_position's
+    first-max); probes = nprobe centroids nearest the query; exact
+    cosine rank on candidates."""
+    from .similarity.ann import ivf_centroids_random
+
+    cents = ivf_centroids_random(dim, n_centroids, seed=11)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents AS (SELECT * FROM (VALUES {rows}) c(cid, cv)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+qprobe AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY list_dot_product(cv, qv) DESC, cid ASC LIMIT {nprobe}
+),
+dots AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.cv) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id, a.v FROM assigned a
+  WHERE a.bucket IN (SELECT cid FROM qprobe)
+)
+SELECT c.vec_id AS id,
+       round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5)
+         AS cosine
+FROM cand c CROSS JOIN q
+ORDER BY cosine DESC, id ASC LIMIT 10
+"""
+
+
 EXT_QUERIES = {
     "phrase_query": q_phrase,
     "field_query": q_field_query,
@@ -1892,6 +1955,7 @@ EXT_QUERIES = {
     "payload_search": q_payload_search,
     "simhash": q_simhash,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "fq_termfreq": q_fq_termfreq,
     "fq_fieldlen": q_fq_fieldlen,
     "fq_fieldval": q_fq_fieldval,
@@ -1963,6 +2027,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "payload_search": SQL_PAYLOAD_SEARCH,
         "simhash": SQL_SIMHASH,
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
         "fq_termfreq": SQL_FQ_TERMFREQ,
         "fq_fieldlen": SQL_FQ_FIELDLEN,
         "fq_fieldval": SQL_FQ_FIELDVAL,

@@ -1,4 +1,8 @@
 from .ann import (
+    cosine_topk_ivf,
+    ivf_assign,
+    ivf_centroids_random,
+    train_ivf_centroids,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     knn_join,
@@ -6,6 +10,10 @@ from .ann import (
 )
 
 __all__ = [
+    "cosine_topk_ivf",
+    "ivf_assign",
+    "ivf_centroids_random",
+    "train_ivf_centroids",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "knn_join",

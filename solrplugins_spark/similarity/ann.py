@@ -180,3 +180,105 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(
         cand, query_vec, k=k, id_col="id", vec_col="embedding", round_to=round_to
     )
+
+
+def ivf_centroids_random(dim: int, n_centroids: int = 8, seed: int = 11) -> np.ndarray:
+    """Deterministic pseudo-random L2-normalized coarse-quantizer
+    centroids (splitmix64-derived, like the LSH hyperplanes) — a
+    DATA-INDEPENDENT IVF codebook: identical on every executor and
+    embeddable as literals in SQL oracles. train_ivf_centroids gives
+    the data-adapted codebook when recall matters more than oracle
+    mirroring."""
+    c = _hyperplanes(dim, n_centroids, seed=seed)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 1024,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained driver-side on a
+    DETERMINISTIC sample: rows ordered by md5(id) (TakeOrdered — no
+    full sort), Lloyd iterations in numpy with fixed init (first
+    n_centroids sample vectors), empty clusters keep their previous
+    centroid. Pure function of the data — reproducible across
+    partitionings and cluster sizes. At 10^12 vectors the sample is
+    the only corpus-wide read; the codebook is tiny and ships as
+    literals/broadcast."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(int(sample_size))
+        .collect()
+    )
+    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, bucket) — nearest-centroid (max-dot) assignment
+    against L2-normalized centroid LITERALS; ties take the lowest
+    centroid id. Pure column expressions (array of dots -> array_max
+    -> first position), no UDF: at scale this is one scan, and writing
+    the table bucketed by `bucket` makes probes partition-prunable —
+    the IVF inverted-file layout."""
+    dots = F.array(*[_dot_expr(F.col(vec_col), list(c)) for c in centroids])
+    bucket = (F.array_position(dots, F.array_max(dots)) - 1).cast("long")
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        bucket.alias("bucket"),
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to coarse-quantizer
+    cells, probe the ``nprobe`` cells nearest the query (max dot,
+    ties by centroid id), exact-rank the candidates — the
+    inverted-file ANN shape (vs LSH's hash buckets). ``centroids``
+    defaults to the data-independent random codebook; pass
+    train_ivf_centroids(...) output for the data-adapted one."""
+    if centroids is None:
+        centroids = ivf_centroids_random(len(query_vec), n_centroids, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-float(centroids[i] @ q), i)
+    )
+    probes = [int(i) for i in order[: max(1, nprobe)]]
+    cand = ivf_assign(emb, centroids, id_col, vec_col).filter(
+        F.col("bucket").isin(probes)
+    )
+    return cosine_topk_bruteforce(
+        cand, query_vec, k=k, id_col="id", vec_col="embedding", round_to=round_to
+    )

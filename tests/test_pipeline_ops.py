@@ -628,3 +628,36 @@ def test_multimodal_real_decode_wav_and_pgm(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|real decode"):
         decode_media(bad, decoder="real").collect()
+
+
+def test_ivf_trained_centroids_and_recall(emb):
+    """Trained spherical-k-means IVF: deterministic across
+    partitionings; probing all cells recovers the exact brute-force
+    top-k; nprobe<k cells returns a subset ranked exactly."""
+    import numpy as np
+
+    from solrplugins_spark.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    c1 = train_ivf_centroids(emb, n_centroids=4, sample_size=256)
+    c2 = train_ivf_centroids(emb.repartition(5), n_centroids=4, sample_size=256)
+    assert np.allclose(c1, c2), "training must be partition-invariant"
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+    q = list(emb.first()["embedding"])
+    exact = cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    all_cells = cosine_topk_ivf(
+        emb, q, k=5, centroids=c1, nprobe=4
+    ).toPandas()
+    assert list(all_cells["id"]) == list(exact["id"])
+    assert np.allclose(all_cells["cosine"], exact["cosine"])
+
+    probed = cosine_topk_ivf(emb, q, k=5, centroids=c1, nprobe=1).toPandas()
+    # the query's own vector lives in the probed cell -> rank 1 survives
+    assert probed.iloc[0]["id"] == exact.iloc[0]["id"]
+    assert set(probed["id"]) <= set(
+        cosine_topk_bruteforce(emb, q, k=emb.count()).toPandas()["id"]
+    )
