@@ -715,7 +715,19 @@ def _sim_scores_np(sim, tf, dl, df, n, avgdl, payload=None):
     else:
         idf = np.log(n / (df + 1.0)) + 1.0 if sim.use_idf else 1.0
         tfp = np.sqrt(tf) if sim.use_tf else (tf > 0).astype(np.float64)
-        norm = 1.0 / np.sqrt(dl) if sim.use_norm else 1.0
+        if sim.use_norm:
+            norm = 1.0 / np.sqrt(dl)
+            if getattr(sim, "lossy_norm", False):
+                # byte315 round-trip (query/scorer.byte315_table):
+                # float32-round then largest representable <= x
+                from ..query.scorer import _BYTE315
+
+                tbl = np.asarray(_BYTE315)
+                x = norm.astype(np.float32).astype(np.float64)
+                idx = np.searchsorted(tbl, x, side="right")
+                norm = tbl[np.maximum(idx, 1) - 1]
+        else:
+            norm = 1.0
         s = tfp * idf * norm
     if sim.use_payload and payload is not None:
         s = s * payload

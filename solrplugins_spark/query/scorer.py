@@ -36,6 +36,41 @@ from pyspark.sql import functions as F
 from ..index.builder import InvertedIndex
 
 
+def byte315_table() -> list[float]:
+    """The 255 nonzero values of Lucene's SmallFloat byte315 codec
+    (3 mantissa bits, 5 exponent bits, zero point 15 —
+    SmallFloat.byteToFloat(b, 3, 15) for b in 1..255), strictly
+    increasing. Encoding truncates the float's mantissa, so for
+    positive x the encoded value is the LARGEST table entry <= x
+    (underflow clamps to table[0], overflow to table[-1]) — the rule
+    both the column expression and the SQL oracle mirror."""
+    import struct
+
+    out = []
+    for b in range(1, 256):
+        bits = (b << 21) + ((63 - 15) << 24)
+        out.append(float(struct.unpack(">f", struct.pack(">i", bits))[0]))
+    return out
+
+
+_BYTE315 = byte315_table()
+
+
+def lossy_norm_expr(x: Column) -> Column:
+    """byte315 round-trip of a positive norm as a column expression:
+    float32-round x (lengthNorm is computed in float,
+    DefaultSimilarity), then take the largest representable value
+    <= it — an O(255) literal-array filter, JVM codegen, no UDF."""
+    arr = F.array(*[F.lit(v) for v in _BYTE315])
+    xf = x.cast("float").cast("double")
+    cnt = F.size(F.filter(arr, lambda a: a <= xf))
+    return (
+        F.when(xf <= 0, F.lit(0.0))
+        .when(cnt == 0, F.lit(_BYTE315[0]))
+        .otherwise(F.element_at(arr, cnt))
+    )
+
+
 @dataclass(frozen=True)
 class Similarity:
     """Parameterized scoring expression over (tf, df, dl, payload)."""
@@ -47,6 +82,12 @@ class Similarity:
     use_idf: bool = True
     use_norm: bool = True
     use_payload: bool = False
+    # Lucene's 1-byte norm quantization (SmallFloat byte315,
+    # DefaultSimilarity encode/decodeNormValue): lengthNorm rounds
+    # through the 255-value codec. Off by default — the engine keeps
+    # exact norms (documented divergence) — on for bit-parity with an
+    # index that stored 1-byte norms. Classic kind only.
+    lossy_norm: bool = False
 
     def idf(self, df_col: Column, n_docs: int) -> Column:
         if not self.use_idf:
@@ -66,6 +107,11 @@ class Similarity:
         payload: Column | None = None,
     ) -> Column:
         tfd = tf.cast("double")
+        if self.lossy_norm and self.kind != "classic":
+            raise ValueError(
+                "lossy_norm mirrors DefaultSimilarity's byte315 norm "
+                "byte — classic kind only (BM25 keeps exact norms)"
+            )
         if self.kind == "bm25":
             denom = tfd + self.k1 * (1.0 - self.b + self.b * dl.cast("double") / F.lit(avgdl))
             tf_part = tfd * (self.k1 + 1.0) / denom if self.use_norm else (
@@ -76,7 +122,11 @@ class Similarity:
             score = self.idf(df_col, n_docs) * tf_part
         else:
             tf_part = F.sqrt(tfd) if self.use_tf else F.when(tfd > 0, F.lit(1.0)).otherwise(0.0)
-            norm = (F.lit(1.0) / F.sqrt(dl.cast("double"))) if self.use_norm else F.lit(1.0)
+            if self.use_norm:
+                raw = F.lit(1.0) / F.sqrt(dl.cast("double"))
+                norm = lossy_norm_expr(raw) if self.lossy_norm else raw
+            else:
+                norm = F.lit(1.0)
             score = tf_part * self.idf(df_col, n_docs) * norm
         if self.use_payload and payload is not None:
             score = score * payload

@@ -1884,6 +1884,45 @@ ORDER BY cosine DESC, id ASC LIMIT 10
 """
 
 
+def q_classic_lossy_norm(spark, sf_dir):
+    """Classic similarity with LUCENE'S 1-byte norm quantization
+    (SmallFloat byte315, DefaultSimilarity.encodeNormValue:
+    lengthNorm rounds through the 255-value codec) — the last
+    deliberate divergence, now available as an opt-in mode; the
+    oracle mirrors the codec via the literal decode table and the
+    largest-representable-<=x rule."""
+    from .query.scorer import Similarity, search_terms
+
+    return search_terms(
+        _index(spark, sf_dir),
+        [("dup", 1.0)],
+        k=10,
+        sim=Similarity(kind="classic", lossy_norm=True),
+    )
+
+
+def _sql_classic_lossy_norm() -> str:
+    from .query.scorer import byte315_table
+
+    lits = "[" + ", ".join(repr(v) for v in byte315_table()) + "]::DOUBLE[]"
+    xf = "CAST(CAST(1.0 / sqrt(dl.dl) AS REAL) AS DOUBLE)"
+    cnt = f"len(list_filter(tbl.a, x -> x <= {xf}))"
+    return f"""
+WITH {TOK_SQL},
+tbl AS (SELECT {lits} AS a),
+scored AS (
+  SELECT tf.doc_id,
+         sqrt(tf.tf) * (ln(stats.n / (d.df + 1.0)) + 1.0)
+           * (CASE WHEN {cnt} = 0 THEN tbl.a[1] ELSE tbl.a[{cnt}] END) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term)
+  CROSS JOIN stats CROSS JOIN tbl
+  WHERE term = 'dup'
+)
+SELECT doc_id, round(s, 5) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF (inverted-file) approximate top-k: nearest-centroid cell
     assignment + nprobe cell probing + exact candidate rank — the
@@ -1956,6 +1995,7 @@ EXT_QUERIES = {
     "simhash": q_simhash,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "classic_lossy_norm": q_classic_lossy_norm,
     "fq_termfreq": q_fq_termfreq,
     "fq_fieldlen": q_fq_fieldlen,
     "fq_fieldval": q_fq_fieldval,
@@ -2028,6 +2068,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
+        "classic_lossy_norm": _sql_classic_lossy_norm(),
         "fq_termfreq": SQL_FQ_TERMFREQ,
         "fq_fieldlen": SQL_FQ_FIELDLEN,
         "fq_fieldval": SQL_FQ_FIELDVAL,

@@ -237,3 +237,48 @@ def test_duplicate_query_terms_fold(tiny_index):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_byte315_lossy_norm_codec_and_packed_parity(spark, tiny_corpus, tmp_path):
+    """Lucene SmallFloat byte315 semantics: quantized norm <= raw norm,
+    at most 255 distinct values, exact table round-trip
+    (decode(encode(v)) == v for table values), and the packed path
+    (wand_search with the lossy sim) is value-identical to flat."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments, wand_search
+    from solrplugins_spark.query.scorer import (
+        Similarity,
+        byte315_table,
+        search_terms,
+    )
+
+    tbl = np.asarray(byte315_table())
+    assert len(tbl) == 255 and np.all(np.diff(tbl) > 0)
+    # Lucene reference values: floatToByte315(1.0f) == 124 and
+    # floatToByte315(0.5f) == 120 (dl=4 -> lengthNorm 0.5), so the
+    # decode table holds 1.0 and 0.5 at those bytes
+    assert tbl[124 - 1] == 1.0
+    assert tbl[120 - 1] == 0.5
+
+    with pytest.raises(ValueError, match="classic"):
+        Similarity(kind="bm25", lossy_norm=True).score_expr(
+            F.lit(1), F.lit(1), F.lit(1), 1.0, 1
+        )
+
+    idx = build_index(tiny_corpus).persist()
+    lossy = Similarity(kind="classic", lossy_norm=True)
+    exact = Similarity(kind="classic")
+    term = idx.terms.orderBy(F.desc("df")).first()["term"]
+    flat_lossy = search_terms(idx, [(term, 1.0)], k=10, sim=lossy).toPandas()
+    flat_exact = search_terms(idx, [(term, 1.0)], k=10, sim=exact).toPandas()
+    # quantization truncates -> lossy scores never exceed exact ones
+    merged = flat_lossy.merge(flat_exact, on="doc_id", suffixes=("_l", "_e"))
+    assert (merged["score_l"] <= merged["score_e"] + 1e-9).all()
+
+    seg = build_segments(idx, str(tmp_path / "lossy"), seg_size=64, groups=2)
+    packed = wand_search(spark, seg, [(term, 1.0)], k=10, sim=lossy).toPandas()
+    assert list(packed["doc_id"]) == list(flat_lossy["doc_id"])
+    assert np.allclose(packed["score"], flat_lossy["score"], atol=1e-9)
