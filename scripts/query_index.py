@@ -69,6 +69,9 @@ def main() -> None:
     gens = [SegmentIndex.load(p) for p in paths]
     seg = gens if len(gens) > 1 else gens[0]
 
+    if args.mode in ("mlt", "uf") and (args.k1 != 1.2 or args.b != 0.75):
+        ap.error("--k1/--b apply to term and select modes only "
+                 "(mlt/uf score with the reference's default BM25)")
     t0 = time.time()
     out: dict = {"mode": args.mode, "k": args.k, "generations": len(gens)}
     if args.mode == "term":
@@ -88,7 +91,7 @@ def main() -> None:
         if not args.query:
             ap.error("--query required for select mode")
         resp = packed_select_handler(
-            spark, seg, args.query, k=args.k,
+            spark, seg, args.query, k=args.k, k1=args.k1, b=args.b,
             facet_fields=args.facet or None, with_stored=args.stored,
         )
         out["query"] = args.query

@@ -90,6 +90,11 @@ class SegmentIndex:
     # build time so fetch_docs passes an explicit read schema —
     # parquet footer inference would cost one Spark job per request
     store_schema: str | None = None
+    # tokenizer settings the flat index was built with — the packed
+    # /mlt and /uf handlers re-analyze stored seed text and MUST
+    # tokenize identically to the postings or rankings silently
+    # diverge; recorded in the manifest, defaulted by the handlers
+    tok_kwargs: dict | None = None
 
     @classmethod
     def load(cls, path: str) -> "SegmentIndex":
@@ -111,6 +116,7 @@ class SegmentIndex:
             string_cols=tuple(m.get("string_cols", [])),
             store_cols=tuple(m.get("store_cols", [])),
             store_schema=m.get("store_schema"),
+            tok_kwargs=m.get("tok_kwargs"),
         )
 
 
@@ -213,6 +219,7 @@ def build_segments(
                 if store_cols
                 else None
             ),
+            "tok_kwargs": dict(getattr(index, "tok_kwargs", {}) or {}),
             "completed_groups": [],
             "lineage": [],
         }
@@ -491,12 +498,24 @@ def build_segments(
         string_cols=tuple(m.get("string_cols", [])),
         store_cols=tuple(m.get("store_cols", [])),
         store_schema=m.get("store_schema"),
+        tok_kwargs=m.get("tok_kwargs"),
     )
 
 
 # ---------------------------------------------------------------------------
 # query path: block-max pruned top-k over packed segments
 # ---------------------------------------------------------------------------
+
+
+def _as_gens(seg_index) -> list:
+    """Normalize a SegmentIndex-or-generation-list into the
+    [(gen_id, SegmentIndex)] shape every multi-generation surface
+    consumes — the ONE place the generation contract (list = streamed
+    deltas with disjoint doc sets; gen ids namespace seg ids by
+    gen_id*1e6) is encoded."""
+    if isinstance(seg_index, (list, tuple)):
+        return list(enumerate(seg_index))
+    return [(0, seg_index)]
 
 def _decode_doclens(dl_data: bytes) -> np.ndarray:
     vals, _ = varint_decode(np.frombuffer(dl_data, dtype=np.uint8))
@@ -700,6 +719,13 @@ def _sim_scores_np(sim, tf, dl, df, n, avgdl, payload=None):
     the flat path for every similarity variant."""
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
+    if getattr(sim, "lossy_norm", False) and sim.kind != "classic":
+        # same contract as Similarity.score_expr — the packed path
+        # must not silently drop the flag the flat path rejects
+        raise ValueError(
+            "lossy_norm mirrors DefaultSimilarity's byte315 norm "
+            "byte — classic kind only (BM25 keeps exact norms)"
+        )
     if sim.kind == "bm25":
         idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)) if sim.use_idf else 1.0
         if sim.use_tf:
@@ -1223,11 +1249,7 @@ def _prepare_boolean(
     from ..query.compiler import _leaf_terms
     from ..query.parser import parse_query
 
-    gens: list[tuple[int, SegmentIndex]] = (
-        list(enumerate(seg_index))
-        if isinstance(seg_index, (list, tuple))
-        else [(0, seg_index)]
-    )
+    gens: list[tuple[int, SegmentIndex]] = _as_gens(seg_index)
     seg_index = gens[0][1]
     field_segments = field_segments or {}
     if field_segments and len(gens) > 1:
@@ -1461,11 +1483,7 @@ def fetch_docs(
     segments actually hit (partition pruning) and the doc_id filter
     pushes into those files' row groups — a point-read pattern, never
     a corpus scan."""
-    gens = (
-        list(enumerate(seg_index))
-        if isinstance(seg_index, (list, tuple))
-        else [(0, seg_index)]
-    )
+    gens = _as_gens(seg_index)
     for _, si in gens:
         if not si.store_cols:
             raise ValueError(
@@ -1525,11 +1543,7 @@ def wand_facet_search(
     each generation has its OWN ordinal dictionary, so partials carry
     the generation id, join their generation's dictionary, and merge
     by VALUE — counts equal the compacted index's."""
-    gens = (
-        list(enumerate(seg_index))
-        if isinstance(seg_index, (list, tuple))
-        else [(0, seg_index)]
-    )
+    gens = _as_gens(seg_index)
     for _, si in gens:
         if facet_col not in si.string_cols:
             raise ValueError(
@@ -1766,6 +1780,12 @@ def compact_packed(
             "string_cols": sc_common,
             "store_cols": st_common,
             "store_schema": st_schema,
+            # carry the tokenizer contract (first input that recorded
+            # one; generations built from one corpus share it)
+            "tok_kwargs": next(
+                (s.tok_kwargs for s in seg_indexes if s.tok_kwargs is not None),
+                None,
+            ),
             "completed_groups": [],
             "lineage": [],
         }
@@ -1987,6 +2007,7 @@ def compact_packed(
         string_cols=tuple(sc_common),
         store_cols=tuple(st_common),
         store_schema=m.get("store_schema"),
+        tok_kwargs=m.get("tok_kwargs"),
     )
 
 

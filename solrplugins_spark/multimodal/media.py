@@ -160,6 +160,10 @@ def extract_features(media: DataFrame, decoder: str = "fake", dim: int = 32, n_f
     def pool(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(v) -> np.ndarray:
             x = np.asarray(v, dtype=np.float32)
+            if len(x) == 0:
+                # zero-frame WAV / zero-pixel PNM: zeros, not the
+                # silent all-NaN mean-of-empty would produce
+                return np.zeros(n_features, dtype=np.float32)
             pad = (-len(x)) % n_features  # real decodes are variable-length
             if pad:
                 x = np.pad(x, (0, pad), mode="edge")

@@ -113,6 +113,8 @@ def packed_select_handler(
     with_stored: bool = True,
     field_segments=None,
     field_sims=None,
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> dict[str, DataFrame]:
     """The full /select response served ENTIRELY from a packed index:
     top-k docs (boolean query, per-segment evaluation), stored fields
@@ -139,7 +141,7 @@ def packed_select_handler(
 
     first = seg_index[0] if isinstance(seg_index, (list, tuple)) else seg_index
     top = wand_boolean_search(
-        spark, seg_index, query, k=k,
+        spark, seg_index, query, k=k, k1=k1, b=b,
         field_segments=field_segments, field_sims=field_sims,
     )
     docs = top
@@ -158,7 +160,7 @@ def packed_select_handler(
     out: dict[str, DataFrame] = {"docs": docs}
     for field in facet_fields or []:
         out[f"facet_{field}"] = wand_facet_search(
-            spark, seg_index, query, field,
+            spark, seg_index, query, field, k1=k1, b=b,
             field_segments=field_segments, field_sims=field_sims,
         )
     return out
@@ -183,14 +185,15 @@ def _packed_interesting_terms(
     PQ built driver-side for the bounded seed list — identical queue
     to the flat path (shared mlt_queue). ``seg_index`` may be a list
     of generations: dfs sum across sidecars, n_docs aggregates, and
-    the docstore point read unions. Returns a pandas frame
+    the docstore point read unions. ``tok_kwargs=None`` re-analyzes
+    with the tokenizer settings RECORDED in the segment manifest at
+    build time — the seed text must tokenize exactly like the
+    postings or rankings silently diverge. Returns a pandas frame
     (term, tf, df, score, raw_weight), <= max_query_terms rows."""
-    from ..index.segments import _sidecar_dfs, fetch_docs
+    from ..index.segments import _as_gens, _sidecar_dfs, fetch_docs
     from .mlt import mlt_queue, seed_term_counts
 
-    sis = (
-        list(seg_index) if isinstance(seg_index, (list, tuple)) else [seg_index]
-    )
+    sis = [si for _, si in _as_gens(seg_index)]
     for si in sis:
         if text_col not in si.store_cols:
             raise ValueError(
@@ -203,6 +206,8 @@ def _packed_interesting_terms(
         .select(text_col)
         .collect()
     ]
+    if tok_kwargs is None:
+        tok_kwargs = sis[0].tok_kwargs or {}
     counts = seed_term_counts(texts, tok_kwargs)
     df_map: dict[str, int] = {}
     for si in sis:
@@ -278,10 +283,17 @@ def packed_mlt_handler(
                 f"packed /mlt facets need stored columns {missing} — "
                 "rebuild with build_segments(..., store_cols=[...])"
             )
+        # collect the k-row result page ONCE and rebuild it as a local
+        # frame (the packed_select_handler pattern): the facet section
+        # needs the result ids, and leaving out["docs"] lazy would
+        # re-execute the whole expansion search when the caller
+        # collects it
+        rows = docs.collect()
+        out["docs"] = spark.createDataFrame(rows, docs.schema)
+        ids = [int(r["doc_id"]) for r in rows]
         # facets count over the RESULT page (DiceMoreLikeThisHandler
         # .java:263-271): k rows — one docstore point read covers all
         # requested fields
-        ids = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
         page = fetch_docs(spark, seg_index, ids) if ids else None
         for field in facet_fields:
             if page is None:

@@ -24,24 +24,31 @@ def get_spark(
     to the core count — at cluster scale you'd size this to
     ~2-3x total executor cores and let AQE coalesce.
     """
+    explicit_cores = cores is not None
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
-    # under spark-submit (which exports $MASTER for python apps) or
-    # with $SPARK_GRAFT_MASTER set, the master comes from outside —
-    # local-cluster / standalone / YARN; otherwise default to
-    # local[cores], so the SAME get_spark entry points run unchanged
-    # on a real cluster. Detection is ENV-ONLY on purpose: probing
-    # SparkConf() in-process is unreliable — after a context stops,
-    # its spark.master lingers in the JVM-side defaults, and every
-    # later get_spark(cores=N) would silently reuse the OLD core count
-    # (measured: a "4-core" session running local[1]).
-    master = (
-        os.environ.get("SPARK_GRAFT_MASTER")
-        or os.environ.get("MASTER")
-        or f"local[{cores}]"
-    )
+    # Master precedence:
+    #   1. $SPARK_GRAFT_MASTER — explicit user override, beats all;
+    #   2. an EXPLICIT cores=N argument — the caller asked for exactly
+    #      local[N] (benchmarks measuring a core count must not be
+    #      silently retargeted by ambient env);
+    #   3. $MASTER — what spark-submit exports for python apps
+    #      (local-cluster / standalone / YARN), so no-cores entry
+    #      points (scripts/, scaling_cluster) run unchanged on a real
+    #      cluster;
+    #   4. local[cores] default.
+    # Detection is ENV-ONLY on purpose: probing SparkConf() in-process
+    # is unreliable — after a context stops, its spark.master lingers
+    # in the JVM-side defaults, and every later get_spark(cores=N)
+    # would silently reuse the OLD core count (measured: a "4-core"
+    # session running local[1]).
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and not explicit_cores:
+        master = os.environ.get("MASTER")
+    if master is None:
+        master = f"local[{cores}]"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

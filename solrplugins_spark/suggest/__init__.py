@@ -1,4 +1,5 @@
 from .spellcheck import (
+    SpellNgramIndex,
     build_spell_ngram_index,
     load_typos,
     spellcheck_collations,
@@ -13,6 +14,7 @@ from .suggester import (
 )
 
 __all__ = [
+    "SpellNgramIndex",
     "build_spell_ngram_index",
     "load_typos",
     "spellcheck_suggest",

@@ -49,9 +49,29 @@ def _grams_col(col: str, n: int):
     )
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SpellNgramIndex:
+    """A char-n-gram candidate index plus the parameters it was built
+    with — spellcheck_suggest validates them against its own
+    min_prefix/ngram_n, because a mismatch (e.g. a 2-char query prefix
+    joined against 1-char index prefixes) matches NO keys and would
+    silently return zero suggestions for every long token."""
+
+    frame: DataFrame
+    n: int
+    min_prefix: int
+
+    def persist(self) -> "SpellNgramIndex":
+        self.frame.persist()
+        return self
+
+
 def build_spell_ngram_index(
     index: InvertedIndex, n: int = 2, min_prefix: int = 1
-) -> DataFrame:
+) -> SpellNgramIndex:
     """Char-n-gram candidate index over the term dictionary — the
     Spark-native analogue of DirectSpellChecker's FST Levenshtein
     automaton (DiceDirectSolrSpellChecker.java:80-98 builds against
@@ -64,10 +84,11 @@ def build_spell_ngram_index(
     within max_edits shares >= max(len)-n+1-max_edits*n >= 1 n-gram
     (shorter tokens fall back to the prefix bucket). Persist the
     result next to the index and reuse it across queries."""
-    return index.terms.select(
+    frame = index.terms.select(
         "term", "df", F.substring("term", 1, min_prefix).alias("_pfx"),
         F.explode(_grams_col("term", n)).alias("_ng"),
     )
+    return SpellNgramIndex(frame=frame, n=n, min_prefix=min_prefix)
 
 
 def spellcheck_suggest(
@@ -79,7 +100,7 @@ def spellcheck_suggest(
     accuracy: float = 0.5,
     max_query_frequency: float = 0.01,
     count: int = 5,
-    ngram_index: DataFrame | None = None,
+    ngram_index: "SpellNgramIndex | DataFrame | None" = None,
     ngram_n: int = 2,
 ) -> DataFrame:
     """(token, suggestion, freq, distance) ranked per token.
@@ -128,6 +149,16 @@ def spellcheck_suggest(
         tok_keyed = tok_freq.withColumn(
             "_pfx", F.substring("token", 1, min_prefix)
         )
+        if isinstance(ngram_index, SpellNgramIndex):
+            if ngram_index.n != ngram_n or ngram_index.min_prefix != min_prefix:
+                raise ValueError(
+                    f"ngram_index built with (n={ngram_index.n}, "
+                    f"min_prefix={ngram_index.min_prefix}) but the query "
+                    f"uses (n={ngram_n}, min_prefix={min_prefix}) — a "
+                    "mismatched join key silently matches nothing; "
+                    "rebuild the index with matching parameters"
+                )
+            ngram_index = ngram_index.frame
         if ngram_index is not None:
             thr = ngram_n * (max_edits + 1)  # q-gram completeness bound
             long_toks = (

@@ -322,15 +322,19 @@ def test_parser_fixpoint_on_clean_parses(q):
     fixpoint: parse(evaluate(parse(q))) renders identically — the
     golden-test property generalized.
 
-    Excluded: empty-named fields (`:a`). Their render `:(a)` re-glues
-    the colon onto the preceding token under the reference's
-    field-colon preprocessing (Lexer.java forces `name :` variants
-    into one token) — a reference-grammar quirk we mirror
-    byte-for-byte, pinned by the golden tests instead."""
+    Excluded: empty-named fields (`:a`), and any render containing a
+    ` :` sequence (e.g. quoted content like `"a :"` from a
+    comma-mangled unbalanced quote). Both re-glue under the
+    reference's field-colon preprocessing (Lexer.java forces
+    `name :` variants into one token) on the SECOND parse — a
+    reference-grammar quirk we mirror byte-for-byte, pinned by the
+    golden tests instead."""
     tree, errors = parse_query(q)
     if errors or _has_empty_field(tree):
         return
     rendered = tree.evaluate()
+    if " :" in rendered:
+        return
     tree2, errors2 = parse_query(rendered)
     assert not errors2, (q, rendered, errors2)
     assert tree2.evaluate() == rendered, (q, rendered, tree2.evaluate())

@@ -47,3 +47,27 @@ def test_get_spark_honors_external_master_env():
     )
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("M ")]
     assert lines == ["M local[2]"], (lines, out.stderr[-500:])
+
+
+def test_explicit_cores_beat_ambient_master_env():
+    """An explicit cores=N request must not be silently retargeted by
+    an ambient $MASTER (set by spark-submit): benchmarks measuring a
+    core count depend on getting exactly local[N]; no-cores callers
+    still follow $MASTER."""
+    code = (
+        "from solrplugins_spark.session import get_spark\n"
+        "s = get_spark('t', cores=4)\n"
+        "print('M', s.sparkContext.master)\n"
+        "s.stop()\n"
+    )
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    env["MASTER"] = "local[2]"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("M ")]
+    assert lines == ["M local[4]"], (lines, out.stderr[-500:])
