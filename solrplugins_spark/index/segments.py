@@ -2344,3 +2344,50 @@ def _wand_search_frames(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def describe_index(path: str) -> dict:
+    """Driver-side index introspection (the SegmentInfos / Luke-style
+    ops view): manifest stats, per-group build lineage, stream
+    presence, and on-disk bytes per stream directory — pure filesystem
+    reads, no Spark job. The dict is JSON-serializable for ops
+    tooling and the query CLI."""
+    m = _read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no packed index manifest under {path!r}")
+
+    def _du(sub: str) -> int:
+        total = 0
+        root = os.path.join(path, sub)
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    streams = {
+        name: _du(name)
+        for name in (
+            "postings", "doclens", "docstore", "docvalues",
+            "docvalues_str", "termstats",
+        )
+        if os.path.isdir(os.path.join(path, name))
+    }
+    return {
+        "path": path,
+        "codec_version": m.get("codec_version"),
+        "n_docs": m.get("n_docs"),
+        "avgdl": m.get("avgdl"),
+        "n_segments": m.get("n_segments"),
+        "seg_size": m.get("seg_size"),
+        "complete": set(m.get("completed_groups", []))
+        == set(range(m.get("n_groups", 0))),
+        "has_positions": m.get("has_positions"),
+        "has_payloads": m.get("has_payloads"),
+        "value_cols": m.get("value_cols", []),
+        "string_cols": m.get("string_cols", []),
+        "store_cols": m.get("store_cols", []),
+        "tok_kwargs": m.get("tok_kwargs"),
+        "lineage": m.get("lineage", []),
+        "stream_bytes": streams,
+        "total_bytes": sum(streams.values()),
+    }

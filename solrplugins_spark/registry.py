@@ -321,6 +321,10 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # sessionize, context_window, sample, sample_stratified (3x driver
 # green r01-r03, all simple window/hash-predicate shapes; still
 # oracle-paired + pytest-parity-checked every round).
+#
+# r05 rotation candidates (registered past the window in r04, all
+# oracle-paired + sf0.01 pytest-parity green, never driver-checked):
+# chunk_docs, epoch_shard, ann_ivf, classic_lossy_norm.
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",

@@ -726,3 +726,25 @@ def test_docstore_schema_recorded_and_point_read_is_one_job(
 
     compacted = compact_packed(spark, [seg], str(tmp_path / "ss_c"))
     assert compacted.store_schema == seg.store_schema
+
+
+def test_describe_index(spark, tiny_corpus, tmp_path):
+    """Ops introspection: manifest stats + lineage + per-stream bytes,
+    driver-side only."""
+    from solrplugins_spark.index.segments import build_segments, describe_index
+
+    seg = build_segments(
+        build_index(tiny_corpus), str(tmp_path / "desc"), seg_size=64,
+        groups=2, store_cols=["text"],
+    )
+    d = describe_index(str(tmp_path / "desc"))
+    assert d["complete"] and d["n_docs"] == seg.n_docs
+    assert d["store_cols"] == ["text"]
+    assert d["stream_bytes"]["postings"] > 0 and d["stream_bytes"]["docstore"] > 0
+    assert d["total_bytes"] == sum(d["stream_bytes"].values())
+    assert len(d["lineage"]) == 2 and all("segments" in e for e in d["lineage"])
+    import json as _json
+
+    _json.dumps(d)  # JSON-serializable for ops tooling
+    with pytest.raises(FileNotFoundError):
+        describe_index(str(tmp_path / "nope"))
