@@ -127,7 +127,7 @@ def contract_job_secs(cores: int, trials: int = 2) -> list[float]:
     return times
 
 
-def contract_scaling(n_cores: int = 1, rounds: int = 3) -> dict:
+def contract_scaling(n_cores: int = 1, rounds: int = 5) -> dict:
     """Interleaved N / 4N contract-job runs -> scaling efficiency.
 
     Headline pair N=1 -> 4N=4 cores (both far below this host's
@@ -140,25 +140,39 @@ def contract_scaling(n_cores: int = 1, rounds: int = 3) -> dict:
     supplementary evidence, as are the 8->32 full-build numbers
     (degraded by the quantified host pathologies).
 
-    Estimator (r03, documented in BENCH/BASELINE.md): each round runs
-    N then 4N back-to-back; the per-round ratio
-    median(t_N)/(4*median(t_4N)) pairs samples adjacent in time, so
-    slow host drift (steal level changing over minutes — observed
-    25%+ swings between rounds) cancels instead of biasing one level.
-    Headline = median of the round ratios. The pooled-median and
-    min-based ratios are reported alongside for comparability with
-    r01/r02."""
+    Estimator (r05, per VERDICT r04 demand — documented BEFORE the
+    run, not adjudicated after):
+      * per-round ratio = min(t_N) / (4 * min(t_4N)). Host steal is
+        strictly additive noise (it can only slow a run, never speed
+        one up), so the per-level min within a round is the honest
+        capacity sample; r04's miss came from one steal burst landing
+        on a single 4-core trial and dragging that round's
+        median-of-2 (= mean-of-2) ratio to 0.692.
+      * headline = MEDIAN over ``rounds`` (default 5, up from r04's
+        3) per-round ratios. Outlier rule: the median itself — with 5
+        rounds, up to 2 pathological rounds (steal bursts on either
+        level) are discarded with no tuning knobs and no post-hoc
+        judgement; every round ratio is reported raw alongside.
+      * rounds interleave N then 4N back-to-back so slow host drift
+        (steal level changing over minutes — observed 25%+ swings)
+        cancels instead of biasing one level.
+    The r03/r04 median-paired, pooled-median and min-based estimators
+    are reported alongside for cross-round comparability."""
     import statistics
 
     n4 = n_cores * 4
     samples: dict[int, list[float]] = {n_cores: [], n4: []}
     round_ratios: list[float] = []
+    round_ratios_median_paired: list[float] = []
     for _ in range(rounds):
         visit: dict[int, list[float]] = {}
         for c in (n_cores, n4):
             visit[c] = contract_job_secs(c)
             samples[c].extend(visit[c])
         round_ratios.append(
+            min(visit[n_cores]) / (4.0 * min(visit[n4]))
+        )
+        round_ratios_median_paired.append(
             statistics.median(visit[n_cores])
             / (4.0 * statistics.median(visit[n4]))
         )
@@ -177,10 +191,21 @@ def contract_scaling(n_cores: int = 1, rounds: int = 3) -> dict:
         "contract_tput_n": round(CONTRACT_TURNS / med_n, 1),
         "contract_tput_4n": round(CONTRACT_TURNS / med_4n, 1),
         "n_cores": n_cores,
+        "scaling_rounds": rounds,
         "scaling_round_ratios": [round(r, 3) for r in round_ratios],
-        "scaling_estimator": "median of per-round paired ratios (r03; r02 used pooled medians)",
+        "scaling_round_ratios_median_paired": [
+            round(r, 3) for r in round_ratios_median_paired
+        ],
+        "scaling_estimator": (
+            "median over rounds of per-round min-paired ratios "
+            "(r05; outlier rule = the median itself, see docstring; "
+            "r03/r04 used median-paired, r02 pooled medians)"
+        ),
         "scaling_efficiency_n_to_4n": round(eff, 3),
         f"contract_scaling_efficiency_{n_cores}_to_{n4}": round(eff, 3),
+        "scaling_efficiency_median_paired": round(
+            statistics.median(round_ratios_median_paired), 3
+        ),
         "scaling_efficiency_pooled_median": round(med_n / (4.0 * med_4n), 3),
         "scaling_efficiency_min_based": round(min_n / (4.0 * min_4n), 3),
     }
@@ -448,7 +473,31 @@ def main() -> None:
         "segment_build_secs": round(seg_build_secs, 2),
         "total_bench_secs": round(time.time() - t_start, 1),
     }
-    print(json.dumps(out))
+    # Evidence-capture contract (VERDICT r04 item #2): the driver
+    # records only a ~2-4 KB tail of stdout and parses the last JSON
+    # line in it. r04's single verbose line outgrew the tail and the
+    # per-query dict was lost. So: (a) the FULL record is written to
+    # BENCH_full_local.json in the repo for humans/audit, and (b) the
+    # very last stdout line is a COMPACT subset — headline + per-query
+    # + every scaling/efficiency/serving scalar, NO sample arrays —
+    # kept well under the tail window.
+    with open(os.path.join(REPO, "BENCH_full_local.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    drop = {
+        "contract_samples_n", "contract_samples_4n",
+        "supplementary_2_to_8", "cluster_samples_1exec",
+        "cluster_samples_4exec", "cluster_executor_pids_distinct",
+        "cluster_levels", "cluster_round_ratios", "contract_job",
+        "scaling_estimator", "cluster_mode",
+        "scaling_round_ratios_median_paired",
+    }
+    compact = {k: v for k, v in out.items() if k not in drop}
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(json.dumps(out))  # full record first (humans reading stdout)
+    sys.stdout.flush()
+    print(line)  # LAST line: compact, driver-tail-safe
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -322,9 +322,12 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # green r01-r03, all simple window/hash-predicate shapes; still
 # oracle-paired + pytest-parity-checked every round).
 #
-# r05 rotation candidates (registered past the window in r04, all
-# oracle-paired + sf0.01 pytest-parity green, never driver-checked):
-# chunk_docs, epoch_shard, ann_ivf, classic_lossy_norm.
+# r05 rotation (VERDICT r04 item #2): IN — chunk_docs, epoch_shard,
+# ann_ivf, classic_lossy_norm (registered past the window in r04, all
+# oracle-paired + sf0.01 pytest-parity green, never driver-checked).
+# OUT — pii_redact, pack_sequences, repetition, contamination (3x
+# driver green r02-r04, all pure column-expression / n-gram-semi-join
+# shapes; still oracle-paired + pytest-parity-checked every round).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",
@@ -376,13 +379,17 @@ _WINDOW_ORDER = [
     "emb_near_dup",
     "knn_join",
     "ann_lsh",
+    "quality_gate",
+    "chunk_docs",
+    "epoch_shard",
+    "ann_ivf",
+    "classic_lossy_norm",
+    # --- driver window boundary (position 50) ---
+    # rotated out (>=2x driver-green; still oracle+pytest covered)
     "pii_redact",
     "pack_sequences",
     "repetition",
     "contamination",
-    "quality_gate",
-    # --- driver window boundary (position 50) ---
-    # rotated out (>=2x driver-green; still oracle+pytest covered)
     "sessionize",
     "context_window",
     "sample",
