@@ -781,12 +781,20 @@ def _segment_topk_sim(
     sim,
     n: int,
     avgdl: float,
+    min_should_match: int = 1,
 ) -> pd.DataFrame:
     """Exact per-segment top-k for an arbitrary Similarity (payload /
     classic / toggle variants) — decodes the full posting (+ payload
     sub-stream when the similarity uses it) per query term. The
     block-max pruned path stays specialized to BM25; these variants
-    are exact by construction."""
+    are exact by construction.
+
+    ``min_should_match``: docs matching fewer than mm DISTINCT query
+    terms are dropped BEFORE top-k (BooleanQuery.setMinimumNumber
+    ShouldMatch; MoreLikeThis.java:147's configurable mm). Match
+    counts are segment-local facts (a doc's postings for every term
+    live in its doc-range segment), so the per-segment filter + global
+    k-row merge stays exact — the same argument as scoring."""
     dl_row = pdf[pdf["_kind"] == "dl"]
     posts = pdf[pdf["_kind"] == "post"]
     if len(dl_row) == 0 or len(posts) == 0:
@@ -796,6 +804,7 @@ def _segment_topk_sim(
 
     acc_docs = np.array([], dtype=np.int64)
     acc_scores = np.array([], dtype=np.float64)
+    acc_counts = np.array([], dtype=np.int64)
     for _, row in posts.iterrows():
         t = row["term"]
         docs, tfs = decode_postings(row["data"])
@@ -817,10 +826,20 @@ def _segment_topk_sim(
         )
         all_docs = np.concatenate([acc_docs, docs])
         all_scores = np.concatenate([acc_scores, scores])
+        # one posting row per distinct term, so each occurrence adds
+        # exactly 1 to the doc's matched-clause count
+        all_counts = np.concatenate(
+            [acc_counts, np.ones(len(docs), dtype=np.int64)]
+        )
         uniq, inv = np.unique(all_docs, return_inverse=True)
         summed = np.zeros(len(uniq), np.float64)
         np.add.at(summed, inv, all_scores)
-        acc_docs, acc_scores = uniq, summed
+        counted = np.zeros(len(uniq), np.int64)
+        np.add.at(counted, inv, all_counts)
+        acc_docs, acc_scores, acc_counts = uniq, summed, counted
+    if min_should_match > 1:
+        keep = acc_counts >= min_should_match
+        acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
     return _topk_frame(acc_docs, acc_scores, k)
 
 
@@ -2067,6 +2086,8 @@ def wand_search_multi(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 5,
+    sim=None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Top-k across MULTIPLE packed indexes (e.g. streamed generations
     before compaction) with GLOBAL statistics.
@@ -2091,7 +2112,8 @@ def wand_search_multi(
         [(i, s) for i, s in enumerate(seg_indexes)],
         merged,
         terms_boosts,
-        k=k, k1=k1, b=b, round_to=round_to,
+        k=k, k1=k1, b=b, round_to=round_to, sim=sim,
+        min_should_match=min_should_match,
     )
 
 
@@ -2104,6 +2126,7 @@ def wand_search(
     b: float = 0.75,
     round_to: int = 5,
     sim=None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Distributed top-k over packed segments.
 
@@ -2119,10 +2142,18 @@ def wand_search(
     block-max pruned path; payload/classic/toggle variants run the
     exact per-segment scorer over the codec-v3 sub-streams,
     rank-identical to the flat path.
+
+    ``min_should_match``: drop docs matching fewer than mm distinct
+    query terms (BooleanQuery minShouldMatch; the reference's
+    configurable mm, MoreLikeThis.java:147). mm>1 runs the exact
+    per-segment scorer (counting clause matches requires every query
+    term's postings regardless), rank-identical to the flat
+    search_terms(min_should_match=mm).
     """
     return _wand_search_frames(
         spark, [(0, seg_index)], seg_index, terms_boosts,
         k=k, k1=k1, b=b, round_to=round_to, sim=sim,
+        min_should_match=min_should_match,
     )
 
 
@@ -2295,20 +2326,33 @@ def _wand_search_frames(
     b: float,
     round_to: int,
     sim=None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     term_list = sorted({t for t, _ in terms_boosts})
     boosts: dict[str, float] = {}
     for t, w in terms_boosts:
         boosts[t] = boosts.get(t, 0.0) + float(w)
 
-    # the pruned block-max path is specialized to plain BM25; other
-    # similarity variants (payload/classic/toggles) run the exact
-    # per-segment scorer over the v3 sub-streams
-    plain_bm25 = sim is None or (
-        sim.kind == "bm25"
-        and sim.use_tf and sim.use_idf and sim.use_norm and not sim.use_payload
+    # the pruned block-max path is specialized to plain BM25 at mm=1;
+    # other similarity variants (payload/classic/toggles) and mm>1
+    # (needs per-doc matched-clause counts, so every query term's
+    # postings decode anyway) run the exact per-segment scorer over
+    # the v3 sub-streams
+    plain_bm25 = min_should_match <= 1 and (
+        sim is None
+        or (
+            sim.kind == "bm25"
+            and sim.use_tf and sim.use_idf and sim.use_norm
+            and not sim.use_payload
+        )
     )
-    unified = _unified_frame(spark, gens, term_list, with_subs=not plain_bm25)
+    # sub-stream columns only when the scorer will read them (payload
+    # similarity) — parquet column pruning skips pos/pay bytes for
+    # classic/toggle sims and the mm>1 BM25 path
+    unified = _unified_frame(
+        spark, gens, term_list,
+        with_subs=sim is not None and sim.use_payload,
+    )
 
     dfs = _gen_dfs(
         gens, term_list,
@@ -2332,9 +2376,17 @@ def _wand_search_frames(
             return _segment_topk(pdf, boosts, idfs, k, k1, b, avgdl)
 
     else:
+        if sim is None:
+            # mm>1 over plain BM25: the exact scorer needs a Similarity
+            from ..query.scorer import Similarity
+
+            sim = Similarity(kind="bm25", k1=k1, b=b)
 
         def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _segment_topk_sim(pdf, boosts, dfs, k, sim, n, avgdl)
+            return _segment_topk_sim(
+                pdf, boosts, dfs, k, sim, n, avgdl,
+                min_should_match=min_should_match,
+            )
 
     seg_tops = unified.groupBy("seg").applyInPandas(
         per_segment, schema="doc_id long, score double"

@@ -244,14 +244,11 @@ def packed_mlt_handler(
     (MoreLikeThisHelper.java:152-160) by over-fetching k+|seeds| then
     anti-filtering — exact, since seeds can displace at most |seeds|
     rows of the true top-k. ``seg_index`` may be a list of generations
-    (wand_search_multi global statistics)."""
+    (wand_search_multi global statistics). ``params.min_should_match``
+    threads through to the packed scorer (mm>1 takes the exact
+    per-segment path — MoreLikeThis.java:147's mm is configurable)."""
     from ..index.segments import fetch_docs, wand_search, wand_search_multi
 
-    if params.min_should_match > 1:
-        raise ValueError(
-            "packed MLT serves mm=1 (the reference default, "
-            "MoreLikeThis.java:147); use the flat path for mm>1"
-        )
     is_multi = isinstance(seg_index, (list, tuple))
     first = seg_index[0] if is_multi else seg_index
     seed_ids = [int(d) for d in seed_doc_ids]
@@ -265,10 +262,17 @@ def packed_mlt_handler(
     if not boosts:
         docs = spark.createDataFrame([], "doc_id long, score double")
     else:
+        mm = params.min_should_match
         docs = (
-            wand_search_multi(spark, list(seg_index), boosts, k=k + len(seed_ids))
+            wand_search_multi(
+                spark, list(seg_index), boosts, k=k + len(seed_ids),
+                min_should_match=mm,
+            )
             if is_multi
-            else wand_search(spark, seg_index, boosts, k=k + len(seed_ids))
+            else wand_search(
+                spark, seg_index, boosts, k=k + len(seed_ids),
+                min_should_match=mm,
+            )
         )
         docs = (
             docs.filter(~F.col("doc_id").isin(seed_ids))

@@ -47,6 +47,39 @@ def test_wand_k_larger_than_matches(spark, tiny_index, seg_index):
     pd.testing.assert_frame_equal(got, want)
 
 
+@pytest.mark.parametrize("mm", [2, 3])
+def test_wand_min_should_match_rank_identical_to_flat(
+    spark, tiny_index, seg_index, mm
+):
+    """mm>1 on the packed path (VERDICT r04 item #5): the exact
+    per-segment scorer counts matched clauses and filters before
+    top-k, rank-identical to flat search_terms(min_should_match=mm)
+    — the SQL_BM25_MM oracle shape (HAVING count(*) >= mm)."""
+    terms = [("w0000", 2.0), ("w0005", 1.0), ("zephyrblade", 4.0)]
+    got = wand_search(spark, seg_index, terms, k=10, min_should_match=mm).toPandas()
+    want = search_terms(tiny_index, terms, k=10, min_should_match=mm).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    # the mm filter must actually bite: mm=1 returns strictly more docs
+    loose = wand_search(spark, seg_index, terms, k=1000).toPandas()
+    assert len(loose) > len(got)
+
+
+def test_packed_mlt_min_should_match(spark, tiny_corpus_pd, tiny_index, tmp_path):
+    """packed /mlt with mm=2 (previously raised): equal to the flat
+    mlt path under the same params."""
+    from solrplugins_spark.query.handlers import packed_mlt_handler
+    from solrplugins_spark.query.mlt import MLTParams, more_like_this
+
+    out = str(tmp_path / "mlt_mm")
+    seg = build_segments(
+        tiny_index, out, seg_size=64, groups=2, store_cols=["text"]
+    )
+    params = MLTParams(min_doc_freq=2, max_query_terms=20, min_should_match=2)
+    got = packed_mlt_handler(spark, seg, [7], params, k=10)["docs"].toPandas()
+    want = more_like_this(tiny_index, [7], params, k=10).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+
+
 def _dir_hash(path: str) -> dict[str, str]:
     out = {}
     for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
