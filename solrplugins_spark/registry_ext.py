@@ -6,6 +6,8 @@ oracle) over the driver tables. See registry.py for the rules
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from .index.builder import forward_index
@@ -1924,19 +1926,27 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF (inverted-file) approximate top-k: nearest-centroid cell
-    assignment + nprobe cell probing + exact candidate rank — the
-    coarse-quantizer ANN shape (vs ann_lsh's hash buckets). Fully
-    oracle-checked: the gate uses the DATA-INDEPENDENT deterministic
-    codebook (splitmix64, seed=11), so the oracle SQL embeds the
-    centroids as literals and recomputes assignment, probe set, and
-    candidate cosines (the trained spherical-k-means codebook is
-    pytest-covered: test_pipeline_ops)."""
-    from .similarity import cosine_topk_ivf
+    """IVF (inverted-file) approximate top-k via the MATERIALIZED
+    serving path (VERDICT r04 item #3): the corpus is assigned once
+    and written partitionBy(bucket) (write_ivf_index — the inverted
+    file), then the query probes nprobe cells through a PARTITION
+    filter, so the scan reads only those cell directories instead of
+    re-assigning the whole corpus (plan/files-read asserted in
+    tests/test_pipeline_ops). Fully oracle-checked: the gate uses the
+    DATA-INDEPENDENT deterministic codebook (splitmix64, seed=11), so
+    the oracle SQL embeds the centroids as literals and recomputes
+    assignment, probe set, and candidate cosines (the trained
+    spherical-k-means codebook is pytest-covered:
+    test_pipeline_ops)."""
+    import tempfile
+
+    from .similarity import cosine_topk_ivf_served, write_ivf_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
-    return cosine_topk_ivf(emb, q, k=10, n_centroids=8, nprobe=3)
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_gate_"), "ivf")
+    write_ivf_index(emb, path, n_centroids=8, dim=len(q))
+    return cosine_topk_ivf_served(spark, path, q, k=10, nprobe=3)
 
 
 def _sql_ann_ivf(dim: int = 64, n_centroids: int = 8, nprobe: int = 3) -> str:

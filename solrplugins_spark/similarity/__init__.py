@@ -1,8 +1,10 @@
 from .ann import (
     cosine_topk_ivf,
+    cosine_topk_ivf_served,
     ivf_assign,
     ivf_centroids_random,
     train_ivf_centroids,
+    write_ivf_index,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     knn_join,
@@ -11,9 +13,11 @@ from .ann import (
 
 __all__ = [
     "cosine_topk_ivf",
+    "cosine_topk_ivf_served",
     "ivf_assign",
     "ivf_centroids_random",
     "train_ivf_centroids",
+    "write_ivf_index",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "knn_join",

@@ -661,3 +661,58 @@ def test_ivf_trained_centroids_and_recall(emb):
     assert set(probed["id"]) <= set(
         cosine_topk_bruteforce(emb, q, k=emb.count()).toPandas()["id"]
     )
+
+
+def test_ivf_materialized_serving_prunes_partitions(spark, emb, tmp_path):
+    """The IVF inverted-file contract (VERDICT r04 item #3): serving
+    from a write_ivf_index table reads ONLY the nprobe bucket
+    directories — partition-pruned probes, never a corpus re-assign.
+    Results are identical to the inline path on the same codebook."""
+    import numpy as np
+
+    from solrplugins_spark.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_served,
+        write_ivf_index,
+    )
+    from solrplugins_spark.similarity.ann import _ivf_probes
+
+    path = str(tmp_path / "ivf")
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    cents = write_ivf_index(emb, path, n_centroids=8, dim=len(q))
+
+    served = cosine_topk_ivf_served(spark, path, q, k=10, nprobe=3)
+    inline = cosine_topk_ivf(emb, q, k=10, centroids=cents, nprobe=3).toPandas()
+    got = served.toPandas()
+    assert list(got["id"]) == list(inline["id"])
+    assert np.allclose(got["cosine"], inline["cosine"])
+
+    # files-read assert: the probe filter must prune at the partition
+    # level — the EXECUTED scan's numPartitions metric counts the
+    # bucket=... directories actually read; it must equal nprobe while
+    # the on-disk inverted file holds strictly more cells
+    probes = _ivf_probes(cents, q, 3)
+    assert len(probes) == 3
+    plan = served._jdf.queryExecution().executedPlan()
+
+    def _walk(node, out):
+        out.append(node)
+        for i in range(node.children().length()):
+            _walk(node.children().apply(i), out)
+
+    nodes = []
+    _walk(plan, nodes)
+    scan_metrics = {}
+    for n in nodes:
+        if "Scan" in n.nodeName():
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                scan_metrics[kv._1()] = kv._2().value()
+    assert scan_metrics.get("numPartitions") == 3, scan_metrics
+    all_buckets = {
+        d for d in __import__("os").listdir(path) if d.startswith("bucket=")
+    }
+    assert len(all_buckets) > 3, "fixture must populate more cells than nprobe"
+    # plan-level: the partition filter shows up in the scan node
+    assert "PartitionFilters" in plan.toString() and "bucket" in plan.toString()
