@@ -522,6 +522,187 @@ def _decode_doclens(dl_data: bytes) -> np.ndarray:
     return vals.astype(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# deletions: per-segment tombstone streams (the Lucene liveDocs analogue)
+# ---------------------------------------------------------------------------
+
+# Sentinel written into dense streams (doclens / docvalues / ordinals)
+# by compact_packed for slots whose doc was tombstoned: the compacted
+# index carries no tombstone stream, so match-all / range / facet
+# paths need a way to tell "deleted slot" from a real value. 2^48-1 is
+# reserved — doc lengths and docvalues never legitimately reach it
+# (documented contract; build_segments packs token counts and
+# non-negative ints far below 2^48).
+TOMBSTONE = np.int64((1 << 48) - 1)
+
+
+def _encode_tombstones(ids: np.ndarray, doc_lo: int) -> bytes:
+    """Sorted absolute doc ids -> delta varint stream (same codec as
+    doclens; first value relative to doc_lo)."""
+    rel = np.sort(np.unique(ids.astype(np.int64))) - doc_lo
+    deltas = np.empty(len(rel), np.uint64)
+    if len(rel):
+        deltas[0] = np.uint64(rel[0])
+        deltas[1:] = np.diff(rel).astype(np.uint64)
+    return varint_encode(deltas).tobytes()
+
+
+def _decode_tombstones(data: bytes, doc_lo: int) -> np.ndarray:
+    """Delta varint stream -> sorted absolute doc ids."""
+    vals, _ = varint_decode(np.frombuffer(data, dtype=np.uint8))
+    if len(vals) == 0:
+        return np.array([], np.int64)
+    return doc_lo + np.cumsum(vals.astype(np.int64))
+
+
+def _deletes_dir(path: str) -> str:
+    return os.path.join(path, "deletes")
+
+
+def _load_tombstones(path: str) -> dict[int, np.ndarray]:
+    """seg -> sorted unique absolute deleted doc ids, read driver-side
+    with pyarrow (no Spark job — tombstone streams are delete-by-id
+    scale, the same bounded-driver-read contract as the termstats
+    sidecar)."""
+    d = _deletes_dir(path)
+    if not os.path.isdir(d):
+        return {}
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(d, format="parquet").to_table(
+        columns=["seg", "doc_lo", "dl_data"]
+    )
+    out: dict[int, list] = {}
+    for seg, lo, blob in zip(
+        tbl["seg"].to_pylist(), tbl["doc_lo"].to_pylist(), tbl["dl_data"].to_pylist()
+    ):
+        out.setdefault(int(seg), []).append(
+            _decode_tombstones(bytes(blob), int(lo))
+        )
+    return {
+        s: np.unique(np.concatenate(parts)) for s, parts in out.items()
+    }
+
+
+def delete_docs(path: str, doc_ids) -> dict:
+    """Tombstone a bounded set of doc ids on a packed index — the
+    delete-by-id the reference assumes beneath every handler (Solr's
+    deleteById over Lucene liveDocs). Appends one sorted varint-delta
+    tombstone stream per touched segment under deletes/ (append-only:
+    repeated deletes union at read time); every packed query surface
+    strips tombstoned docs at postings-decode time, and
+    ``compact_packed`` physically drops them and clears the stream.
+
+    Lucene stats semantics until compaction: n_docs, avgdl and df keep
+    counting tombstoned docs (IndexReader.docFreq ignores liveDocs),
+    so surviving docs' scores are unchanged — results equal the
+    undeleted index's results with tombstoned ids removed.
+
+    Driver-side pyarrow write + manifest append; no Spark job. Returns
+    {"n_requested", "n_new", "tombstone_gen"}.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = _read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no packed index manifest under {path!r}")
+    seg_size = int(m["seg_size"])
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) == 0:
+        return {"n_requested": 0, "n_new": 0, "tombstone_gen": m.get("tombstone_gen", 0)}
+    if ids.min() < 0:
+        raise ValueError(f"delete_docs: negative doc id ({ids.min()})")
+    # no upper-bound check: a streamed generation's doc ids are an
+    # OFFSET range (its n_docs is a count, not a bound), and a
+    # tombstone for an id this generation doesn't hold strips nothing
+    # at decode time — a harmless no-op, same as Lucene's
+    # deleteDocuments(Term) matching nothing in a segment
+    existing = _load_tombstones(path)
+    gen = int(m.get("tombstone_gen", 0)) + 1
+    segs, los, ns, blobs = [], [], [], []
+    n_new = 0
+    for seg in np.unique(ids // seg_size):
+        seg = int(seg)
+        doc_lo = seg * seg_size
+        seg_ids = ids[(ids // seg_size) == seg]
+        fresh = seg_ids[~np.isin(seg_ids, existing.get(seg, np.array([], np.int64)))]
+        if len(fresh) == 0:
+            continue
+        n_new += len(fresh)
+        segs.append(seg)
+        los.append(doc_lo)
+        ns.append(len(fresh))
+        blobs.append(_encode_tombstones(fresh, doc_lo))
+    if n_new:
+        os.makedirs(_deletes_dir(path), exist_ok=True)
+        tbl = pa.table(
+            {
+                "seg": pa.array(segs, pa.int32()),
+                "doc_lo": pa.array(los, pa.int64()),
+                "n": pa.array(ns, pa.int32()),
+                "dl_data": pa.array(blobs, pa.binary()),
+            }
+        )
+        pq.write_table(
+            tbl, os.path.join(_deletes_dir(path), f"del-{gen:05d}.parquet")
+        )
+        m["tombstone_gen"] = gen
+        m["has_deletes"] = True
+        m.setdefault("lineage", []).append(
+            {"op": "delete", "tombstone_gen": gen, "n_ids": int(n_new)}
+        )
+        _write_manifest(path, m)
+    return {"n_requested": int(len(ids)), "n_new": int(n_new), "tombstone_gen": gen}
+
+
+def live_docs(path: str) -> dict:
+    """Deletion introspection: total/live/deleted doc counts and the
+    per-segment tombstone tally — driver-side, no Spark job."""
+    m = _read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no packed index manifest under {path!r}")
+    tombs = _load_tombstones(path)
+    n_del = sum(len(v) for v in tombs.values())
+    return {
+        "n_docs": int(m["n_docs"]),
+        "n_deleted": int(n_del),
+        "n_live": int(m["n_docs"]) - int(n_del),
+        "per_segment": {int(s): int(len(v)) for s, v in sorted(tombs.items())},
+    }
+
+
+def _deleted_from_pdf(pdf: pd.DataFrame) -> np.ndarray:
+    """Union of this segment's tombstone rows (_kind='del') — sorted
+    absolute doc ids; empty when the index has no deletions. Per-field
+    frames may stack duplicate del rows; np.unique dedups."""
+    if "_kind" not in pdf.columns:
+        return np.array([], np.int64)
+    rows = pdf[pdf["_kind"] == "del"]
+    if len(rows) == 0:
+        return np.array([], np.int64)
+    parts = [
+        _decode_tombstones(r["data"], int(r["doc_lo"]))
+        for _, r in rows.iterrows()
+    ]
+    return np.unique(np.concatenate(parts))
+
+
+def _strip_deleted(
+    docs: np.ndarray, deleted: np.ndarray, *aligned: np.ndarray
+):
+    """Drop tombstoned ids from a sorted-unique doc array plus any
+    per-doc aligned arrays. The liveDocs check applied at decode time:
+    removing docs only removes score mass, so block-max upper bounds
+    stay valid and WAND pruning stays exact."""
+    if deleted.size == 0 or docs.size == 0:
+        return (docs, *aligned) if aligned else docs
+    keep = ~np.isin(docs, deleted, assume_unique=True)
+    if aligned:
+        return (docs[keep], *(a[keep] for a in aligned))
+    return docs[keep]
+
+
 def _segment_topk_core(
     term_rows: list[dict],
     dls: np.ndarray,
@@ -533,6 +714,7 @@ def _segment_topk_core(
     b: float,
     avgdl: float,
     chunk: int = 4,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Exact top-k for one segment: impact-ordered block-max scoring.
 
@@ -563,7 +745,8 @@ def _segment_topk_core(
     """
     import heapq
 
-    nonzero = dls[dls > 0]
+    # TOMBSTONE slots (compacted-away deletions) are not real lengths
+    nonzero = dls[(dls > 0) & (dls != TOMBSTONE)]
     dl_min = float(nonzero.min()) if len(nonzero) else 1.0
     norm_min = k1 * (1.0 - b + b * dl_min / avgdl)
 
@@ -612,9 +795,16 @@ def _segment_topk_core(
     def decode_marked(ti: dict, block_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         ti["decoded"][block_ids] = True
         stats["blocks_decoded"] += len(block_ids)
-        return decode_blocks(
+        docs, tfs = decode_blocks(
             ti["data"], np.sort(block_ids), ti["bo"], ti["bl"], ti["df"]
         )
+        if deleted is not None and deleted.size:
+            # the liveDocs check at postings-decode time: tombstoned
+            # docs never enter the accumulator, so theta reflects live
+            # docs only; block upper bounds remain valid (dropping docs
+            # only removes score mass) and pruning stays exact
+            docs, tfs = _strip_deleted(docs, deleted, tfs)
+        return docs, tfs
 
     # ---- phase 1: impact-ordered chunks until theta beats remaining
     heap = [(-ti["ub"][ti["order"][0]], i) for i, ti in enumerate(terms)]
@@ -708,7 +898,8 @@ def _segment_topk(
         for _, r in posts.iterrows()
     ]
     acc_docs, acc_scores, _ = _segment_topk_core(
-        term_rows, dls, doc_lo, boosts, idfs, k, k1, b, avgdl
+        term_rows, dls, doc_lo, boosts, idfs, k, k1, b, avgdl,
+        deleted=_deleted_from_pdf(pdf),
     )
     return _topk_frame(acc_docs, acc_scores, k)
 
@@ -801,6 +992,7 @@ def _segment_topk_sim(
         return _topk_frame(np.array([], np.int64), np.array([], np.float64), k)
     doc_lo = int(dl_row["doc_lo"].iloc[0])
     dls = _decode_doclens(dl_row["data"].iloc[0])
+    deleted = _deleted_from_pdf(pdf)
 
     acc_docs = np.array([], dtype=np.int64)
     acc_scores = np.array([], dtype=np.float64)
@@ -820,6 +1012,13 @@ def _segment_topk_sim(
                     "a payload similarity"
                 )
             payload = decode_payloads(row["pay_data"])
+        if deleted.size:
+            if payload is not None:
+                docs, tfs, payload = _strip_deleted(docs, deleted, tfs, payload)
+            else:
+                docs, tfs = _strip_deleted(docs, deleted, tfs)
+            if len(docs) == 0:
+                continue
         scores = boosts[t] * _sim_scores_np(
             sim, tfs, dls[docs - doc_lo], float(dfs[t]), float(n), avgdl,
             payload=payload,
@@ -930,7 +1129,11 @@ def _segment_phrase_topk(
         if keys.size == 0:
             return empty
         cand_docs = np.unique(keys // M) + doc_lo
-    hit_docs = cand_docs
+    # liveDocs: tombstoned docs leave the hit set before scoring (the
+    # phrase path is exact — no pruning depends on the dropped docs)
+    hit_docs = _strip_deleted(cand_docs, _deleted_from_pdf(pdf))
+    if hit_docs.size == 0:
+        return empty
     hit_local = hit_docs - doc_lo
 
     # member-term BM25 over the phrase docs (distinct terms, boost 1);
@@ -1026,7 +1229,12 @@ def _segment_boolean_topk(
         return _empty_facet() if facet_ord_col is not None else empty
     doc_lo = doc_lo_by_field[""]
     dls = dls_by_field[""]
-    all_docs = doc_lo + np.flatnonzero(dls > 0).astype(np.int64)
+    # dl=0 docs never match (no tokens); TOMBSTONE slots are
+    # compacted-away deletions — neither belongs in the match-all set
+    all_docs = doc_lo + np.flatnonzero(
+        (dls > 0) & (dls != TOMBSTONE)
+    ).astype(np.int64)
+    deleted = _deleted_from_pdf(pdf)
 
     dvs: dict[str, np.ndarray] = {}
     dv_lo: dict[str, int] = {}
@@ -1093,7 +1301,8 @@ def _segment_boolean_topk(
                 )
             vals = dvs[field]
             v_lo = dv_lo[field]
-            mask = np.ones(len(vals), dtype=bool)
+            # TOMBSTONE slots (compacted deletions) match no range
+            mask = vals != TOMBSTONE
             if node.low is not None:
                 lo_v = _num(node.low)
                 mask &= (vals >= lo_v) if node.include_low else (vals > lo_v)
@@ -1116,6 +1325,10 @@ def _segment_boolean_topk(
         if hi < lo:
             return np.array([], np.int64), np.array([], np.float64)
         docs = np.arange(lo, hi + 1, dtype=np.int64)
+        # compacted deletions hold TOMBSTONE in the doclen stream —
+        # a doc_id range must not resurrect them (dl=0 docs DO match:
+        # empty docs exist in the doc space)
+        docs = docs[dls[docs - doc_lo] != TOMBSTONE]
         return docs, np.ones(len(docs), np.float64)
 
     def evaluate(node, fld: str = ""):
@@ -1206,6 +1419,11 @@ def _segment_boolean_topk(
         )
 
     docs, scores = evaluate(tree)
+    # liveDocs: the tree's algebra is doc-local, so one strip of the
+    # final match set (before boosting / faceting / top-k) is exact —
+    # a tombstoned doc contributes nothing to any OTHER doc's score
+    if deleted.size and len(docs):
+        docs, scores = _strip_deleted(docs, deleted, scores)
     # boosted SHOULD clauses over the tree's match docset — the
     # feedback final query (seed MUST + expansion SHOULD,
     # UnsupervisedFeedbackHelper.java:110-118): candidates stay the
@@ -1225,7 +1443,11 @@ def _segment_boolean_topk(
         f_lo = dv_lo[facet_ord_col]
         ids = docs - f_lo
         valid = (ids >= 0) & (ids < len(ords_arr))
-        counts = np.bincount(ords_arr[ids[valid]].astype(np.int64))
+        hit_ords = ords_arr[ids[valid]].astype(np.int64)
+        # guard: a TOMBSTONE ordinal (compacted deletion) must never
+        # reach bincount — it would allocate a 2^48-slot array
+        hit_ords = hit_ords[hit_ords != TOMBSTONE]
+        counts = np.bincount(hit_ords)
         nz = np.flatnonzero(counts)
         return pd.DataFrame(
             {"ord": nz.astype(np.int64), "cnt": counts[nz].astype(np.int64)}
@@ -1517,10 +1739,23 @@ def fetch_docs(
     ids = [int(d) for d in doc_ids]
     out = None
     for _, si in gens:
+        # liveDocs: tombstoned ids are not retrievable (driver-side
+        # bounded read of the tombstone streams, same contract as the
+        # sidecar; post-compaction the docstore rows are gone anyway)
+        tombs = _load_tombstones(si.path)
+        if tombs:
+            dead = set(
+                int(x) for v in tombs.values() for x in v
+            )
+            ids_g = [d for d in ids if d not in dead]
+        else:
+            ids_g = ids
+        if not ids_g:
+            continue
         # generations hold disjoint doc sets: each point read prunes to
         # the segments the ids COULD live in; ids outside this
         # generation's doc range just match nothing
-        segs = sorted({d // si.seg_size for d in ids})
+        segs = sorted({d // si.seg_size for d in ids_g})
         base = os.path.join(si.path, "docstore")
         rd = spark.read.option("basePath", base)
         if si.store_schema:
@@ -1531,10 +1766,18 @@ def fetch_docs(
         f = (
             rd.parquet(base)
             .filter(F.col("seg").isin(segs))
-            .filter(F.col("doc_id").isin(ids))
+            .filter(F.col("doc_id").isin(ids_g))
             .drop("seg", "group")
         )
         out = f if out is None else out.unionByName(f)
+    if out is None:
+        # every requested id was tombstoned: empty frame, stable schema
+        _, si0 = gens[0]
+        schema = (
+            si0.store_schema
+            or ("doc_id bigint, " + ", ".join(f"{c} string" for c in si0.store_cols))
+        )
+        return spark.createDataFrame([], schema)
     return out
 
 
@@ -1645,6 +1888,21 @@ def compact_packed(
     n_docs = sum(s.n_docs for s in seg_indexes)
     total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
     avgdl = total_tokens / n_docs if n_docs else 0.0
+    # the doc-id SPACE is unchanged by deletions (ids are never
+    # renumbered — docstore keys and query results stay stable), so
+    # segment layout derives from the space, stats from live docs
+    n_docs_space = n_docs
+
+    # tombstones across all inputs (driver-side bounded read): raw seg
+    # -> sorted unique deleted ids. Generations hold disjoint doc sets,
+    # so a plain union per segment is exact.
+    del_by_seg: dict[int, np.ndarray] = {}
+    for si in seg_indexes:
+        for seg, arr in _load_tombstones(si.path).items():
+            prev = del_by_seg.get(seg)
+            del_by_seg[seg] = (
+                arr if prev is None else np.unique(np.concatenate([prev, arr]))
+            )
 
     posts = None
     dls = None
@@ -1662,10 +1920,44 @@ def compact_packed(
         posts = p if posts is None else posts.unionByName(p)
         dls = d if dls is None else dls.unionByName(d)
 
+    if del_by_seg:
+        # Lucene merge semantics: the compacted index's stats count
+        # LIVE docs only (docFreq/N drop once deletions are purged).
+        # One bounded job over the affected segments' doclen streams
+        # recovers the deleted docs' token mass.
+        affected = sorted(del_by_seg.keys())
+        rows = (
+            dls.filter(F.col("seg").isin(affected))
+            .select("seg", "doc_lo", "dl_data")
+            .collect()
+        )
+        del_tokens = 0
+        n_del_live = 0
+        counted: dict[int, set] = {}
+        for r in rows:
+            arr = _decode_doclens(r["dl_data"])
+            lo = int(r["doc_lo"])
+            seen = counted.setdefault(int(r["seg"]), set())
+            for d_id in del_by_seg[int(r["seg"])]:
+                idx = int(d_id) - lo
+                if 0 <= idx < len(arr) and arr[idx] != TOMBSTONE:
+                    # generations hold disjoint docs: at most one
+                    # generation's stream has a real length for d_id,
+                    # but dl=0 slots exist in every stream — count the
+                    # doc once
+                    del_tokens += int(arr[idx])
+                    if int(d_id) not in seen:
+                        n_del_live += 1
+                        seen.add(int(d_id))
+        n_docs = n_docs - n_del_live
+        total_tokens = total_tokens - del_tokens
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+
     def merge_postings(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for (seg, term), g in pdf.groupby(["seg", "term"], sort=False):
-            if len(g) == 1:
+            del_ids = del_by_seg.get(int(seg))
+            if len(g) == 1 and del_ids is None:
                 # (seg, term) present in a single generation — the
                 # common case, since generations hold disjoint doc
                 # ranges and most segments belong wholly to one
@@ -1715,6 +2007,20 @@ def compact_packed(
             pays = None
             if has_pay and pay_parts:
                 pays = np.concatenate(pay_parts)[order]
+            if del_ids is not None:
+                # the physical purge: tombstoned docs leave the posting
+                # list here; df/cf/block metadata re-derive from the
+                # survivors below
+                keep = ~np.isin(docs, del_ids, assume_unique=True)
+                docs, tfs = docs[keep], tfs[keep]
+                if pos_lists is not None:
+                    pos_lists = [
+                        pl for pl, kp in zip(pos_lists, keep) if kp
+                    ]
+                if pays is not None:
+                    pays = pays[keep]
+                if len(docs) == 0:
+                    continue
             data, block_last, block_max, block_off = encode_postings(docs, tfs)
             pos_off = pos_data = pay_data = None
             if pos_lists is not None:
@@ -1739,7 +2045,7 @@ def compact_packed(
         )
 
     n_segments = max(
-        int(np.ceil(n_docs / seg_size)),
+        int(np.ceil(n_docs_space / seg_size)),
         max(s.n_segments for s in seg_indexes),
     )
     groups = max(1, min(groups, n_segments))
@@ -1786,6 +2092,11 @@ def compact_packed(
         m = {
             "codec_version": CODEC_VERSION,
             "n_docs": n_docs,
+            # doc ids are never renumbered: the id space keeps its
+            # original extent even after deletions are purged (segment
+            # layout + delete-by-id validation derive from this)
+            "n_docs_space": n_docs_space,
+            "n_purged": int(sum(len(v) for v in del_by_seg.values())),
             "avgdl": avgdl,
             "seg_size": seg_size,
             "n_segments": n_segments,
@@ -1872,10 +2183,29 @@ def compact_packed(
             for _, r in pdf.iterrows():
                 arr = _decode_doclens(r["data_dl"]).astype(np.int64)
                 if remap_by_gen is not None:
-                    arr = remap_by_gen[int(r["gen"])][arr]
+                    # TOMBSTONE slots (an input that was itself
+                    # compacted with deletions) survive the ordinal
+                    # remap untouched
+                    tomb = arr == TOMBSTONE
+                    if tomb.any():
+                        arr = np.where(tomb, 0, arr)
+                        arr = remap_by_gen[int(r["gen"])][arr]
+                        arr[tomb] = TOMBSTONE
+                    else:
+                        arr = remap_by_gen[int(r["gen"])][arr]
                 # generations hold disjoint doc sets: absent docs hold
                 # 0 in a generation's dense array, so max() is the union
+                # (TOMBSTONE is the max of anything, so dead slots stay
+                # dead across the union)
                 dense[: len(arr)] = np.maximum(dense[: len(arr)], arr)
+            del_ids = del_by_seg.get(seg)
+            if del_ids is not None:
+                idx = del_ids - d_lo
+                idx = idx[(idx >= 0) & (idx < n)]
+                # the tombstone stream is cleared by compaction; the
+                # sentinel in the dense streams is what keeps match-all
+                # / range / facet from resurrecting the doc
+                dense[idx] = TOMBSTONE
             return pd.DataFrame(
                 {
                     "seg": [seg],
@@ -1955,6 +2285,11 @@ def compact_packed(
                     .select("seg", "doc_id", *st_common)
                 )
                 st = d if st is None else st.unionByName(d)
+            if del_by_seg:
+                all_dead = [
+                    int(x) for v in del_by_seg.values() for x in v
+                ]
+                st = st.filter(~F.col("doc_id").isin(all_dead))
             (
                 st.filter(F.col("seg") % groups == g)
                 .repartition("seg")
@@ -1997,14 +2332,28 @@ def compact_packed(
         _write_manifest(out_path, m)
 
     if not m.get("termstats"):
-        # merged termstats sidecar: per-generation sidecars are global
-        # for their generation; df is additive over disjoint doc sets
-        merged_terms = None
-        for si in seg_indexes:
-            t = spark.read.parquet(os.path.join(si.path, "termstats"))
+        if del_by_seg:
+            # deletions changed df: re-derive the sidecar from the
+            # purged postings metadata (term, df) — one column-pruned
+            # job; only runs when tombstones were purged
             merged_terms = (
-                t if merged_terms is None else merged_terms.unionByName(t)
+                spark.read.option(
+                    "basePath", os.path.join(out_path, "postings")
+                )
+                .schema(POSTINGS_SCHEMA + ", group int")
+                .parquet(os.path.join(out_path, "postings"))
+                .select("term", "df")
             )
+        else:
+            # merged termstats sidecar: per-generation sidecars are
+            # global for their generation; df is additive over
+            # disjoint doc sets
+            merged_terms = None
+            for si in seg_indexes:
+                t = spark.read.parquet(os.path.join(si.path, "termstats"))
+                merged_terms = (
+                    t if merged_terms is None else merged_terms.unionByName(t)
+                )
         (
             merged_terms.groupBy("term")
             .agg(F.sum("df").alias("df"))
@@ -2189,6 +2538,7 @@ def _unified_frame(
     segment-local (wand_boolean_search field_segments)."""
     posts = None
     dls = None
+    dels = None
     for gen_id, si in gens:
         # explicit schemas: the layout is fixed by the codec, and
         # schema inference would cost a footer-read job per query
@@ -2208,6 +2558,18 @@ def _unified_frame(
         )
         posts = p if posts is None else posts.unionByName(p)
         dls = d if dls is None else dls.unionByName(d)
+        # tombstone streams (delete_docs): _kind='del' rows ride the
+        # same per-segment frame so every kernel sees its segment's
+        # deletions in the same Arrow group — no extra join, no extra
+        # job. Existence check is one driver-side stat call; absent dir
+        # (the common case) costs nothing.
+        if os.path.isdir(_deletes_dir(si.path)):
+            t = (
+                spark.read.schema(DOCLEN_SCHEMA)
+                .parquet(_deletes_dir(si.path))
+                .withColumn("seg", F.col("seg") + F.lit(gen_id * 1_000_000))
+            )
+            dels = t if dels is None else dels.unionByName(t)
 
     sub_cols = (
         [F.col("pos_off"), F.col("pos_data"), F.col("pay_data")] if with_subs else []
@@ -2221,7 +2583,7 @@ def _unified_frame(
         if with_subs
         else []
     )
-    return posts.select(
+    out = posts.select(
         "seg",
         F.lit("post").alias("_kind"),
         F.lit(field).alias("fld"),
@@ -2248,6 +2610,23 @@ def _unified_frame(
             *sub_nulls,
         )
     )
+    if dels is not None:
+        out = out.unionByName(
+            dels.select(
+                "seg",
+                F.lit("del").alias("_kind"),
+                F.lit(field).alias("fld"),
+                F.lit(None).cast("string").alias("term"),
+                F.lit(None).cast("long").alias("df"),
+                F.lit(None).cast("array<long>").alias("block_last"),
+                F.lit(None).cast("array<int>").alias("block_max"),
+                F.lit(None).cast("array<long>").alias("block_off"),
+                "doc_lo",
+                F.col("dl_data").alias("data"),
+                *sub_nulls,
+            )
+        )
+    return out
 
 
 def _dv_frame(
@@ -2420,11 +2799,16 @@ def describe_index(path: str) -> dict:
         name: _du(name)
         for name in (
             "postings", "doclens", "docstore", "docvalues",
-            "docvalues_str", "termstats",
+            "docvalues_str", "termstats", "deletes",
         )
         if os.path.isdir(os.path.join(path, name))
     }
+    n_deleted = (
+        live_docs(path)["n_deleted"] if m.get("has_deletes") else 0
+    )
     return {
+        "n_deleted": n_deleted,
+        "n_live": (m.get("n_docs") or 0) - n_deleted,
         "path": path,
         "codec_version": m.get("codec_version"),
         "n_docs": m.get("n_docs"),

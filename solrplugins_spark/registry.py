@@ -94,7 +94,7 @@ def q_bm25_single(spark, sf_dir):
     return search_terms(_index(spark, sf_dir), [("dup", 1.0)], k=10)
 
 
-def _sql_topk_for_terms(terms_boosts, k=10, min_should_match=1):
+def _sql_topk_for_terms(terms_boosts, k=10, min_should_match=1, extra_where=""):
     sel = " UNION ALL ".join(
         f"SELECT '{t}' AS term, {b}::DOUBLE AS boost" for t, b in terms_boosts
     )
@@ -106,7 +106,7 @@ scored AS (
   FROM partials p JOIN qt USING (term)
   GROUP BY p.doc_id
 )
-SELECT doc_id, score FROM scored WHERE matched >= {min_should_match}
+SELECT doc_id, score FROM scored WHERE matched >= {min_should_match}{extra_where}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -324,10 +324,12 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 #
 # r05 rotation (VERDICT r04 item #2): IN — chunk_docs, epoch_shard,
 # ann_ivf, classic_lossy_norm (registered past the window in r04, all
-# oracle-paired + sf0.01 pytest-parity green, never driver-checked).
-# OUT — pii_redact, pack_sequences, repetition, contamination (3x
-# driver green r02-r04, all pure column-expression / n-gram-semi-join
-# shapes; still oracle-paired + pytest-parity-checked every round).
+# oracle-paired + sf0.01 pytest-parity green, never driver-checked),
+# plus wand_delete (NEW r05: packed-index deletions, VERDICT r04 item
+# #4). OUT — pii_redact, pack_sequences, repetition, contamination,
+# joint_probability (3x driver green r02-r04, all pure
+# column-expression / hash-agg / n-gram-semi-join shapes; still
+# oracle-paired + pytest-parity-checked every round).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",
@@ -353,6 +355,7 @@ _WINDOW_ORDER = [
     "wand_facet",
     "wand_mlt",
     "wand_feedback",
+    "wand_delete",
     "classic_coord",
     "boosted_fn",
     "range_query",
@@ -369,7 +372,6 @@ _WINDOW_ORDER = [
     "event_windows",
     "nb_classify",
     "stumps",
-    "joint_probability",
     # LLM-pipeline operators
     "simhash",
     "dedup_minhash_sig",
@@ -386,6 +388,9 @@ _WINDOW_ORDER = [
     "classic_lossy_norm",
     # --- driver window boundary (position 50) ---
     # rotated out (>=2x driver-green; still oracle+pytest covered)
+    # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
+    # rotated out for the new wand_delete liveDocs gate
+    "joint_probability",
     "pii_redact",
     "pack_sequences",
     "repetition",

@@ -1503,6 +1503,49 @@ def q_wand_feedback(spark, sf_dir):
     )["docs"]
 
 
+_SEG_DEL_CACHE: dict[str, object] = {}
+
+
+def _del_segments(spark, sf_dir):
+    """A second packed index with doc_id % 7 == 3 tombstoned via
+    delete_docs — its own directory so the shared _segments cache
+    stays pristine for the other wand gates."""
+    if sf_dir not in _SEG_DEL_CACHE:
+        import tempfile
+
+        from .index.segments import (
+            SegmentIndex,
+            build_segments,
+            delete_docs,
+        )
+
+        out = tempfile.mkdtemp(prefix="registry_segs_del_")
+        si = build_segments(
+            _index(spark, sf_dir), f"{out}/idx", seg_size=128, groups=2
+        )
+        delete_docs(si.path, [i for i in range(si.n_docs) if i % 7 == 3])
+        _SEG_DEL_CACHE[sf_dir] = SegmentIndex.load(si.path)
+    return _SEG_DEL_CACHE[sf_dir]
+
+
+def q_wand_delete(spark, sf_dir):
+    """Delete-by-id on the packed index (the Lucene liveDocs analogue,
+    VERDICT r04 item #4): doc_id % 7 == 3 tombstoned, then the
+    boosted-OR query runs with Lucene stats semantics — df/N keep
+    counting tombstoned docs until compaction (IndexReader.docFreq
+    ignores liveDocs), so survivors keep their exact scores and the
+    oracle scores the FULL corpus, filtering the dead from candidates
+    only."""
+    from .index.segments import wand_search
+
+    return wand_search(
+        spark,
+        _del_segments(spark, sf_dir),
+        [("dup", 2.0), ("batch", 1.0), ("window", 0.5)],
+        k=10,
+    )
+
+
 def q_classic_coord(spark, sf_dir):
     """Classic similarity with coord + queryNorm query-level factors
     (DiceDefaultSimilarity.java:64-74) over a 3-clause OR."""
@@ -2052,11 +2095,22 @@ EXT_QUERIES = {
     "wand_facet": q_wand_facet,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
+    "wand_delete": q_wand_delete,
     "classic_coord": q_classic_coord,
     "boosted_fn": q_boosted_fn,
     "range_query": q_range_query,
     "mlt_docs": q_mlt_docs,
 }
+
+
+def _sql_wand_delete():
+    from .registry import _sql_topk_for_terms
+
+    return _sql_topk_for_terms(
+        [("dup", 2.0), ("batch", 1.0), ("window", 0.5)],
+        k=10,
+        extra_where=" AND (doc_id % 7) <> 3",
+    )
 
 
 def ext_oracle_sql() -> dict[str, str]:
@@ -2125,6 +2179,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_facet": SQL_FACET_COUNTS_REF,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
+        "wand_delete": _sql_wand_delete(),
         "classic_coord": SQL_CLASSIC_COORD,
         "boosted_fn": SQL_BOOSTED_FN,
         "range_query": SQL_RANGE_QUERY,

@@ -137,29 +137,29 @@ def rolling_fingerprint(
     MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
 
     def kernel(batches):
-        import re
-
-        pat = re.compile("[^a-z0-9]+")
         for pdf in batches:
             docs_np = pdf[doc_col].to_numpy()
             fps = np.zeros(len(pdf), np.int64)
-            toks_per_doc = [
-                [t for t in pat.split(s.lower()) if t]
-                for s in pdf[text_col].fillna("")
-            ]
-            counts = np.array([len(t) for t in toks_per_doc], np.int64)
-            flat = [t for toks in toks_per_doc for t in toks]
-            if not flat:
+            # tokenize via pandas' C string kernels (findall of the
+            # token class == split-on-complement minus empties): no
+            # per-row Python listcomp left on this path (VERDICT r04
+            # polish #7)
+            toks = (
+                pdf[text_col].fillna("").str.lower().str.findall("[a-z0-9]+")
+            )
+            counts = toks.str.len().to_numpy(np.int64)
+            if counts.sum() == 0:
                 yield pd.DataFrame({"doc_id": docs_np, "fp": fps})
                 continue
             offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
-            maxlen = max(len(t) for t in flat)
+            flat_ser = toks.explode().dropna()
+            maxlen = int(flat_ser.str.len().max())
             mat = (
-                np.array(flat, dtype=f"S{maxlen}")
+                np.array(flat_ser.to_numpy(), dtype=f"S{maxlen}")
                 .view(np.uint8)
-                .reshape(len(flat), maxlen)
+                .reshape(len(flat_ser), maxlen)
             )
-            th = np.full(len(flat), FNV, np.uint64)
+            th = np.full(len(flat_ser), FNV, np.uint64)
             for p in range(maxlen):
                 col = mat[:, p]
                 act = col != 0
