@@ -672,6 +672,51 @@ def live_docs(path: str) -> dict:
     }
 
 
+def delete_by_query(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    field_segments: dict | None = None,
+    max_ids: int = 1_000_000,
+) -> dict:
+    """Solr's deleteByQuery over the packed index: evaluate the parsed
+    boolean query per segment (the same evaluator every packed search
+    uses — Operand/And/Or/Not/Quote/FieldQuery/Range), collect the
+    matching ids, and tombstone them via ``delete_docs``.
+
+    Bounded-driver contract: the match set crosses the driver as ids
+    (delete-by-id is the storage model), capped at ``max_ids`` —
+    targeted purges (a user's docs, a date range, a poisoned source)
+    are the use case, exactly Solr's. A delete that would tombstone a
+    corpus-scale fraction should be a filtered rebuild instead; the
+    cap raises rather than silently truncating.
+
+    Idempotent: already-tombstoned docs never match (the evaluator
+    strips them at decode time), so re-running deletes nothing new.
+    """
+    si = SegmentIndex.load(path)
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, si, query, field_segments
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(pdf, tree, field_ctx, 1 << 40, k1, b)
+
+    matches = unified.groupBy("seg").applyInPandas(
+        per_segment, schema="doc_id long, score double"
+    )
+    rows = matches.select("doc_id").limit(max_ids + 1).collect()
+    if len(rows) > max_ids:
+        raise ValueError(
+            f"delete_by_query matched more than max_ids={max_ids} docs — "
+            "this is a corpus-scale delete; rebuild from a filtered "
+            "corpus (or raise max_ids explicitly)"
+        )
+    return delete_docs(path, [r["doc_id"] for r in rows])
+
+
 def _deleted_from_pdf(pdf: pd.DataFrame) -> np.ndarray:
     """Union of this segment's tombstone rows (_kind='del') — sorted
     absolute doc ids; empty when the index has no deletions. Per-field

@@ -258,6 +258,39 @@ def test_payload_similarity_excludes_dead(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_delete_by_query(spark, del_setup, tmp_path):
+    """Solr deleteByQuery: the packed boolean evaluator picks the dead
+    set; queries afterwards exclude exactly the matched docs; a rerun
+    is a no-op (already-tombstoned docs never match again)."""
+    from solrplugins_spark.index.segments import delete_by_query
+
+    src = del_setup["root"] / "base"
+    shutil.copytree(src, tmp_path / "q")
+    p = str(tmp_path / "q")
+    q = "w0002 and nch:[0 TO 80]"
+    full_match = wand_boolean_search(
+        spark, SegmentIndex.load(p), q, k=400
+    ).toPandas()
+    info = delete_by_query(spark, p, q)
+    assert info["n_new"] == len(full_match)
+    si = SegmentIndex.load(p)
+    assert wand_boolean_search(spark, si, q, k=400).count() == 0
+    # survivors of a broader query = broader matches minus the purged
+    broad_full = wand_boolean_search(
+        spark, SegmentIndex.load(str(src)), "w0002", k=400
+    ).toPandas()
+    got = wand_boolean_search(spark, si, "w0002", k=400).toPandas()
+    want = broad_full[
+        ~broad_full["doc_id"].isin(set(full_match["doc_id"]))
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # idempotent
+    assert delete_by_query(spark, p, q)["n_new"] == 0
+    # bounded-driver contract
+    with pytest.raises(ValueError, match="max_ids"):
+        delete_by_query(spark, p, "not zzzznotaterm", max_ids=5)
+
+
 # ---- compaction: physical purge ---------------------------------------
 
 
