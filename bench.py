@@ -303,7 +303,11 @@ def cluster_scaling(rounds: int = 2, trials: int = 2, turns: int = 200_000) -> d
 
 def main() -> None:
     t_start = time.time()
-    scaling = contract_scaling(n_cores=1, rounds=3)
+    # 5 rounds (VERDICT r04 demand): the median discards up to 2
+    # steal-burst rounds with no tuning knobs — r05 trial run saw a
+    # 0.535 round land mid-sequence while the other four sat at
+    # 0.93-0.98, exactly the pathology the wider window absorbs
+    scaling = contract_scaling(n_cores=1, rounds=5)
     supp_2_8 = contract_scaling(n_cores=2, rounds=1)
     try:
         cluster = cluster_scaling(rounds=2, trials=2)

@@ -2334,7 +2334,18 @@ def compact_packed(
                 all_dead = [
                     int(x) for v in del_by_seg.values() for x in v
                 ]
-                st = st.filter(~F.col("doc_id").isin(all_dead))
+                if len(all_dead) <= 10_000:
+                    st = st.filter(~F.col("doc_id").isin(all_dead))
+                else:
+                    # a delete_by_query near its cap would bloat the
+                    # plan as an isin literal — broadcast anti-join
+                    # keeps the purge a single map-side filter
+                    dead_df = spark.createDataFrame(
+                        [(i,) for i in all_dead], "doc_id long"
+                    )
+                    st = st.join(
+                        F.broadcast(dead_df), "doc_id", "left_anti"
+                    )
             (
                 st.filter(F.col("seg") % groups == g)
                 .repartition("seg")
