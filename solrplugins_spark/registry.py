@@ -387,6 +387,9 @@ _WINDOW_ORDER = [
     "ann_ivf",
     "classic_lossy_norm",
     # --- driver window boundary (position 50) ---
+    # registered past the window this round, oracle-paired + pytest
+    # parity-checked; rotate in r06 (the r04 pattern)
+    "wand_update",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate

@@ -1528,6 +1528,97 @@ def _del_segments(spark, sf_dir):
     return _SEG_DEL_CACHE[sf_dir]
 
 
+_UPD_CACHE: dict[str, object] = {}
+
+
+def _upd_compacted(spark, sf_dir):
+    """An updatable two-generation packed store over `documents`
+    (external key ext_id = the table's doc_id; internal ids are the
+    engine's), with doc_id % 11 == 5 REPLACED via ``update_docs``
+    (text gains a planted marker term) and then compacted — the full
+    Solr updateDocument lifecycle: keymap lookup, tombstone old
+    versions, fresh-id new generation, physical purge at merge."""
+    if sf_dir not in _UPD_CACHE:
+        import tempfile
+
+        from .index.segments import compact_packed
+        from .streaming.incremental import (
+            packed_generations,
+            process_generation,
+            update_docs,
+        )
+
+        out = tempfile.mkdtemp(prefix="registry_upd_")
+        store = f"{out}/store"
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "ext_id")
+        # initial internal ids = ext_id (dense); two generations split
+        # by parity so the update's tombstones land in BOTH
+        for gen in (0, 1):
+            process_generation(
+                docs.filter(F.col("ext_id") % 2 == gen).withColumn(
+                    "doc_id", F.col("ext_id")
+                ),
+                gen,
+                store,
+                pack=True,
+                seg_size=128,
+                seg_groups=2,
+                store_cols=["ext_id"],
+                key_cols=("ext_id",),
+            )
+        batch = (
+            docs.filter(F.col("ext_id") % 11 == 5)
+            .withColumn(
+                "text", F.concat(F.col("text"), F.lit(" zephyrupdate zephyrupdate"))
+            )
+        )
+        update_docs(
+            spark, store, batch, key_cols=("ext_id",),
+            seg_size=128, seg_groups=2, store_cols=["ext_id"],
+        )
+        _UPD_CACHE[sf_dir] = compact_packed(
+            spark, packed_generations(store), f"{out}/compact", groups=2
+        )
+    return _UPD_CACHE[sf_dir]
+
+
+def q_wand_update(spark, sf_dir):
+    """updateDocument end-to-end: every doc whose ext_id % 11 == 5 was
+    replaced (marker term appended) through the keymap/tombstone/
+    fresh-id path and the store compacted — the compacted index must
+    be query-equivalent to a fresh build over the UPDATED corpus, so
+    the oracle runs BM25 over documents with the same CASE rewrite.
+    Results map internal ids back to ext_id via the docstore and sort
+    by ext_id (internal ids are an engine detail the oracle never
+    sees)."""
+    from .index.segments import fetch_docs, wand_search
+
+    comp = _upd_compacted(spark, sf_dir)
+    hits = wand_search(spark, comp, [("zephyrupdate", 1.0)], k=100_000)
+    ids = [int(r["doc_id"]) for r in hits.collect()]
+    page = fetch_docs(spark, comp, ids).select("doc_id", "ext_id")
+    return (
+        hits.join(page, "doc_id")
+        .select(F.col("ext_id").cast("long").alias("ext_id"), "score")
+        .orderBy("ext_id")
+    )
+
+
+def _sql_wand_update():
+    tok_upd = TOK_SQL.replace("documents", "updocs")
+    return f"""
+WITH updocs AS (
+  SELECT doc_id, CASE WHEN doc_id % 11 = 5
+         THEN text || ' zephyrupdate zephyrupdate' ELSE text END AS text
+  FROM documents
+),
+{tok_upd}, {BM25_PARTIAL_SQL}
+SELECT doc_id AS ext_id, round(partial, 5) AS score
+FROM partials WHERE term = 'zephyrupdate'
+ORDER BY ext_id
+"""
+
+
 def q_wand_delete(spark, sf_dir):
     """Delete-by-id on the packed index (the Lucene liveDocs analogue,
     VERDICT r04 item #4): doc_id % 7 == 3 tombstoned, then the
@@ -2096,6 +2187,7 @@ EXT_QUERIES = {
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
+    "wand_update": q_wand_update,
     "classic_coord": q_classic_coord,
     "boosted_fn": q_boosted_fn,
     "range_query": q_range_query,
@@ -2180,6 +2272,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),
+        "wand_update": _sql_wand_update(),
         "classic_coord": SQL_CLASSIC_COORD,
         "boosted_fn": SQL_BOOSTED_FN,
         "range_query": SQL_RANGE_QUERY,

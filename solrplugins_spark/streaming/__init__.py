@@ -5,6 +5,7 @@ from .incremental import (
     merge_segment_stats,
     packed_generations,
     process_generation,
+    update_docs,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "merge_segment_stats",
     "packed_generations",
     "process_generation",
+    "update_docs",
 ]
