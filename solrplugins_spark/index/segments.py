@@ -517,6 +517,64 @@ def _as_gens(seg_index) -> list:
         return list(enumerate(seg_index))
     return [(0, seg_index)]
 
+# below this many total segments, serving queries skip the
+# groupBy(seg) exchange (see _apply_per_segment): the whole pruned
+# frame fits one task and the saved shuffle+stage round-trip dominates
+SINGLE_STAGE_MAX_SEGMENTS = 64
+
+
+def _n_segments_hint(*seg_objs) -> int:
+    """Total segment count across SegmentIndexes / generation lists /
+    None — driver-side from manifests, no Spark job. Decides the
+    physical strategy in _apply_per_segment."""
+    tot = 0
+    for so in seg_objs:
+        if so is None:
+            continue
+        for _, si in _as_gens(so):
+            tot += si.n_segments
+    return tot
+
+
+def _apply_per_segment(
+    unified: DataFrame,
+    per_segment,
+    schema: str,
+    n_segments_hint: int | None,
+) -> DataFrame:
+    """Run a per-segment Arrow kernel over the unified frame — one
+    semantics, two physical strategies:
+
+    - exchange path (the 10^12-doc default): groupBy(seg).applyInPandas
+      scores segments in parallel across executors; the shuffle moves
+      only the term-pruned rows.
+    - single-stage path (serving latency): when the index holds few
+      segments (known driver-side from the manifests), coalesce(1) +
+      mapInPandas groups in-process — the same kernels, no exchange,
+      one scheduling wave instead of two. coalesce(1) and never
+      coalesce(n): a segment's postings and doclen rows live in
+      different FILES, so any n > 1 could split a segment across
+      partitions and score it on partial inputs.
+    """
+    if (
+        n_segments_hint is not None
+        and 0 < n_segments_hint <= SINGLE_STAGE_MAX_SEGMENTS
+    ):
+
+        def all_segments(batches):
+            parts = [p for p in batches if len(p)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for _, g in pdf.groupby("seg", sort=False):
+                out = per_segment(g.reset_index(drop=True))
+                if len(out):
+                    yield out
+
+        return unified.coalesce(1).mapInPandas(all_segments, schema=schema)
+    return unified.groupBy("seg").applyInPandas(per_segment, schema=schema)
+
+
 def _decode_doclens(dl_data: bytes) -> np.ndarray:
     vals, _ = varint_decode(np.frombuffer(dl_data, dtype=np.uint8))
     return vals.astype(np.int64)
@@ -704,8 +762,9 @@ def delete_by_query(
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_boolean_topk(pdf, tree, field_ctx, 1 << 40, k1, b)
 
-    matches = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="doc_id long, score double"
+    matches = _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(si, *(field_segments or {}).values()),
     )
     rows = matches.select("doc_id").limit(max_ids + 1).collect()
     if len(rows) > max_ids:
@@ -1223,8 +1282,9 @@ def wand_phrase_search(
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_phrase_topk(pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl)
 
-    seg_tops = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="doc_id long, score double"
+    seg_tops = _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(seg_index),
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -1708,8 +1768,9 @@ def wand_boolean_search(
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_boolean_topk(pdf, tree, field_ctx, k, k1, b)
 
-    seg_tops = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="doc_id long, score double"
+    seg_tops = _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -1747,8 +1808,9 @@ def wand_boolean_boosted_search(
             pdf, tree, field_ctx, k, k1, b, boost_terms=boost_terms
         )
 
-    seg_tops = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="doc_id long, score double"
+    seg_tops = _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -1870,8 +1932,9 @@ def wand_facet_search(
         out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
         return out
 
-    partials = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="gen long, ord long, cnt long"
+    partials = _apply_per_segment(
+        unified, per_segment, "gen long, ord long, cnt long",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
     )
     dicts = None
     for gen_id, si in gens:
@@ -2473,8 +2536,9 @@ def wand_phrase_search_multi(
             pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl
         )
 
-    seg_tops = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="doc_id long, score double"
+    seg_tops = _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(seg_indexes),
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -2823,8 +2887,9 @@ def _wand_search_frames(
                 min_should_match=min_should_match,
             )
 
-    seg_tops = unified.groupBy("seg").applyInPandas(
-        per_segment, schema="doc_id long, score double"
+    seg_tops = _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(*(si for _, si in gens)),
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))

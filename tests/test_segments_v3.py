@@ -748,3 +748,51 @@ def test_describe_index(spark, tiny_corpus, tmp_path):
     _json.dumps(d)  # JSON-serializable for ops tooling
     with pytest.raises(FileNotFoundError):
         describe_index(str(tmp_path / "nope"))
+
+
+# ---- single-stage serving strategy ------------------------------------
+
+
+def test_single_stage_strategy_parity_and_plan(
+    spark, pos_index, pos_segments, tiny_corpus_pd, monkeypatch
+):
+    """_apply_per_segment picks one of two physical strategies for the
+    SAME per-segment kernels: coalesce(1)+mapInPandas (no exchange —
+    serving latency on small indexes) vs groupBy(seg).applyInPandas
+    (the 10^12-doc default). Results must be identical and the
+    single-stage plan must actually be exchange-free."""
+    from solrplugins_spark.index import segments as segmod
+    from solrplugins_spark.index.segments import wand_search
+
+    terms = [(t, 1.0) for t in _corpus_terms(tiny_corpus_pd, n=2)]
+
+    # small index -> single-stage path (hint <= threshold)
+    assert pos_segments.n_segments <= segmod.SINGLE_STAGE_MAX_SEGMENTS
+    df_single = wand_search(spark, pos_segments, terms, k=10)
+    plan = df_single._jdf.queryExecution().executedPlan().toString()
+    # scan -> coalesce(1) -> mapInPandas -> TakeOrderedAndProject:
+    # zero exchanges anywhere, term filter still pushed to parquet
+    assert "Exchange" not in plan, plan
+    assert "PushedFilters: [In(term" in plan, plan
+    single = df_single.toPandas()
+
+    # force the exchange path on the same index
+    monkeypatch.setattr(segmod, "SINGLE_STAGE_MAX_SEGMENTS", 0)
+    exchanged = wand_search(spark, pos_segments, terms, k=10).toPandas()
+
+    assert list(single["doc_id"]) == list(exchanged["doc_id"])
+    assert np.allclose(single["score"], exchanged["score"], atol=1e-12)
+
+
+def test_single_stage_facets_and_boolean_parity(
+    spark, pos_segments, monkeypatch
+):
+    from solrplugins_spark.index import segments as segmod
+    from solrplugins_spark.index.segments import wand_boolean_search
+
+    q = "java OR spark"
+    single = wand_boolean_search(spark, pos_segments, q, k=10).toPandas()
+    monkeypatch.setattr(segmod, "SINGLE_STAGE_MAX_SEGMENTS", 0)
+    exchanged = wand_boolean_search(spark, pos_segments, q, k=10).toPandas()
+    assert list(single["doc_id"]) == list(exchanged["doc_id"])
+    assert np.allclose(single["score"], exchanged["score"], atol=1e-12)
