@@ -796,3 +796,63 @@ def test_single_stage_facets_and_boolean_parity(
     exchanged = wand_boolean_search(spark, pos_segments, q, k=10).toPandas()
     assert list(single["doc_id"]) == list(exchanged["doc_id"])
     assert np.allclose(single["score"], exchanged["score"], atol=1e-12)
+
+
+def test_exchange_strategy_parity_all_surfaces(
+    spark, tiny_corpus, tiny_corpus_pd, tmp_path, monkeypatch
+):
+    """Every converted serving surface must produce identical results
+    on BOTH physical strategies (single-stage default on small test
+    indexes vs the at-scale groupBy(seg) exchange path) — covers the
+    per-call-site hint wiring (facets, phrase, multi-gen, delete) that
+    the small-index default would otherwise leave exchange-untested."""
+    import shutil
+
+    from solrplugins_spark.index import segments as segmod
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import (
+        build_segments,
+        delete_by_query,
+        live_docs,
+        wand_boolean_search,
+        wand_facet_search,
+        wand_phrase_search,
+        wand_phrase_search_multi,
+        wand_search_multi,
+    )
+
+    idx = build_index(tiny_corpus, positions=True)
+    seg = build_segments(
+        idx, str(tmp_path / "x"), seg_size=64, groups=2,
+        string_cols=["role"],
+    )
+    row = tiny_corpus_pd.iloc[0]
+    toks = [t for t in row["text"].lower().split() if len(t) > 1]
+    phrase = toks[:2]
+    q = f"{toks[0]} OR {toks[1]}"
+
+    def run_all():
+        return {
+            "facet": wand_facet_search(spark, seg, q, "role")
+            .toPandas().sort_values("role").reset_index(drop=True),
+            "phrase": wand_phrase_search(spark, seg, phrase, k=10).toPandas(),
+            "phrase_multi": wand_phrase_search_multi(
+                spark, [seg], phrase, k=10
+            ).toPandas(),
+            "multi": wand_search_multi(
+                spark, [seg], [(toks[0], 1.0), (toks[1], 2.0)], k=10
+            ).toPandas(),
+            "boolean": wand_boolean_search(spark, seg, q, k=10).toPandas(),
+        }
+
+    single = run_all()
+    monkeypatch.setattr(segmod, "SINGLE_STAGE_MAX_SEGMENTS", 0)
+    exchanged = run_all()
+    for name in single:
+        pd.testing.assert_frame_equal(single[name], exchanged[name]), name
+
+    # delete_by_query's per-segment match job on the exchange path
+    info = delete_by_query(spark, str(tmp_path / "x"), f'"{phrase[0]} {phrase[1]}"')
+    assert info["n_new"] >= 1
+    assert live_docs(str(tmp_path / "x"))["n_deleted"] == info["n_new"]
+    shutil.rmtree(str(tmp_path / "x"), ignore_errors=True)
