@@ -186,16 +186,18 @@ def interesting_terms(
     ):
         return _interesting_terms_driver(index, seed_doc_ids, params, round_to)
     if isinstance(seed_doc_ids, list):
-        seeds = spark.createDataFrame([(int(d),) for d in seed_doc_ids], "doc_id long")
+        # bounded list: literal isin filter (no seeds frame — a
+        # createDataFrame round-trip costs ~0.3 s per query, measured)
+        seed_hits = index.postings.filter(
+            F.col("doc_id").isin([int(d) for d in seed_doc_ids])
+        )
     else:
-        seeds = seed_doc_ids.select("doc_id")
+        seed_hits = index.postings.join(
+            F.broadcast(seed_doc_ids.select("doc_id")), "doc_id", "left_semi"
+        )
 
     # accumulate tf across all seed docs (one bag-of-terms per field)
-    seed_terms = (
-        index.postings.join(F.broadcast(seeds), "doc_id", "left_semi")
-        .groupBy("term")
-        .agg(F.sum("tf").alias("tf"))
-    )
+    seed_terms = seed_hits.groupBy("term").agg(F.sum("tf").alias("tf"))
     # broadcast the SEED side (bounded by the seed docs' vocabulary),
     # never the dictionary: at 10^8+ terms the terms frame exceeds any
     # broadcast threshold and would otherwise force a full-dictionary
@@ -304,10 +306,6 @@ def more_like_this(
     df_map = {r["term"]: int(r["df"]) for r in rows}
     if not boosts:
         return spark.createDataFrame([], "doc_id long, score double")
-    if isinstance(seed_doc_ids, list):
-        seeds = spark.createDataFrame([(int(d),) for d in seed_doc_ids], "doc_id long")
-    else:
-        seeds = seed_doc_ids.select("doc_id")
     partials = score_terms(index, boosts, sim=sim, df_map=df_map)
     scored = partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), 5).alias("score"),
@@ -315,7 +313,19 @@ def more_like_this(
     )
     if params.min_should_match > 1:
         scored = scored.filter(F.col("matched") >= params.min_should_match)
-    scored = scored.join(seeds, "doc_id", "left_anti")
+    if isinstance(seed_doc_ids, list):
+        # bounded seed LIST: a literal NOT-isin filter, not an
+        # anti-join — building even a 1-row seeds frame costs a
+        # ~0.3 s createDataFrame/py4j round-trip per query (measured,
+        # BENCH/BASELINE.md r05), and the filter folds into the same
+        # codegen stage as the aggregation output
+        scored = scored.filter(
+            ~F.col("doc_id").isin([int(d) for d in seed_doc_ids])
+        )
+    else:
+        scored = scored.join(
+            seed_doc_ids.select("doc_id"), "doc_id", "left_anti"
+        )
     if k is None:
         return scored.select("doc_id", "score")
     return (

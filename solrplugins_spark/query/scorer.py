@@ -343,16 +343,23 @@ def classic_coord_search(
         qn = 1.0 / np.sqrt(ssq) if ssq > 0 else 1.0
     n_clauses = len(terms_boosts)
 
-    qt = spark.createDataFrame(
-        [
-            (t, float(w), float(idf_map.get(t, 0.0)))
-            for t, w in terms_boosts
-            if t in df_map
-        ],
-        "term string, boost double, idf double",
-    )
-    hits = index.postings.filter(F.col("term").isin(term_list)).join(
-        F.broadcast(qt), "term"
+    # per-term constants fold into literal maps (the score_terms
+    # shape): no query-terms frame, no broadcast — a createDataFrame
+    # round-trip costs ~0.3 s per query on this host (measured,
+    # BENCH/BASELINE.md r05), and Catalyst constant-folds the map
+    # lookups into the same codegen stage as the scan
+    live = [(t, float(w)) for t, w in terms_boosts if t in df_map]
+    if not live:
+        return spark.createDataFrame([], "doc_id long, score double")
+    boost_entries: list[Column] = []
+    idf_entries: list[Column] = []
+    for t, w in live:
+        boost_entries += [F.lit(t), F.lit(float(w))]
+        idf_entries += [F.lit(t), F.lit(float(idf_map.get(t, 0.0)))]
+    hits = index.postings.filter(F.col("term").isin(term_list)).select(
+        "doc_id", "tf", "dl",
+        F.create_map(*boost_entries)[F.col("term")].alias("boost"),
+        F.create_map(*idf_entries)[F.col("term")].alias("idf"),
     )
     partial = (
         F.sqrt(F.col("tf").cast("double"))
