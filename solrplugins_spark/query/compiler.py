@@ -92,6 +92,73 @@ def _leaf_terms(node: ast.Expression) -> list[str]:
     return []
 
 
+def _fusable(node: ast.Expression) -> bool:
+    """True when the tree holds only term operands + And/Or/Not —
+    the shapes whose boolean algebra needs no frame other than the
+    leaf-term partials (and possibly the corpus docset)."""
+    if isinstance(node, ast.Operand):
+        return True  # incl. match-all (constant matched=True, score 0)
+    if isinstance(node, (ast.Or, ast.And)):
+        return _fusable(node.left) and _fusable(node.right)
+    if isinstance(node, ast.Not):
+        return _fusable(node.child)
+    return False
+
+
+def _zero_term_match(node: ast.Expression) -> bool:
+    """Matched-value of the tree for a doc holding ZERO query terms —
+    True means the complement is reachable and the fused plan must
+    start from the corpus docset, not just the aggregated hits."""
+    if isinstance(node, ast.Operand):
+        return node.value == MATCH_ALL
+    if isinstance(node, ast.Or):
+        return _zero_term_match(node.left) or _zero_term_match(node.right)
+    if isinstance(node, ast.And):
+        return _zero_term_match(node.left) and _zero_term_match(node.right)
+    if isinstance(node, ast.Not):
+        return not _zero_term_match(node.child)
+    return False
+
+
+def _eval_tree(node: ast.Expression, tp) -> tuple:
+    """(matched: Column, score: Column) for the tree over the per-doc
+    term->partial map ``tp`` (null-safe: absent docs from the left
+    join evaluate exactly like docs with an empty map).
+
+    Scoring mirrors the join algebra (and BooleanQuery): a clause
+    contributes its score only when it matches; NOT contributes
+    matched-complement with score 0; AND-with-NOT is subtraction
+    (the positive side's score carries)."""
+    if isinstance(node, ast.Operand):
+        if node.value == MATCH_ALL:
+            return F.lit(True), F.lit(0.0)
+        toks = sorted(set(tokenize_pandas(pd.Series([node.value]))[0]))
+        if not toks:
+            return F.lit(False), F.lit(0.0)
+        parts = [F.element_at(tp, F.lit(t)) for t in toks]
+        matched = parts[0].isNotNull()
+        score = F.coalesce(parts[0], F.lit(0.0))
+        for p in parts[1:]:
+            matched = matched | p.isNotNull()
+            score = score + F.coalesce(p, F.lit(0.0))
+        return matched, score
+    if isinstance(node, ast.Or):
+        ml, sl = _eval_tree(node.left, tp)
+        mr, sr = _eval_tree(node.right, tp)
+        return (
+            ml | mr,
+            F.when(ml, sl).otherwise(0.0) + F.when(mr, sr).otherwise(0.0),
+        )
+    if isinstance(node, ast.And):
+        ml, sl = _eval_tree(node.left, tp)
+        mr, sr = _eval_tree(node.right, tp)
+        return ml & mr, sl + sr
+    if isinstance(node, ast.Not):
+        mc, _ = _eval_tree(node.child, tp)
+        return ~mc, F.lit(0.0)
+    raise TypeError(f"unfusable AST node: {node!r}")
+
+
 class QueryCompiler:
     def __init__(
         self,
@@ -113,9 +180,20 @@ class QueryCompiler:
         """(doc_id, score) frame for the whole tree.
 
         One postings scan for all leaf terms, then recursive algebra.
+        Trees made only of term operands + AND/OR/NOT take the FUSED
+        path: the whole boolean evaluates as column expressions over a
+        per-doc term->partial map, so the plan is one pruned scan ->
+        ONE groupBy(doc_id) shuffle -> filter/project — the flat-path
+        twin of the packed evaluator's single vectorized pass
+        (segments._segment_boolean_topk), instead of one shuffle/join
+        per tree node. Quote/Range/FieldQuery leaves reference other
+        frames (positions, stored corpus, per-field indexes) and keep
+        the join algebra.
         """
         all_terms = _leaf_terms(node)
         terms = sorted(set(all_terms))
+        if terms and _fusable(node):
+            return self._fused(node, terms)
         partials = None
         if terms:
             partials = score_terms(
@@ -126,6 +204,25 @@ class QueryCompiler:
             if len(all_terms) > len(terms) or _leaf_count(node) > 1:
                 partials = partials.persist()
         return self._compile(node, partials)
+
+    def _fused(self, node: ast.Expression, terms: list[str]) -> DataFrame:
+        partials = score_terms(
+            self.index, [(t, 1.0) for t in terms], sim=self.sim
+        )
+        agg = partials.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "partial"))
+            ).alias("_tp")
+        )
+        # docs holding NONE of the query terms can still match when a
+        # NOT sits under OR (or bare) — detected structurally, so the
+        # corpus docset joins in only when the complement is reachable
+        if _zero_term_match(node):
+            base = self.index.doclen.select("doc_id").join(agg, "doc_id", "left")
+        else:
+            base = agg
+        matched, score = _eval_tree(node, F.col("_tp"))
+        return base.filter(matched).select("doc_id", score.alias("score"))
 
     # -- node handlers -------------------------------------------------
     def _compile(self, node: ast.Expression, partials: DataFrame | None) -> DataFrame:
