@@ -20,13 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index.builder import InvertedIndex
-from .compiler import (
-    _eval_tree,
-    _fusable,
-    _leaf_terms,
-    _zero_term_match,
-    compile_ast,
-)
+from .compiler import compile_ast
 from .mlt import MLTParams, interesting_terms
 from .parser import parse_query
 from .scorer import BM25, Similarity, score_terms
@@ -57,12 +51,16 @@ def unsupervised_feedback(
     postings scans), so no data-dependent broadcast re-executes an
     upstream plan."""
     tree, _ = parse_query(query)
-    seed_terms = sorted(set(_leaf_terms(tree)))
-    fused = bool(seed_terms) and _fusable(tree)
-    seed_scored = compile_ast(index, tree, sim=sim)
-    if not fused:
-        # reused by the final join below — cache once
-        seed_scored = seed_scored.persist()
+    # the seed query itself compiles to the FUSED one-shuffle plan
+    # when the tree allows (compiler._fused); cached here because the
+    # final step re-reads it. The final query deliberately stays a
+    # join — NOT the fused pivot: the seed MUST side is selective, so
+    # sum-agg over expansion partials (map-side combined to one double
+    # per doc) joined against the small cached seed frame beats
+    # evaluating |seed|+|expansion| pivot columns for every doc that
+    # matches ANY term (A/B at sf0.1: join 0.59 s vs fused 0.81 s,
+    # while the pure-boolean fusion wins 0.27 s vs 0.43 s).
+    seed_scored = compile_ast(index, tree, sim=sim).persist()
 
     seed_ids = [
         int(r["doc_id"])
@@ -74,53 +72,21 @@ def unsupervised_feedback(
     ]
     rows = interesting_terms(index, seed_ids, params).collect()
     boosts = [(r["term"], float(r["score"])) for r in rows]
-    if fused:
-        # final query in ONE scan + ONE shuffle: partials over the
-        # UNION of seed + expansion terms (all at boost 1.0), per-doc
-        # term->partial map, then seed-tree matched/score via the same
-        # column-expression evaluator the compiler uses, expansion
-        # weights applied as literals (partial(w) = w * partial(1)).
-        # No persist, no join — replaces cache-write + shuffle-join of
-        # the seed frame against the expansion aggregate.
-        all_terms = sorted(set(seed_terms) | {t for t, _ in boosts})
-        partials = score_terms(
-            index, [(t, 1.0) for t in all_terms], sim=sim
+    if boosts:
+        df_map = {r["term"]: int(r["df"]) for r in rows}
+        partials = score_terms(index, boosts, sim=sim, df_map=df_map)
+        exp = partials.groupBy("doc_id").agg(
+            F.sum("partial").alias("exp_score")
         )
-        agg = partials.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "partial"))
-            ).alias("_tp")
-        )
-        if _zero_term_match(tree):
-            # a NOT under OR (or bare) makes the complement reachable:
-            # docs with none of the terms can match the seed query
-            agg = index.doclen.select("doc_id").join(agg, "doc_id", "left")
-        matched, seed_score = _eval_tree(tree, F.col("_tp"))
-        exp_score = F.lit(0.0)
-        for t, w in boosts:
-            exp_score = exp_score + F.lit(float(w)) * F.coalesce(
-                F.element_at(F.col("_tp"), F.lit(t)), F.lit(0.0)
-            )
-        final = agg.filter(matched).select(
-            "doc_id",
-            F.round(seed_score + exp_score, round_to).alias("score"),
+        final = seed_scored.join(exp, "doc_id", "left").fillna(
+            {"exp_score": 0.0}
         )
     else:
-        if boosts:
-            df_map = {r["term"]: int(r["df"]) for r in rows}
-            partials = score_terms(index, boosts, sim=sim, df_map=df_map)
-            exp = partials.groupBy("doc_id").agg(
-                F.sum("partial").alias("exp_score")
-            )
-            final = seed_scored.join(exp, "doc_id", "left").fillna(
-                {"exp_score": 0.0}
-            )
-        else:
-            final = seed_scored.withColumn("exp_score", F.lit(0.0))
-        final = final.select(
-            "doc_id",
-            F.round(F.col("score") + F.col("exp_score"), round_to).alias("score"),
-        )
+        final = seed_scored.withColumn("exp_score", F.lit(0.0))
+    final = final.select(
+        "doc_id",
+        F.round(F.col("score") + F.col("exp_score"), round_to).alias("score"),
+    )
     if k is None:
         return final
     return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
