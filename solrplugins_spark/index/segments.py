@@ -1077,12 +1077,20 @@ def _segment_topk_sim(
     n: int,
     avgdl: float,
     min_should_match: int = 1,
+    boost_fn_spec: tuple | None = None,
 ) -> pd.DataFrame:
     """Exact per-segment top-k for an arbitrary Similarity (payload /
     classic / toggle variants) — decodes the full posting (+ payload
     sub-stream when the similarity uses it) per query term. The
     block-max pruned path stays specialized to BM25; these variants
     are exact by construction.
+
+    ``boost_fn_spec``: (value_col, fn) — BoostedQuery's multiplicative
+    ValueSource (MoreLikeThisHelper.java:131-145): fn is a vectorized
+    np.ndarray -> np.ndarray over the per-doc values of ``value_col``
+    ("doc_id" = the intrinsic key; any other name reads the segment's
+    packed docvalues stream), multiplied into every candidate's score
+    BEFORE top-k — the boost decides which docs make the k.
 
     ``min_should_match``: docs matching fewer than mm DISTINCT query
     terms are dropped BEFORE top-k (BooleanQuery.setMinimumNumber
@@ -1143,6 +1151,29 @@ def _segment_topk_sim(
     if min_should_match > 1:
         keep = acc_counts >= min_should_match
         acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+    if boost_fn_spec is not None and len(acc_docs):
+        value_col, fn = boost_fn_spec
+        if value_col == "doc_id":
+            vals = acc_docs.astype(np.float64)
+        else:
+            dv_rows = pdf[(pdf["_kind"] == "dv") & (pdf["term"] == value_col)]
+            if len(dv_rows) == 0:
+                raise ValueError(
+                    f"segment frame lacks the {value_col!r} docvalues "
+                    "stream for boost_fn"
+                )
+            arr = _decode_doclens(dv_rows["data"].iloc[0])
+            lo = int(dv_rows["doc_lo"].iloc[0])
+            # tombstoned docs were stripped from the postings above,
+            # so every remaining candidate holds a real value
+            vals = arr[acc_docs - lo].astype(np.float64)
+        boost = np.asarray(fn(vals), np.float64)
+        if boost.shape != acc_scores.shape:
+            raise ValueError(
+                "boost_fn must map an (n,) value array to an (n,) "
+                f"boost array; got {boost.shape} for {acc_scores.shape}"
+            )
+        acc_scores = acc_scores * boost
     return _topk_frame(acc_docs, acc_scores, k)
 
 
@@ -2557,6 +2588,7 @@ def wand_search_multi(
     round_to: int = 5,
     sim=None,
     min_should_match: int = 1,
+    boost_fn: tuple | None = None,
 ) -> DataFrame:
     """Top-k across MULTIPLE packed indexes (e.g. streamed generations
     before compaction) with GLOBAL statistics.
@@ -2582,7 +2614,7 @@ def wand_search_multi(
         merged,
         terms_boosts,
         k=k, k1=k1, b=b, round_to=round_to, sim=sim,
-        min_should_match=min_should_match,
+        min_should_match=min_should_match, boost_fn=boost_fn,
     )
 
 
@@ -2596,6 +2628,7 @@ def wand_search(
     round_to: int = 5,
     sim=None,
     min_should_match: int = 1,
+    boost_fn: tuple | None = None,
 ) -> DataFrame:
     """Distributed top-k over packed segments.
 
@@ -2618,11 +2651,19 @@ def wand_search(
     per-segment scorer (counting clause matches requires every query
     term's postings regardless), rank-identical to the flat
     search_terms(min_should_match=mm).
+
+    ``boost_fn``: (value_col, fn) — BoostedQuery at the serve tier
+    (the flat handlers.boosted_search twin; MoreLikeThisHelper
+    .java:131-145): fn is a vectorized np.ndarray -> np.ndarray
+    ValueSource over ``value_col`` ("doc_id", or any column packed
+    via build_segments(..., value_cols=[...])), multiplied into every
+    candidate's score BEFORE ranking. Runs the exact per-segment
+    scorer — an unbounded multiplier invalidates block-max bounds.
     """
     return _wand_search_frames(
         spark, [(0, seg_index)], seg_index, terms_boosts,
         k=k, k1=k1, b=b, round_to=round_to, sim=sim,
-        min_should_match=min_should_match,
+        min_should_match=min_should_match, boost_fn=boost_fn,
     )
 
 
@@ -2826,6 +2867,7 @@ def _wand_search_frames(
     round_to: int,
     sim=None,
     min_should_match: int = 1,
+    boost_fn: tuple | None = None,
 ) -> DataFrame:
     term_list = sorted({t for t, _ in terms_boosts})
     boosts: dict[str, float] = {}
@@ -2833,11 +2875,12 @@ def _wand_search_frames(
         boosts[t] = boosts.get(t, 0.0) + float(w)
 
     # the pruned block-max path is specialized to plain BM25 at mm=1;
-    # other similarity variants (payload/classic/toggles) and mm>1
+    # other similarity variants (payload/classic/toggles), mm>1
     # (needs per-doc matched-clause counts, so every query term's
-    # postings decode anyway) run the exact per-segment scorer over
-    # the v3 sub-streams
-    plain_bm25 = min_should_match <= 1 and (
+    # postings decode anyway), and boost_fn (an unbounded multiplier
+    # invalidates the block-max upper bounds) run the exact
+    # per-segment scorer over the v3 sub-streams
+    plain_bm25 = min_should_match <= 1 and boost_fn is None and (
         sim is None
         or (
             sim.kind == "bm25"
@@ -2848,10 +2891,23 @@ def _wand_search_frames(
     # sub-stream columns only when the scorer will read them (payload
     # similarity) — parquet column pruning skips pos/pay bytes for
     # classic/toggle sims and the mm>1 BM25 path
-    unified = _unified_frame(
-        spark, gens, term_list,
-        with_subs=sim is not None and sim.use_payload,
-    )
+    with_subs = sim is not None and sim.use_payload
+    unified = _unified_frame(spark, gens, term_list, with_subs=with_subs)
+    if boost_fn is not None and boost_fn[0] != "doc_id":
+        value_col = boost_fn[0]
+        for gen_id, si in gens:
+            if value_col not in si.value_cols:
+                raise ValueError(
+                    f"boost_fn over {value_col!r} needs a docvalues "
+                    "stream — rebuild with build_segments(..., "
+                    f"value_cols=[{value_col!r}]) (doc_id is intrinsic)"
+                )
+            unified = unified.unionByName(
+                _dv_frame(
+                    spark, si, value_col, with_subs,
+                    seg_offset=gen_id * 1_000_000,
+                )
+            )
 
     dfs = _gen_dfs(
         gens, term_list,
@@ -2885,6 +2941,7 @@ def _wand_search_frames(
             return _segment_topk_sim(
                 pdf, boosts, dfs, k, sim, n, avgdl,
                 min_should_match=min_should_match,
+                boost_fn_spec=boost_fn,
             )
 
     seg_tops = _apply_per_segment(

@@ -390,6 +390,7 @@ _WINDOW_ORDER = [
     # registered past the window this round, oracle-paired + pytest
     # parity-checked; rotate in r06 (the r04 pattern)
     "wand_update",
+    "wand_boosted_fn",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate

@@ -1721,6 +1721,40 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_wand_boosted_fn(spark, sf_dir):
+    """BoostedQuery on the PACKED path (serve-tier twin of boosted_fn):
+    same BM25 OR, multiplicative ValueSource over the n_chars
+    docvalues stream — fn(v) = v % 7 + 1 applied BEFORE ranking, per
+    MoreLikeThisHelper.java:131-145. Proves function boosts never need
+    the flat corpus at query time: the value comes from the packed
+    NumericDocValues analogue, the scorer is the exact per-segment
+    kernel (block-max bounds are invalid under an unbounded
+    multiplier, segments.py _wand_search_frames)."""
+    import numpy as np
+
+    from .index.segments import wand_search
+
+    return wand_search(
+        spark,
+        _dv_segments(spark, sf_dir),
+        [("dup", 1.0), ("batch", 1.0)],
+        k=10,
+        boost_fn=("n_chars", lambda v: np.mod(v, 7.0) + 1.0),
+    )
+
+
+SQL_WAND_BOOSTED_FN = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+scored AS (
+  SELECT doc_id, sum(partial) AS s
+  FROM partials WHERE term IN ('dup', 'batch') GROUP BY doc_id
+)
+SELECT s.doc_id, round(s.s * (d.n_chars % 7 + 1), 5) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_mlt_docs(spark, sf_dir):
     """Full MLT: top-10 similar docs for seed 0, seed excluded."""
     from .query.mlt import MLTParams, more_like_this
@@ -2188,6 +2222,7 @@ EXT_QUERIES = {
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
     "wand_update": q_wand_update,
+    "wand_boosted_fn": q_wand_boosted_fn,
     "classic_coord": q_classic_coord,
     "boosted_fn": q_boosted_fn,
     "range_query": q_range_query,
@@ -2273,6 +2308,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),
         "wand_update": _sql_wand_update(),
+        "wand_boosted_fn": SQL_WAND_BOOSTED_FN,
         "classic_coord": SQL_CLASSIC_COORD,
         "boosted_fn": SQL_BOOSTED_FN,
         "range_query": SQL_RANGE_QUERY,

@@ -206,3 +206,64 @@ def test_packed_feedback_handler_matches_flat(spark, tiny_corpus, tmp_path):
         got = out["docs"].toPandas()
         assert list(got["doc_id"]) == list(want["doc_id"]), query
         assert list(got["score"]) == pytest.approx(list(want["score"])), query
+
+
+def test_packed_boosted_fn_matches_flat(spark, tiny_corpus, tmp_path):
+    """BoostedQuery on the packed path (wand_search boost_fn) ==
+    flat boosted_search, for the intrinsic doc_id ValueSource, a
+    packed docvalues column, and combined with min_should_match —
+    multiplicative boost applied BEFORE ranking on both paths
+    (MoreLikeThisHelper.java:131-145)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments, wand_search
+    from solrplugins_spark.query.handlers import boosted_search
+
+    docs = tiny_corpus.withColumn("n_chars", F.length("text"))
+    idx = build_index(docs).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "bfn"), seg_size=64, groups=2,
+        value_cols=["n_chars"],
+    )
+    tb = [("w0001", 2.0), ("w0003", 1.0)]
+    cases = [
+        (
+            ("doc_id", lambda v: np.mod(v, 7.0) + 1.0),
+            (F.col("doc_id") % 7 + 1).cast("double"),
+            1,
+        ),
+        (
+            ("n_chars", lambda v: 1.0 + np.log1p(v)),
+            (F.lit(1.0) + F.log1p(F.col("n_chars"))).cast("double"),
+            1,
+        ),
+        (
+            ("n_chars", lambda v: np.mod(v, 5.0) + 1.0),
+            (F.col("n_chars") % 5 + 1).cast("double"),
+            2,
+        ),
+    ]
+    for spec, col_fn, mm in cases:
+        got = wand_search(
+            spark, seg, tb, k=8, boost_fn=spec, min_should_match=mm
+        ).toPandas()
+        want = boosted_search(
+            idx, tb, col_fn, k=8, min_should_match=mm
+        ).toPandas()
+        assert list(got["doc_id"]) == list(want["doc_id"]), spec
+        assert list(got["score"]) == pytest.approx(list(want["score"])), spec
+
+
+def test_packed_boosted_fn_needs_docvalues(spark, tiny_corpus, tmp_path):
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments, wand_search
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(idx, str(tmp_path / "nodv"), seg_size=64, groups=1)
+    with pytest.raises(ValueError, match="docvalues"):
+        wand_search(
+            spark, seg, [("w0001", 1.0)], k=5,
+            boost_fn=("n_chars", lambda v: v),
+        )
