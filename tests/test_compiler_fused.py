@@ -77,13 +77,23 @@ def test_fused_equals_join_algebra(tiny_index, q):
 
 
 def test_fused_path_actually_taken(tiny_index):
-    """Guard the dispatch itself: a pure term/AND/OR/NOT tree must
-    produce the pivoted one-aggregate plan (no join in the optimized
-    plan), while a Quote tree must fall back to the join algebra."""
-    plan = execute_query(
-        tiny_index, "w0003 and w0007 or quartzowl", k=10
-    )._jdf.queryExecution().optimizedPlan().toString()
-    assert "Join" not in plan
+    """Guard the dispatch AND the physical shape: a pure term/AND/OR/
+    NOT tree must produce the one-shuffle pivot plan — exactly 1
+    Exchange (the groupBy(doc_id)), 0 Joins, codegen HashAggregate
+    (partial + final; never ObjectHashAggregate), top-k as
+    TakeOrderedAndProject — while a Quote tree must fall back to the
+    join algebra."""
+    plan = (
+        execute_query(tiny_index, "w0003 and w0007 or quartzowl", k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
     from solrplugins_spark.query.parser import parse_query
 
     tree, _ = parse_query('"w0003 w0007" and quartzowl')
