@@ -578,3 +578,149 @@ def ngram_cap_dropped(
             .alias("salts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better": remove every duplicated >=W-token
+# span, keeping one canonical occurrence)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, start, span) — every ``window``-token span whose exact
+    token sequence occurs MORE THAN ONCE corpus-wide, excluding the
+    one canonical occurrence per distinct span (min doc_id, then min
+    start): the ExactSubstr detection pass, with "keep one copy"
+    resolved deterministically.
+
+    100-TB shape — two shuffles, neither carries span text for the
+    full corpus:
+      1. candidate pass: windows reduce to (xxhash64(span)) 8-byte
+         keys; groupBy(hash) count with map-side combine finds hashes
+         seen >1 times. No span strings move.
+      2. exact pass: only candidate rows (the duplicated fraction)
+         re-materialize their span string; groupBy(span) re-counts
+         exactly and picks the canonical min(struct(doc_id, start)) —
+         a 64-bit hash collision can only create a false CANDIDATE,
+         which this pass discards, so the result is exact.
+    The window enumeration itself is pure JVM column expressions
+    (sequence + posexplode + slice + array_join, the chunk_documents
+    machinery) — no UDF, no python.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    toks = tokens_col(text_col)
+    n = F.size("_toks")
+    base = (
+        docs.select(F.col(doc_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(n >= window)
+        .select(
+            "doc_id",
+            "_toks",
+            F.posexplode(
+                F.sequence(F.lit(0), n - window, F.lit(1))
+            ).alias("start", "_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            F.array_join(
+                F.slice("_toks", F.col("start") + 1, window), " "
+            ).alias("span"),
+        )
+    )
+    wins = base.select(
+        "doc_id", "start", F.xxhash64("span").alias("_h")
+    )
+    dup_h = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h")
+    )
+    cand = base.join(
+        wins.join(dup_h, "_h").select("doc_id", "start"),
+        ["doc_id", "start"],
+    )
+    exact = (
+        cand.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct("doc_id", "start")).alias("_first"),
+        )
+        .filter(F.col("_c") > 1)
+        .select("span", "_first")
+    )
+    return cand.join(exact, "span").filter(
+        ~(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("start") == F.col("_first.start"))
+        )
+    ).select("doc_id", "start", "span")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_kept, text) — the ExactSubstr REMOVAL pass: every
+    token covered by a non-canonical duplicated window (see
+    duplicate_spans) is dropped; the canonical first occurrence of
+    each distinct span survives (unless a different duplicated window
+    covers its tokens). Text is rebuilt from the surviving tokens in
+    order; docs with no tokens removed pass through unchanged
+    (re-joined from their token array, so output text is always
+    whitespace-normalized tokenized form).
+
+    Plan: position-level coverage (explode each span into its
+    ``window`` positions, distinct) anti-joined against the token
+    positions, then one groupBy(doc_id) rebuilding the text via
+    sort_array(collect_list(struct(pos, tok))) — deterministic
+    regardless of partitioning."""
+    if spans is None:
+        spans = duplicate_spans(
+            docs, window=window, doc_col=doc_col, text_col=text_col
+        )
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + window - 1)
+        ).alias("pos"),
+    ).distinct()
+    toks = tokens_col(text_col)
+    tokpos = docs.select(
+        F.col(doc_col).alias("doc_id"), toks.alias("_toks")
+    ).select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    # docs whose every token was covered (or that had no tokens) still
+    # get a row — empty text, n_kept 0
+    all_ids = docs.select(F.col(doc_col).alias("doc_id")).distinct()
+    return (
+        all_ids.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

@@ -391,6 +391,8 @@ _WINDOW_ORDER = [
     # parity-checked; rotate in r06 (the r04 pattern)
     "wand_update",
     "wand_boosted_fn",
+    "dup_spans",
+    "dedup_substring",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate

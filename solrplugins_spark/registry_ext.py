@@ -632,6 +632,89 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+_SQL_SUBSTR_COMMON = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1 AND length(t) <= 64) AS a
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS i
+  FROM toks WHERE len(a) >= 8
+),
+spans AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(a[i : i + 7], ' ') AS span
+  FROM pos
+),
+ranked AS (
+  SELECT doc_id, start, span,
+         count(*) OVER (PARTITION BY span) AS c,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, start) AS rn
+  FROM spans
+)"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr DETECTION (Lee et al. 2021): every 8-token span
+    occurring >1 times corpus-wide, minus the canonical first
+    occurrence per distinct span. Engine runs the two-shuffle
+    hash-prefilter plan (8-byte keys for the full corpus, span text
+    only for the duplicated fraction); the oracle recomputes from the
+    raw window strings — value-identity proves the hash prefilter
+    loses nothing."""
+    from .dedup.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, window=8)
+
+
+SQL_DUP_SPANS = f"""
+WITH {_SQL_SUBSTR_COMMON}
+SELECT doc_id, start, span FROM ranked WHERE c > 1 AND rn > 1
+"""
+
+
+def q_dedup_substring(spark, sf_dir):
+    """ExactSubstr REMOVAL: tokens covered by any non-canonical
+    duplicated 8-token window are dropped, text rebuilt from the
+    survivors in order (whitespace-normalized tokenized form); every
+    doc keeps a row (n_kept=0, empty text when fully covered)."""
+    from .dedup.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, window=8)
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH {_SQL_SUBSTR_COMMON},
+dups AS (SELECT doc_id, start FROM ranked WHERE c > 1 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, start + unnest(generate_series(0, 7)) AS p FROM dups
+),
+tokpos AS (
+  SELECT doc_id, unnest(a) AS tok,
+         unnest(generate_series(1, len(a))) - 1 AS p
+  FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.p FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.p = t.p
+  )
+),
+rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(r.text, '') AS text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_dedup_apply(spark, sf_dir):
     """End of the dedup pipeline: the MATERIALIZED deduplicated corpus
     — planted near-dup corpus minus every non-canonical cluster member
@@ -2193,6 +2276,8 @@ EXT_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
+    "dup_spans": q_dup_spans,
+    "dedup_substring": q_dedup_substring,
     "emb_near_dup": q_emb_near_dup,
     "knn_join": q_knn_join,
     "ann_cosine": q_ann_cosine,
@@ -2279,6 +2364,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_clusters": _sql_dedup_clusters(),
         "dedup_apply": _sql_dedup_apply(),
+        "dup_spans": SQL_DUP_SPANS,
+        "dedup_substring": SQL_DEDUP_SUBSTRING,
         "emb_near_dup": _sql_emb_near_dup(),
         "knn_join": _sql_knn_join(),
         "ann_cosine": SQL_ANN_COSINE,

@@ -716,3 +716,72 @@ def test_ivf_materialized_serving_prunes_partitions(spark, emb, tmp_path):
     assert len(all_buckets) > 3, "fixture must populate more cells than nprobe"
     # plan-level: the partition filter shows up in the scan node
     assert "PartitionFilters" in plan.toString() and "bucket" in plan.toString()
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2021 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_golden(spark):
+    """Hand-checkable: canonical (min doc_id, min start) occurrence is
+    exempt; every other occurrence of a duplicated window reports."""
+    from solrplugins_spark.dedup.dedup import duplicate_spans
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x a b c d e y"),
+        (2, "unique tokens only here"),
+        (3, "a b c d"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        duplicate_spans(df, window=4)
+        .orderBy("doc_id", "start")
+        .toPandas()
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (1, 1, "a b c d"),
+        (1, 2, "b c d e"),
+        (3, 0, "a b c d"),
+    ]
+
+
+def test_remove_duplicate_spans_golden(spark):
+    from solrplugins_spark.dedup.dedup import remove_duplicate_spans
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x a b c d e y"),
+        (2, "unique tokens only here"),
+        (3, "a b c d"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        remove_duplicate_spans(df, window=4)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (0, 6, "a b c d e f"),   # canonical doc: untouched
+        (1, 2, "x y"),           # covered positions 1-5 removed
+        (2, 4, "unique tokens only here"),
+        (3, 0, ""),              # fully covered
+        (4, 0, ""),              # empty doc keeps a row
+    ]
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """The candidate pass must shuffle 8-byte hashes, not span text:
+    the first aggregate groups on the xxhash64 column and the whole
+    detection plan carries no python UDF and no cartesian join."""
+    from solrplugins_spark.dedup.dedup import duplicate_spans
+
+    rows = [(i, f"t{i} common a b c d e f common") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = duplicate_spans(df, window=4)._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
