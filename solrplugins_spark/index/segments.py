@@ -1333,6 +1333,7 @@ def _segment_boolean_topk(
     b: float,
     facet_ord_col: str | None = None,
     boost_terms: list[tuple[str, float]] | None = None,
+    boost_fn_spec: tuple | None = None,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1572,6 +1573,26 @@ def _segment_boolean_topk(
             if mask.any():
                 idx = np.searchsorted(docs, d[mask])
                 scores[idx] += bst * s[mask]
+    if boost_fn_spec is not None and len(docs):
+        # BoostedQuery's multiplicative ValueSource (MoreLikeThisHelper
+        # .java:131-145) — applied BEFORE top-k so the boost decides
+        # which docs make the k; values from the intrinsic doc_id or
+        # the segment's packed docvalues stream
+        bcol, bfn = boost_fn_spec
+        if bcol == "doc_id":
+            vals = docs.astype(np.float64)
+        else:
+            if bcol not in dvs:
+                raise ValueError(
+                    f"segment frame lacks the {bcol!r} docvalues stream "
+                    "for boost_fn"
+                )
+            vals = dvs[bcol][docs - dv_lo[bcol]].astype(np.float64)
+        # flat twin parity: the flat boolean surfaces hand
+        # _apply_boost_fn a 5-decimal-rounded base score
+        # (unsupervised_feedback / execute_query round their output),
+        # so the multiplier applies to the rounded base here too
+        scores = np.round(scores, 5) * np.asarray(bfn(vals), np.float64)
     if facet_ord_col is not None:
         if len(docs) == 0 or facet_ord_col not in dvs:
             return _empty_facet()
@@ -1607,6 +1628,7 @@ def _prepare_boolean(
     field_sims: dict | None = None,
     str_cols: tuple = (),
     extra_terms: tuple = (),
+    extra_dv_cols: tuple = (),
 ):
     """Shared preparation for the packed boolean paths: parse, build
     per-field scoring contexts (sidecar dfs, avgdl, k1/b overrides)
@@ -1692,12 +1714,14 @@ def _prepare_boolean(
 
     range_fields: set = set()
     _range_fields(tree, range_fields)
-    dv_needed = sorted(range_fields - {"doc_id"})
+    # extra_dv_cols: value streams a caller needs beyond the tree's
+    # own Range fields (e.g. a boost_fn ValueSource column)
+    dv_needed = sorted((range_fields | set(extra_dv_cols)) - {"doc_id"})
     for _, si in gens:
         not_packed = [c for c in dv_needed if c not in si.value_cols]
         if not_packed:
             raise ValueError(
-                f"packed range over {not_packed} needs docvalues streams — "
+                f"packed range/boost over {not_packed} needs docvalues streams — "
                 f"rebuild with build_segments(..., value_cols={not_packed}) "
                 "or use the flat path (doc_id ranges are intrinsic)"
             )
@@ -1763,6 +1787,14 @@ def _prepare_boolean(
     return tree, field_ctx, unified
 
 
+def _boost_dv_cols(boost_fn: tuple | None) -> tuple:
+    """docvalues columns a boost_fn ValueSource needs fetched
+    (nothing for the intrinsic doc_id key)."""
+    if boost_fn is None or boost_fn[0] == "doc_id":
+        return ()
+    return (boost_fn[0],)
+
+
 def wand_boolean_search(
     spark: SparkSession,
     seg_index: SegmentIndex,
@@ -1773,6 +1805,7 @@ def wand_boolean_search(
     round_to: int = 5,
     field_segments: dict[str, SegmentIndex] | None = None,
     field_sims: dict | None = None,
+    boost_fn: tuple | None = None,
 ) -> DataFrame:
     """Parsed boolean query (NOT > AND > OR precedence, the reference
     grammar) over PACKED segments: the boolean tree evaluates
@@ -1793,11 +1826,14 @@ def wand_boolean_search(
     n/avgdl aggregate globally, so results equal the compacted
     index's — boolean serving never waits for compaction."""
     tree, field_ctx, unified = _prepare_boolean(
-        spark, seg_index, query, field_segments, field_sims
+        spark, seg_index, query, field_segments, field_sims,
+        extra_dv_cols=_boost_dv_cols(boost_fn),
     )
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_boolean_topk(pdf, tree, field_ctx, k, k1, b)
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, k, k1, b, boost_fn_spec=boost_fn
+        )
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
@@ -1821,6 +1857,7 @@ def wand_boolean_boosted_search(
     round_to: int = 5,
     field_segments: dict[str, SegmentIndex] | None = None,
     field_sims: dict | None = None,
+    boost_fn: tuple | None = None,
 ) -> DataFrame:
     """The feedback FINAL query on the packed path: seed query MUST +
     expansion SHOULD (UnsupervisedFeedbackHelper.java:110-118).
@@ -1832,11 +1869,13 @@ def wand_boolean_boosted_search(
     tree, field_ctx, unified = _prepare_boolean(
         spark, seg_index, query, field_segments, field_sims,
         extra_terms=tuple(sorted({t for t, _ in boost_terms})),
+        extra_dv_cols=_boost_dv_cols(boost_fn),
     )
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_boolean_topk(
-            pdf, tree, field_ctx, k, k1, b, boost_terms=boost_terms
+            pdf, tree, field_ctx, k, k1, b, boost_terms=boost_terms,
+            boost_fn_spec=boost_fn,
         )
 
     seg_tops = _apply_per_segment(

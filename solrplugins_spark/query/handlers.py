@@ -233,6 +233,7 @@ def packed_mlt_handler(
     text_col: str = "text",
     interesting_terms_detail: bool = True,
     tok_kwargs: dict | None = None,
+    boost_fn: tuple | None = None,
 ) -> dict[str, DataFrame]:
     """/mlt served ENTIRELY from a packed index — no flat corpus, no
     postings frame (DiceMoreLikeThisHandler.java:67-271 at the
@@ -263,15 +264,19 @@ def packed_mlt_handler(
         docs = spark.createDataFrame([], "doc_id long, score double")
     else:
         mm = params.min_should_match
+        # boost_fn rides into the wand execution (multiplied BEFORE
+        # ranking, the flat mlt_handler's _apply_boost_fn semantics);
+        # the k+|seeds| over-fetch stays exact — a per-doc multiplier
+        # cannot let seeds displace more than |seeds| rows
         docs = (
             wand_search_multi(
                 spark, list(seg_index), boosts, k=k + len(seed_ids),
-                min_should_match=mm,
+                min_should_match=mm, boost_fn=boost_fn,
             )
             if is_multi
             else wand_search(
                 spark, seg_index, boosts, k=k + len(seed_ids),
-                min_should_match=mm,
+                min_should_match=mm, boost_fn=boost_fn,
             )
         )
         docs = (
@@ -320,6 +325,7 @@ def packed_feedback_handler(
     max_seed_docs: int = 5,
     text_col: str = "text",
     tok_kwargs: dict | None = None,
+    boost_fn: tuple | None = None,
 ) -> dict[str, DataFrame]:
     """/uf served ENTIRELY from a packed index
     (DiceUnsupervisedFeedbackHandler + UnsupervisedFeedbackHelper
@@ -338,10 +344,18 @@ def packed_feedback_handler(
     )
     terms = spark.createDataFrame(queue, schema=_MLT_TERMS_SCHEMA)
     boosts = [(t, float(s)) for t, s in zip(queue["term"], queue["score"])]
+    # boost_fn: the multiplicative ValueSource applied to the FINAL
+    # query before ranking (the flat feedback_handler's boost_fn);
+    # seed selection stays unboosted, matching _apply_boost_fn's
+    # post-seed placement on the flat path
     if boosts:
-        docs = wand_boolean_boosted_search(spark, seg_index, query, boosts, k=k)
+        docs = wand_boolean_boosted_search(
+            spark, seg_index, query, boosts, k=k, boost_fn=boost_fn
+        )
     else:
-        docs = wand_boolean_search(spark, seg_index, query, k=k)
+        docs = wand_boolean_search(
+            spark, seg_index, query, k=k, boost_fn=boost_fn
+        )
     return {"docs": docs, "interesting_terms": terms}
 
 

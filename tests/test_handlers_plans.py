@@ -267,3 +267,50 @@ def test_packed_boosted_fn_needs_docvalues(spark, tiny_corpus, tmp_path):
             spark, seg, [("w0001", 1.0)], k=5,
             boost_fn=("n_chars", lambda v: v),
         )
+
+
+def test_packed_handlers_boost_fn_matches_flat(spark, tiny_corpus, tmp_path):
+    """boost_fn (BoostedQuery ValueSource) on the packed /mlt and /uf
+    handlers == the flat handlers' _apply_boost_fn — multiplicative
+    boost decides the top-k on both paths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.handlers import (
+        feedback_handler,
+        mlt_handler,
+        packed_feedback_handler,
+        packed_mlt_handler,
+    )
+    from solrplugins_spark.query.mlt import MLTParams
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "bfh"), seg_size=64, groups=2,
+        store_cols=["text"],
+    )
+    params = MLTParams(min_term_freq=1, min_doc_freq=2, max_query_terms=15)
+    spec = ("doc_id", lambda v: np.mod(v, 5.0) + 1.0)
+    col_fn = (F.col("doc_id") % 5 + 1).cast("double")
+
+    got = packed_mlt_handler(
+        spark, seg, [0, 3], params, k=8, boost_fn=spec
+    )["docs"].toPandas()
+    want = mlt_handler(idx, [0, 3], params, k=8, boost_fn=col_fn)[
+        "docs"
+    ].toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["score"]) == pytest.approx(list(want["score"]), abs=1e-4)
+
+    got = packed_feedback_handler(
+        spark, seg, "w0001 or w0003", params, k=8, max_seed_docs=4,
+        boost_fn=spec,
+    )["docs"].toPandas()
+    want = feedback_handler(
+        idx, "w0001 or w0003", params, k=8, max_seed_docs=4,
+        boost_fn=col_fn,
+    )["docs"].toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["score"]) == pytest.approx(list(want["score"]), abs=1e-4)
