@@ -97,7 +97,7 @@ class Similarity:
             return F.log(F.lit(1.0) + (n - df_col + 0.5) / (df_col + 0.5))
         return F.log(n / (df_col + 1.0)) + 1.0
 
-    def score_expr(
+    def factor_exprs(
         self,
         tf: Column,
         df_col: Column,
@@ -105,7 +105,18 @@ class Similarity:
         avgdl: float,
         n_docs: int,
         payload: Column | None = None,
-    ) -> Column:
+    ) -> dict[str, Column | None]:
+        """The score decomposed into its factors — the Lucene
+        Explanation tree (IndexSearcher.explain, what Solr's
+        debugQuery=true renders) flattened to columns:
+          bm25:    score = idf * tf_norm              (norm = 1.0 —
+                   length normalization lives inside tf_norm's
+                   denominator, exactly how Lucene's BM25 explain
+                   nests it)
+          classic: score = tf_norm * idf * norm
+        with an optional trailing payload factor. score_expr builds
+        its product from THESE columns in THAT order, so explain
+        rows multiply back to the served score bit-for-bit."""
         tfd = tf.cast("double")
         if self.lossy_norm and self.kind != "classic":
             raise ValueError(
@@ -119,7 +130,7 @@ class Similarity:
             )
             if not self.use_tf:
                 tf_part = F.when(tfd > 0, F.lit(1.0)).otherwise(F.lit(0.0))
-            score = self.idf(df_col, n_docs) * tf_part
+            norm = F.lit(1.0)
         else:
             tf_part = F.sqrt(tfd) if self.use_tf else F.when(tfd > 0, F.lit(1.0)).otherwise(0.0)
             if self.use_norm:
@@ -127,9 +138,30 @@ class Similarity:
                 norm = lossy_norm_expr(raw) if self.lossy_norm else raw
             else:
                 norm = F.lit(1.0)
-            score = tf_part * self.idf(df_col, n_docs) * norm
-        if self.use_payload and payload is not None:
-            score = score * payload
+        pay = payload if (self.use_payload and payload is not None) else None
+        return {
+            "idf": self.idf(df_col, n_docs),
+            "tf_norm": tf_part,
+            "norm": norm,
+            "payload": pay,
+        }
+
+    def score_expr(
+        self,
+        tf: Column,
+        df_col: Column,
+        dl: Column,
+        avgdl: float,
+        n_docs: int,
+        payload: Column | None = None,
+    ) -> Column:
+        fx = self.factor_exprs(tf, df_col, dl, avgdl, n_docs, payload=payload)
+        if self.kind == "bm25":
+            score = fx["idf"] * fx["tf_norm"]
+        else:
+            score = fx["tf_norm"] * fx["idf"] * fx["norm"]
+        if fx["payload"] is not None:
+            score = score * fx["payload"]
         return score
 
 
@@ -259,6 +291,82 @@ def score_terms(
         "term",
         boost_col.alias("boost"),
         (boost_col * partial).alias("partial"),
+    )
+
+
+def explain_terms(
+    index: InvertedIndex,
+    terms_boosts: list[tuple[str, float]],
+    sim: Similarity = BM25,
+    df_map: dict[str, int] | None = None,
+    round_to: int = 5,
+) -> DataFrame:
+    """Lucene Explanation / Solr ``debugQuery=true`` analogue: one row
+    per (matching doc, query term) decomposing the served score into
+    its factors — the debugging surface every reference plugin's
+    similarity change is validated through (Solr renders
+    IndexSearcher.explain for each hit; the reference's similarity
+    suite, e.g. DiceDefaultSimilarity.java, is exactly a change to
+    these factors).
+
+    Columns: (doc_id, term, tf, df, boost, idf, tf_norm, norm,
+    partial) where partial = boost * score_expr(...) — the same
+    expression tree search_terms sums, built from the same
+    Similarity.factor_exprs, so grouping partials by doc reproduces
+    the /select score bit-for-bit (asserted in test_scoring).
+
+    Plan shape matches score_terms: one isin-pruned postings scan,
+    df/boost folded as literal maps (the driver-side TermStates step),
+    zero joins — explain costs the same single codegen'd projection
+    as scoring."""
+    folded: dict[str, float] = {}
+    for t, w in terms_boosts:
+        folded[t] = folded.get(t, 0.0) + float(w)
+    terms_boosts = list(folded.items())
+    if df_map is None:
+        df_map = resolve_df(index, [t for t, _ in terms_boosts])
+    term_list = [t for t, _ in terms_boosts]
+    hits = index.postings.filter(F.col("term").isin(term_list))
+    payload = F.col("payload") if "payload" in index.postings.columns else None
+    boost_entries: list[Column] = []
+    df_entries: list[Column] = []
+    for t, b in terms_boosts:
+        if t not in df_map:
+            continue
+        boost_entries += [F.lit(t), F.lit(float(b))]
+        df_entries += [F.lit(t), F.lit(float(df_map[t]))]
+    if not boost_entries:
+        return hits.limit(0).select(
+            "doc_id",
+            "term",
+            F.lit(0).cast("bigint").alias("tf"),
+            F.lit(0).cast("bigint").alias("df"),
+            F.lit(0.0).alias("boost"),
+            F.lit(0.0).alias("idf"),
+            F.lit(0.0).alias("tf_norm"),
+            F.lit(0.0).alias("norm"),
+            F.lit(0.0).alias("partial"),
+        )
+    boost_col = F.create_map(*boost_entries)[F.col("term")]
+    df_col = F.create_map(*df_entries)[F.col("term")]
+    fx = sim.factor_exprs(
+        F.col("tf"), df_col, F.col("dl"), index.avgdl, index.n_docs,
+        payload=payload,
+    )
+    partial = boost_col * sim.score_expr(
+        F.col("tf"), df_col, F.col("dl"), index.avgdl, index.n_docs,
+        payload=payload,
+    )
+    return hits.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        df_col.cast("bigint").alias("df"),
+        boost_col.alias("boost"),
+        F.round(fx["idf"], round_to).alias("idf"),
+        F.round(fx["tf_norm"], round_to).alias("tf_norm"),
+        F.round(fx["norm"], round_to).alias("norm"),
+        F.round(partial, round_to).alias("partial"),
     )
 
 

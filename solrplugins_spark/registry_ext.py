@@ -2247,6 +2247,38 @@ ORDER BY cosine DESC, id ASC LIMIT 10
 """
 
 
+# ---- score explain (Lucene Explanation / Solr debugQuery=true) ------
+
+def q_explain_score(spark, sf_dir):
+    """Per-(doc, term) score decomposition for a boosted OR query —
+    the IndexSearcher.explain surface Solr renders under
+    debugQuery=true, and the harness every reference similarity
+    change (DiceDefaultSimilarity.java etc.) is validated with.
+    Same single isin-pruned scan as scoring; zero joins."""
+    from .query.scorer import explain_terms
+
+    return explain_terms(_index(spark, sf_dir), [("dup", 2.0), ("batch", 1.0)])
+
+
+SQL_EXPLAIN_SCORE = f"""
+WITH {TOK_SQL},
+qt AS (SELECT 'dup' AS term, 2.0::DOUBLE AS boost
+       UNION ALL SELECT 'batch', 1.0::DOUBLE)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, qt.boost,
+       round(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 5) AS idf,
+       round((tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 5) AS tf_norm,
+       1.0::DOUBLE AS norm,
+       round(qt.boost * (
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * ((tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+       ), 5) AS partial
+FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) JOIN qt USING (term)
+CROSS JOIN stats
+"""
+
+
 EXT_QUERIES = {
     "phrase_query": q_phrase,
     "field_query": q_field_query,
@@ -2312,6 +2344,7 @@ EXT_QUERIES = {
     "boosted_fn": q_boosted_fn,
     "range_query": q_range_query,
     "mlt_docs": q_mlt_docs,
+    "explain_score": q_explain_score,
 }
 
 
@@ -2400,4 +2433,5 @@ def ext_oracle_sql() -> dict[str, str]:
         "boosted_fn": SQL_BOOSTED_FN,
         "range_query": SQL_RANGE_QUERY,
         "mlt_docs": SQL_MLT_DOCS,
+        "explain_score": SQL_EXPLAIN_SCORE,
     }

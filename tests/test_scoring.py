@@ -282,3 +282,44 @@ def test_byte315_lossy_norm_codec_and_packed_parity(spark, tiny_corpus, tmp_path
     packed = wand_search(spark, seg, [(term, 1.0)], k=10, sim=lossy).toPandas()
     assert list(packed["doc_id"]) == list(flat_lossy["doc_id"])
     assert np.allclose(packed["score"], flat_lossy["score"], atol=1e-9)
+
+
+def test_explain_terms_reproduces_served_scores(tiny_index):
+    """explain_terms (the debugQuery=true surface) must decompose the
+    SAME expression search_terms sums: per-doc sum of partials equals
+    the served score, and boost*idf*tf_norm*norm multiplies back to
+    each partial, across similarity kinds (incl. the byte315 lossy
+    norm mode)."""
+    from solrplugins_spark.query.scorer import explain_terms
+
+    tb = [("w0001", 2.0), ("w0002", 1.0)]
+    for sim in (
+        BM25,
+        ClassicDice,
+        Similarity(kind="classic", lossy_norm=True),
+    ):
+        exp = explain_terms(tiny_index, tb, sim=sim, round_to=9).toPandas()
+        assert len(exp) > 0
+        # factors multiply back to the partial
+        prod = exp["boost"] * exp["idf"] * exp["tf_norm"] * exp["norm"]
+        np.testing.assert_allclose(prod, exp["partial"], rtol=1e-5, atol=1e-8)
+        # per-doc sums equal the served ranking scores
+        served = search_terms(tiny_index, tb, k=10_000, sim=sim).toPandas()
+        agg = exp.groupby("doc_id")["partial"].sum()
+        served = served.set_index("doc_id")["score"]
+        joined = pd.concat([agg, served], axis=1, join="inner")
+        assert len(joined) == len(served)
+        np.testing.assert_allclose(
+            joined["partial"], joined["score"], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_explain_terms_unknown_terms_empty_schema(tiny_index):
+    from solrplugins_spark.query.scorer import explain_terms
+
+    out = explain_terms(tiny_index, [("zzznotaterm", 1.0)])
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "term", "tf", "df", "boost",
+        "idf", "tf_norm", "norm", "partial",
+    ]
