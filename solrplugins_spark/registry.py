@@ -394,6 +394,7 @@ _WINDOW_ORDER = [
     "dup_spans",
     "dedup_substring",
     "explain_score",
+    "lm_quality",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate

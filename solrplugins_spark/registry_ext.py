@@ -1271,6 +1271,71 @@ FROM calc
 """
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style n-gram LM perplexity scoring (the filter between
+    dedup and sampling in every large pretraining pipeline): train an
+    add-k bigram LM on the deterministic reference slice
+    (doc_id % 3 == 0 — the gate's stand-in for CCNet's Wikipedia), then
+    score EVERY doc by average bigram log-probability. Non-vacuous:
+    the scoring set includes the 2/3 of the corpus the model never
+    saw, so <unk> mapping and unseen-pair smoothing both fire."""
+    from .text.lm import train_bigram_lm, score_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(
+        docs.filter(F.col("doc_id") % 3 == 0), vocab_size=200, add_k=0.5
+    )
+    return score_bigram_lm(docs, lm)
+
+
+SQL_LM_QUALITY = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks,
+         (doc_id % 3 = 0) AS is_ref
+  FROM documents
+),
+ref_terms AS (
+  SELECT unnest(toks) AS term FROM tk WHERE is_ref
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM ref_terms GROUP BY term
+    ORDER BY c DESC, term ASC LIMIT 200
+  )
+),
+bg_all AS (
+  SELECT doc_id, is_ref,
+         unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                 for i in range(1, len(toks))]) AS p
+  FROM tk WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT doc_id, is_ref,
+         CASE WHEN p.w1 IN (SELECT term FROM vocab) THEN p.w1 ELSE '<unk>' END AS w1,
+         CASE WHEN p.w2 IN (SELECT term FROM vocab) THEN p.w2 ELSE '<unk>' END AS w2
+  FROM bg_all
+),
+c2 AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2 FROM bg WHERE is_ref GROUP BY w1, w2
+),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+nv AS (SELECT count(*) + 1 AS v FROM vocab),  -- realized V incl. <unk>
+lp AS (
+  SELECT b.doc_id,
+         ln((coalesce(c2.c2, 0.0) + 0.5)
+            / (coalesce(c1.c1, 0.0) + 0.5 * nv.v)) AS lp
+  FROM bg b CROSS JOIN nv
+  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  LEFT JOIN c1 ON b.w1 = c1.w1
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(lp), 5) AS lm_logp
+FROM lp GROUP BY doc_id
+"""
+
+
 # ---- event / transcript sequence operators ----------------------------
 
 def _events(spark, sf_dir):
@@ -2326,6 +2391,7 @@ EXT_QUERIES = {
     "fingerprint": q_fingerprint,
     "quality": q_quality,
     "quality_gate": q_quality_gate,
+    "lm_quality": q_lm_quality,
     "wand_single": q_wand_single,
     "wand_or": q_wand_or,
     "wand_phrase": q_wand_phrase,
@@ -2415,6 +2481,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "quality": _sql_quality(),
         "quality_gate": _sql_quality_gate(),
+        "lm_quality": SQL_LM_QUALITY,
         "wand_single": SQL_BM25_SINGLE,
         "wand_or": SQL_BM25_OR_BOOSTED,
         "wand_phrase": SQL_PHRASE,

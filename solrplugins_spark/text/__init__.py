@@ -13,6 +13,11 @@ from .cleaning import (
     redact_pii,
     repetition_features,
 )
+from .lm import (
+    BigramLM,
+    score_bigram_lm,
+    train_bigram_lm,
+)
 from .sampling import (
     chunk_documents,
     deterministic_sample,
@@ -38,4 +43,7 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "epoch_shard",
+    "BigramLM",
+    "train_bigram_lm",
+    "score_bigram_lm",
 ]
