@@ -395,6 +395,8 @@ _WINDOW_ORDER = [
     "dedup_substring",
     "explain_score",
     "lm_quality",
+    "ppl_buckets",
+    "mixture_sample",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate

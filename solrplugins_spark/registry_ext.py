@@ -1335,6 +1335,97 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 FROM lp GROUP BY doc_id
 """
 
+# shared CTE body: everything up to the per-doc score (the lm_quality
+# result), reused verbatim by the bucket gate so both oracles price
+# the identical model
+_SQL_LM_SCORED_CTE = SQL_LM_QUALITY.strip().removeprefix("WITH").rsplit(
+    "SELECT", 1
+)[0]
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail perplexity split, per language: score
+    every doc under the reference-slice bigram LM, then bucket by
+    within-language score terciles. Thresholds are k-th-smallest data
+    values (k = ceil(p*n)) — never interpolated — so the oracle
+    mirrors them exactly; bucketing is broadcast-join + CASE, no sort
+    of the corpus (text/lm.py:ppl_bucket docstring)."""
+    from .text.lm import ppl_bucket, score_bigram_lm, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(
+        docs.filter(F.col("doc_id") % 3 == 0), vocab_size=200, add_k=0.5
+    )
+    scored = score_bigram_lm(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ppl_bucket(scored, by="lang").select("doc_id", "lang", "bucket")
+
+
+SQL_PPL_BUCKETS = f"""
+WITH {_SQL_LM_SCORED_CTE},
+scored AS (
+  SELECT lp.doc_id, round(avg(lp.lp), 5) AS lm_logp
+  FROM lp GROUP BY lp.doc_id
+),
+sl AS (
+  SELECT s.doc_id, d.lang, s.lm_logp
+  FROM scored s JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT lang,
+         (list(lm_logp ORDER BY lm_logp))
+           [ceil(count(*) * (1.0/3.0))::INT] AS t0,
+         (list(lm_logp ORDER BY lm_logp))
+           [ceil(count(*) * (2.0/3.0))::INT] AS t1
+  FROM sl GROUP BY lang
+)
+SELECT sl.doc_id, sl.lang,
+       CASE WHEN sl.lm_logp <= th.t0 THEN 0
+            WHEN sl.lm_logp <= th.t1 THEN 1
+            ELSE 2 END AS bucket
+FROM sl JOIN th USING (lang)
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Source re-weighting to a target mixture (The Pile / DoReMi
+    shape): down-sample each source so the expected output mix is
+    50/30/20 over src1/src2/src3, retaining the maximum total — the
+    binding source keeps rate 1.0, the over-represented ones thin via
+    the deterministic unit-hash. Non-vacuous at sf0.01 (25 rows per
+    source): src1 binds at rate 1.0, src2/src3 thin to 0.6/0.4 — the
+    binding and two distinct thinned regimes all fire."""
+    from .text import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir),
+        {"src1": 0.5, "src2": 0.3, "src3": 0.2},
+        strata_col="source",
+        seed=7,
+    ).select("doc_id", "source")
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH n AS (
+  SELECT source, count(*)::DOUBLE AS n FROM documents
+  WHERE source IN ('src1', 'src2', 'src3') GROUP BY source
+),
+w AS (
+  SELECT * FROM (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2))
+       AS t(source, w)
+),
+t AS (SELECT min(n.n / w.w) AS t FROM n JOIN w USING (source)),
+r AS (
+  SELECT n.source, t.t * w.w / n.n AS rate
+  FROM n JOIN w USING (source) CROSS JOIN t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE CAST(('0x' || substr(md5('7:' || d.doc_id), 1, 8)) AS BIGINT)::DOUBLE
+      / 4294967296.0 < r.rate
+"""
+
 
 # ---- event / transcript sequence operators ----------------------------
 
@@ -2392,6 +2483,8 @@ EXT_QUERIES = {
     "quality": q_quality,
     "quality_gate": q_quality_gate,
     "lm_quality": q_lm_quality,
+    "ppl_buckets": q_ppl_buckets,
+    "mixture_sample": q_mixture_sample,
     "wand_single": q_wand_single,
     "wand_or": q_wand_or,
     "wand_phrase": q_wand_phrase,
@@ -2482,6 +2575,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "quality": _sql_quality(),
         "quality_gate": _sql_quality_gate(),
         "lm_quality": SQL_LM_QUALITY,
+        "ppl_buckets": SQL_PPL_BUCKETS,
+        "mixture_sample": SQL_MIXTURE_SAMPLE,
         "wand_single": SQL_BM25_SINGLE,
         "wand_or": SQL_BM25_OR_BOOSTED,
         "wand_phrase": SQL_PHRASE,

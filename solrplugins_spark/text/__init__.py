@@ -15,12 +15,15 @@ from .cleaning import (
 )
 from .lm import (
     BigramLM,
+    ppl_bucket,
     score_bigram_lm,
     train_bigram_lm,
 )
 from .sampling import (
     chunk_documents,
     deterministic_sample,
+    mixture_rates,
+    mixture_sample,
     epoch_shard,
     pack_sequences,
     stratified_sample,
@@ -46,4 +49,7 @@ __all__ = [
     "BigramLM",
     "train_bigram_lm",
     "score_bigram_lm",
+    "ppl_bucket",
+    "mixture_rates",
+    "mixture_sample",
 ]

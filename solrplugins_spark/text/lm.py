@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 UNK = "<unk>"
@@ -156,4 +156,77 @@ def score_bigram_lm(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), round_to).alias("lm_logp"),
+    )
+
+
+def ppl_bucket(
+    scored: DataFrame,
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    score_col: str = "lm_logp",
+    by: str | None = None,
+    sample_cap: int | None = None,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's perplexity split (head/middle/tail per language): label
+    every row with the quantile bucket of its LM score within its
+    ``by`` group (or globally when ``by`` is None).
+
+    Threshold rule (deterministic, interpolation-free): for each
+    fraction p, the threshold is the k-th SMALLEST score with
+    k = ceil(p * n) — an actual data value, never an interpolated
+    mean, so the DuckDB oracle mirrors it exactly via row_number.
+    Buckets ascend in score: bucket 0 = scores <= t_1 (lowest
+    log-prob = HIGHEST perplexity = CCNet's "tail"), the last bucket
+    = highest log-prob = "head". Ties on the threshold value all land
+    in the lower bucket (value comparison, not rank comparison).
+
+    Scale shape: bucketing itself never sorts — thresholds come from
+    one groupBy collect over the 2-column (group, score) projection,
+    broadcast back, and buckets are pure CASE comparisons. At 100 TB
+    pass ``sample_cap`` (CCNet itself fits thresholds on a sample):
+    the cap ranks the deterministic unit-hash inside each group over
+    that same narrow projection, so the full documents never sort and
+    the threshold basis is rerun/partitioning-invariant.
+    """
+    fr = sorted(float(p) for p in fractions)
+    if not fr or fr[0] <= 0.0 or fr[-1] >= 1.0:
+        raise ValueError("fractions must be strictly inside (0, 1)")
+    group = [by] if by else []
+    basis = scored
+    if sample_cap is not None:
+        # deterministic per-row cap: keep the sample_cap smallest
+        # unit-hashes per group (re-uses the sampling module's
+        # md5-derived hash so the threshold basis is partition- and
+        # rerun-invariant)
+        from .sampling import _unit_hash
+
+        w = Window.partitionBy(*group).orderBy("_u", id_col)
+        basis = (
+            scored.withColumn("_u", _unit_hash(id_col, seed))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(sample_cap))
+            .drop("_u", "_rn")
+        )
+    arr = F.array_sort(F.collect_list(F.col(score_col).cast("double")))
+    th = basis.groupBy(*group).agg(arr.alias("_scores"))
+    sel = group + [
+        F.element_at(
+            "_scores",
+            F.ceil(F.size("_scores") * F.lit(p)).cast("int"),
+        ).alias(f"_t{i}")
+        for i, p in enumerate(fr)
+    ]
+    th = th.select(*sel)
+    out = (
+        scored.join(F.broadcast(th), on=group) if group
+        else scored.crossJoin(F.broadcast(th))
+    )
+    bucket = F.lit(len(fr))  # default: above every threshold
+    for i in range(len(fr) - 1, -1, -1):
+        bucket = F.when(
+            F.col(score_col) <= F.col(f"_t{i}"), F.lit(i)
+        ).otherwise(bucket)
+    return out.withColumn("bucket", bucket).drop(
+        *[f"_t{i}" for i in range(len(fr))]
     )

@@ -193,3 +193,59 @@ def epoch_shard(
         F.pmod(key, F.lit(int(n_shards))).cast("long").alias("shard"),
         key.alias("sort_key"),
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+) -> dict[str, float]:
+    """Per-stratum keep-rates that realize a target mixture by
+    DOWN-sampling only (The Pile / DoReMi-style source re-weighting
+    without replication): given target proportions ``weights``, find
+    the largest total T with T*w_s <= n_s for every stratum s, and
+    keep rate r_s = T*w_s / n_s. The binding stratum (the one that
+    pins T) keeps rate 1.0; every other stratum is thinned to match.
+    Strata absent from ``weights`` get rate 0.0 (dropped).
+
+    One count(*) groupBy over the strata column (tiny output: one row
+    per stratum) — the only job; the math is driver-side over that
+    bounded frame.
+    """
+    w = {k: float(v) for k, v in weights.items()}
+    tot = sum(w.values())
+    if tot <= 0:
+        raise ValueError("weights must sum to a positive value")
+    w = {k: v / tot for k, v in w.items()}
+    counts = {
+        r[strata_col]: int(r["n"])
+        for r in docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[strata_col] in w
+    }
+    missing = [k for k in w if k not in counts or counts[k] == 0]
+    if missing:
+        raise ValueError(f"strata with target weight but no rows: {missing}")
+    t = min(counts[k] / w[k] for k in w if w[k] > 0)
+    return {k: (t * w[k] / counts[k]) if w[k] > 0 else 0.0 for k in w}
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample every stratum so the EXPECTED output mixture equals
+    ``weights`` (normalized), maximizing retained data: the scarcest
+    stratum relative to its target keeps everything, the rest thin via
+    the deterministic unit-hash (partition/rerun-invariant, like
+    deterministic_sample). Strata not in ``weights`` are dropped.
+
+    Scale shape: one tiny strata-count agg, then a pure hash-filter
+    column expression — no shuffle of the data itself.
+    """
+    rates = mixture_rates(docs, weights, strata_col)
+    return stratified_sample(
+        docs, rates, strata_col, seed=seed, id_col=id_col, default_rate=0.0
+    )

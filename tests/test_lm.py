@@ -95,3 +95,57 @@ def test_plan_shape(spark, ref_docs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # vocab/head maps ship, never shuffle
+
+
+def test_ppl_bucket_thresholds_and_ties(spark):
+    """k = ceil(p*n)-th smallest VALUE is the threshold; ties on the
+    threshold land in the lower bucket."""
+    from solrplugins_spark.text.lm import ppl_bucket
+
+    # 6 scores, terciles: k1=ceil(2)=2 -> t0=-4.0, k2=ceil(4)=4 -> t1=-2.0
+    rows = [(1, -5.0), (2, -4.0), (3, -3.0), (4, -2.0), (5, -2.0), (6, -1.0)]
+    scored = spark.createDataFrame(rows, "doc_id long, lm_logp double")
+    got = {
+        r.doc_id: r.bucket
+        for r in ppl_bucket(scored, fractions=(1 / 3, 2 / 3)).collect()
+    }
+    # doc 5 ties doc 4's value; t1 is the 4th smallest = -2.0, so BOTH
+    # fall <= t1 -> bucket 1 (value comparison, deterministic)
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2}
+
+
+def test_ppl_bucket_grouped_and_capped(spark):
+    from solrplugins_spark.text.lm import ppl_bucket
+
+    rows = [(i, "g" + str(i % 2), float(-i)) for i in range(1, 41)]
+    scored = spark.createDataFrame(rows, "doc_id long, g string, lm_logp double")
+    full = ppl_bucket(scored, by="g")
+    # per-group bucket sizes are balanced terciles
+    sizes = {
+        (r.g, r.bucket): r.n
+        for r in full.groupBy("g", "bucket").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        assert sum(sizes[(g, b)] for b in (0, 1, 2)) == 20
+        assert all(sizes[(g, b)] >= 6 for b in (0, 1, 2))
+    # capped thresholds still bucket EVERY row, deterministically
+    capped = ppl_bucket(scored, by="g", sample_cap=10, seed=3)
+    assert capped.count() == 40
+    again = ppl_bucket(scored.repartition(7), by="g", sample_cap=10, seed=3)
+    a = {(r.doc_id): r.bucket for r in capped.collect()}
+    b = {(r.doc_id): r.bucket for r in again.collect()}
+    assert a == b
+
+
+def test_ppl_bucket_rejects_bad_fractions(spark):
+    from solrplugins_spark.text.lm import ppl_bucket
+
+    scored = spark.createDataFrame([(1, -1.0)], "doc_id long, lm_logp double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ppl_bucket(scored, fractions=(0.0, 0.5))
+    with _pt.raises(ValueError):
+        ppl_bucket(scored, fractions=(0.5, 1.0))

@@ -785,3 +785,47 @@ def test_duplicate_spans_plan_shape(spark):
     assert "xxhash64" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+# ---- mixture sampling ---------------------------------------------------
+
+
+def test_mixture_rates_binding_stratum(spark):
+    """The scarcest-relative-to-target stratum keeps rate 1.0; the
+    realized expected mixture equals the normalized weights."""
+    from solrplugins_spark.text import mixture_rates
+
+    rows = [(i, "a" if i < 300 else ("b" if i < 330 else "c"))
+            for i in range(360)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # counts: a=300 b=30 c=30; weights 50/30/20 -> T=min(600,100,150)=100
+    rates = mixture_rates(df, {"a": 0.5, "b": 0.3, "c": 0.2})
+    assert rates["b"] == pytest.approx(1.0)
+    assert rates["a"] == pytest.approx(100 * 0.5 / 300)
+    assert rates["c"] == pytest.approx(100 * 0.2 / 30)
+
+
+def test_mixture_sample_deterministic_and_filtered(spark):
+    from solrplugins_spark.text import mixture_sample
+
+    rows = [(i, ["a", "b", "c", "drop"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = mixture_sample(df, {"a": 0.6, "b": 0.3, "c": 0.1}, seed=11)
+    pdf = got.toPandas()
+    assert set(pdf["source"]) <= {"a", "b", "c"}  # unlisted strata dropped
+    again = mixture_sample(df.repartition(17), {"a": 0.6, "b": 0.3, "c": 0.1},
+                           seed=11).toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
+    # binding stratum (c: 100 rows vs target 0.1 -> T=1000 capped by
+    # a: 100/0.6=166.7 -> a binds) -- a keeps everything
+    assert (pdf["source"] == "a").sum() == 100
+
+
+def test_mixture_rates_raises_on_empty_stratum(spark):
+    from solrplugins_spark.text import mixture_rates
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mixture_rates(df, {"a": 0.5, "ghost": 0.5})
+    with pytest.raises(ValueError):
+        mixture_rates(df, {"a": -1.0, "b": 1.0})
