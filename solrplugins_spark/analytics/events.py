@@ -98,3 +98,62 @@ def windowed_counts(
             "cnt",
         )
     )
+
+
+def assemble_transcripts(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+    sep: str = " | ",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """(user_id, session_id, n_turns, transcript) — one row per
+    session: the session's turns in (ts, id) order joined by ``sep``.
+    The conversation->document flattening step that turns a turn-level
+    event log into training examples (and into `documents`-shaped
+    input for the index/dedup/LM operators upstream).
+
+    ``max_turns`` keeps only each session's first N turns (context
+    budget truncation); n_turns still reports the FULL session length
+    so truncation is observable.
+
+    Scale shape: the session assignment is the sessionize lag+cumsum
+    window (partitioned by user, never global); the flatten is one
+    groupBy(user, session) with sort_array(collect_list(struct)) —
+    per-session bounded state, no join back to the event log."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(F.col(ts_col)).over(w)
+    prev_micros = F.unix_micros(prev.cast("timestamp"))
+    new_session = F.when(
+        prev.isNull() | ((micros - prev_micros) > gap_minutes * 60.0 * 1e6), 1
+    ).otherwise(0)
+    with_sid = events.select(
+        F.col(user_col).alias("user_id"),
+        (
+            F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - 1
+        ).alias("session_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("string").alias("_v"),
+    )
+    turns = F.array_sort(
+        F.collect_list(F.struct(F.col("_ts"), F.col("_id"), F.col("_v")))
+    )
+    if max_turns is not None:
+        kept = F.slice(turns, 1, int(max_turns))
+    else:
+        kept = turns
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(kept, lambda t: t["_v"]), sep
+            ).alias("transcript"),
+        )
+    )

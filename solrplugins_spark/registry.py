@@ -397,6 +397,7 @@ _WINDOW_ORDER = [
     "lm_quality",
     "ppl_buckets",
     "mixture_sample",
+    "session_transcripts",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate

@@ -1456,6 +1456,38 @@ FROM ordered
 """
 
 
+def q_session_transcripts(spark, sf_dir):
+    """Conversation->document flattening: one row per (user, session)
+    with the session's turns in (ts, id) order joined into a single
+    transcript string — the step that turns a turn-level event log
+    into training examples / documents-shaped corpus input. Session
+    boundaries are the 30-min-gap sessionize rule, so the gate
+    exercises the lag+cumsum window AND the ordered flatten."""
+    from .analytics.events import assemble_transcripts
+
+    return assemble_transcripts(_events(spark, sf_dir), gap_minutes=30.0)
+
+
+SQL_SESSION_TRANSCRIPTS = """
+WITH ordered AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+sid AS (
+  SELECT event_id, user_id, ts, event_type,
+         (sum(CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_turns,
+       string_agg(event_type, ' | ' ORDER BY ts, event_id) AS transcript
+FROM sid GROUP BY user_id, session_id
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Previous-2 context assembly per user (training-example shape:
     item + its context), oldest first, ' | '-joined."""
@@ -2485,6 +2517,7 @@ EXT_QUERIES = {
     "lm_quality": q_lm_quality,
     "ppl_buckets": q_ppl_buckets,
     "mixture_sample": q_mixture_sample,
+    "session_transcripts": q_session_transcripts,
     "wand_single": q_wand_single,
     "wand_or": q_wand_or,
     "wand_phrase": q_wand_phrase,
@@ -2577,6 +2610,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "lm_quality": SQL_LM_QUALITY,
         "ppl_buckets": SQL_PPL_BUCKETS,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
+        "session_transcripts": SQL_SESSION_TRANSCRIPTS,
         "wand_single": SQL_BM25_SINGLE,
         "wand_or": SQL_BM25_OR_BOOSTED,
         "wand_phrase": SQL_PHRASE,

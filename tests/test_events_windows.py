@@ -223,3 +223,41 @@ def test_streaming_sessionize_multichunk_order(spark):
     )
     out2, _, sess2 = _assign_sessions([nxt], last, sess, gap_micros, "event_id")
     assert list(out2["session_id"]) == [5, 6] and sess2 == 6
+
+
+def test_assemble_transcripts(spark):
+    """Sessions flatten in (ts, id) order; max_turns truncates the
+    transcript but n_turns reports the full session length."""
+    from datetime import datetime
+
+    from solrplugins_spark.analytics.events import assemble_transcripts
+
+    def at(minutes):
+        return datetime(2024, 1, 1, minutes // 60, minutes % 60, 0)
+
+    rows = [
+        # user 1, session 0: 3 turns 5 min apart
+        (0, 1, at(0), "a"), (1, 1, at(5), "b"), (2, 1, at(10), "c"),
+        # user 1, session 1: one turn 2 h later
+        (3, 1, at(130), "d"),
+        # user 2, single session, out-of-id-order timestamps
+        (5, 2, at(1), "y"), (4, 2, at(0), "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_turns, r.transcript)
+        for r in assemble_transcripts(ev, gap_minutes=30.0).collect()
+    }
+    assert got == {
+        (1, 0): (3, "a | b | c"),
+        (1, 1): (1, "d"),
+        (2, 0): (2, "x | y"),
+    }
+    trunc = {
+        (r.user_id, r.session_id): (r.n_turns, r.transcript)
+        for r in assemble_transcripts(ev, gap_minutes=30.0, max_turns=2).collect()
+    }
+    assert trunc[(1, 0)] == (3, "a | b")  # full length, truncated text
+    assert trunc[(2, 0)] == (2, "x | y")
