@@ -1,4 +1,5 @@
 from .stateful import streaming_sessionize
+from .windows import streaming_dedup, streaming_windowed_counts
 from .incremental import (
     compact_generations,
     incremental_index_build,
@@ -10,6 +11,8 @@ from .incremental import (
 
 __all__ = [
     "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_windowed_counts",
     "compact_generations",
     "incremental_index_build",
     "merge_segment_stats",

@@ -42,3 +42,35 @@ def streaming_windowed_counts(
             "cnt",
         )
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of dedup_exact for
+    ingest-time pipelines: keep each key's first arrival, dropping
+    later duplicates that arrive within the watermark horizon.
+
+    ``text_col`` switches to content dedup: the key becomes
+    xxhash64(text) (the same first-pass key the batch dedup family
+    uses), so re-sent identical documents dedupe regardless of id.
+
+    Scale contract: dropDuplicatesWithinWatermark bounds the key
+    state by the watermark delay — state size tracks the key arrival
+    RATE times the horizon, never the stream's lifetime (the property
+    that makes exact dedup runnable forever at ingest). Duplicates
+    farther apart than the horizon can re-emit; that is the documented
+    trade for bounded state — run the batch dedup_exact over the
+    landed corpus for the global pass.
+    """
+    s = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(key_cols)
+    if text_col is not None:
+        s = s.withColumn("_dup_key", F.xxhash64(F.col(text_col)))
+        keys = ["_dup_key"]
+    out = s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop("_dup_key") if text_col is not None else out

@@ -261,3 +261,47 @@ def test_assemble_transcripts(spark):
     }
     assert trunc[(1, 0)] == (3, "a | b")  # full length, truncated text
     assert trunc[(2, 0)] == (2, "x | y")
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Ingest-time exact dedup: a source containing every event twice
+    (and some content duplicates) streams through
+    dropDuplicatesWithinWatermark and lands exactly the batch-distinct
+    key set — both by id and by content hash."""
+    from solrplugins_spark.streaming import streaming_dedup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "dup_src")
+    # two physical copies of every row -> every key is duplicated
+    ev.unionAll(ev).coalesce(2).write.mode("overwrite").parquet(src)
+
+    def run(name, **kw):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            streaming_dedup(stream, **kw)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}").toPandas()
+
+    got = run("dedup_id", key_cols=("event_id",), watermark="365 days")
+    want = ev.select("event_id").distinct().count()
+    assert len(got) == want
+    assert got["event_id"].is_unique
+    assert set(got.columns) == {"event_id", "ts", "event_type"}
+
+    # content dedup: key = xxhash64(text); distinct event_type values
+    # collapse to one row each
+    got_c = run("dedup_content", key_cols=(), watermark="365 days",
+                text_col="event_type")
+    want_c = ev.select("event_type").distinct().count()
+    assert len(got_c) == want_c
+    assert got_c["event_type"].is_unique
+    assert "_dup_key" not in got_c.columns
