@@ -149,3 +149,22 @@ def test_ppl_bucket_rejects_bad_fractions(spark):
         ppl_bucket(scored, fractions=(0.0, 0.5))
     with _pt.raises(ValueError):
         ppl_bucket(scored, fractions=(0.5, 1.0))
+
+
+def test_ppl_bucket_plan_shape(spark):
+    """Bucketing never sorts the corpus: no Sort/Window/Exchange on
+    the scored frame's bucket application — thresholds broadcast."""
+    rows = [(i, "g" + str(i % 2), float(-i)) for i in range(1, 31)]
+    scored = spark.createDataFrame(rows, "doc_id long, g string, lm_logp double")
+    from solrplugins_spark.text.lm import ppl_bucket
+
+    plan = (
+        ppl_bucket(scored, by="g")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan          # thresholds ship to the data
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan                 # no rank over the corpus
+    # the only Sort is inside the threshold agg's array_sort (an
+    # expression, not a Sort operator over the scored frame)
+    assert "CartesianProduct" not in plan

@@ -829,3 +829,18 @@ def test_mixture_rates_raises_on_empty_stratum(spark):
         mixture_rates(df, {"a": 0.5, "ghost": 0.5})
     with pytest.raises(ValueError):
         mixture_rates(df, {"a": -1.0, "b": 1.0})
+
+
+def test_mixture_sample_plan_shape(spark):
+    """The data path is a pure hash-filter: no shuffle, no join in the
+    sampled frame's plan (rates resolve to literals driver-side)."""
+    from solrplugins_spark.text import mixture_sample
+
+    rows = [(i, ["a", "b"][i % 2]) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = (
+        mixture_sample(df, {"a": 0.7, "b": 0.3})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
