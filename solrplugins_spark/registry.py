@@ -398,6 +398,7 @@ _WINDOW_ORDER = [
     "ppl_buckets",
     "mixture_sample",
     "session_transcripts",
+    "tfidf_vectors",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate

@@ -1456,6 +1456,39 @@ FROM ordered
 """
 
 
+def q_tfidf_vectors(spark, sf_dir):
+    """L2-normalized classic tf-idf document vectors under the
+    engine's own scorer weights (sqrt(tf) * (ln(N/(df+1))+1)) — the
+    embedding-free vectorization step for clustering/classification;
+    one row per (doc, term) so the oracle hashes every weight."""
+    from .text.analysis import tfidf_vectors
+
+    return tfidf_vectors(_docs(spark, sf_dir))
+
+
+SQL_TFIDF_VECTORS = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tk GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         sqrt(tf.tf) * (ln(nd.n / (dfq.df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+nm AS (SELECT doc_id, sqrt(sum(w * w)) AS l2 FROM w GROUP BY doc_id)
+SELECT w.doc_id, w.term, round(w.w / nm.l2, 6) AS weight
+FROM w JOIN nm USING (doc_id)
+"""
+
+
 def q_session_transcripts(spark, sf_dir):
     """Conversation->document flattening: one row per (user, session)
     with the session's turns in (ts, id) order joined into a single
@@ -2518,6 +2551,7 @@ EXT_QUERIES = {
     "ppl_buckets": q_ppl_buckets,
     "mixture_sample": q_mixture_sample,
     "session_transcripts": q_session_transcripts,
+    "tfidf_vectors": q_tfidf_vectors,
     "wand_single": q_wand_single,
     "wand_or": q_wand_or,
     "wand_phrase": q_wand_phrase,
@@ -2611,6 +2645,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "ppl_buckets": SQL_PPL_BUCKETS,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "session_transcripts": SQL_SESSION_TRANSCRIPTS,
+        "tfidf_vectors": SQL_TFIDF_VECTORS,
         "wand_single": SQL_BM25_SINGLE,
         "wand_or": SQL_BM25_OR_BOOSTED,
         "wand_phrase": SQL_PHRASE,

@@ -237,3 +237,48 @@ def quality_filter(
         )
     )
     return kept, rule_counts
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, term, weight) — L2-normalized classic tf-idf document
+    vectors under the ENGINE's own weights (scorer.py Similarity,
+    classic kind: tf_part=sqrt(tf), idf=ln(N/(df+1))+1), so the
+    features downstream models train on are the exact quantities the
+    search tier scores with. The embedding-free vectorization step for
+    clustering / classification / near-dup pipelines.
+
+    Scale shape: tokenize is one projection (engine grammar); tf is a
+    groupBy(doc, term); df is a groupBy(term) over the tf frame (the
+    dictionary-sized side) joined back key-partitioned on term; the
+    L2 norm is a groupBy(doc) over the vector frame joined back
+    key-partitioned on doc. N is one count. No windows, no driver
+    materialization of the vocabulary.
+    """
+    toks = tokens_col(text_col)
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if min_df > 1:
+        df_ = df_.filter(F.col("df") >= float(min_df))
+    w = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.sqrt(F.col("tf"))
+            * (F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l2"))
+    return w.join(norms, "doc_id").select(
+        "doc_id", "term", F.round(F.col("w") / F.col("l2"), round_to).alias("weight")
+    )

@@ -168,3 +168,42 @@ def test_ppl_bucket_plan_shape(spark):
     # the only Sort is inside the threshold agg's array_sort (an
     # expression, not a Sort operator over the scored frame)
     assert "CartesianProduct" not in plan
+
+
+# ---- tf-idf vectorization ------------------------------------------------
+
+
+def test_tfidf_vectors_known_values(spark):
+    """Hand-computed weights on a 3-doc corpus; per-doc L2 norm is 1."""
+    import math
+
+    from solrplugins_spark.text.analysis import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.term): r.weight for r in tfidf_vectors(docs).collect()}
+    n = 3.0
+    idf = {t: math.log(n / (df + 1.0)) + 1.0 for t, df in
+           {"a": 2.0, "b": 1.0, "c": 1.0}.items()}
+    raw1 = {"a": math.sqrt(2.0) * idf["a"], "b": 1.0 * idf["b"]}
+    l2_1 = math.sqrt(sum(v * v for v in raw1.values()))
+    assert got[(1, "a")] == pytest.approx(round(raw1["a"] / l2_1, 6), abs=1e-9)
+    assert got[(1, "b")] == pytest.approx(round(raw1["b"] / l2_1, 6), abs=1e-9)
+    # empty doc -> no rows
+    assert not any(d == 3 for d, _ in got)
+    # every doc's vector has unit L2 norm (post-round tolerance)
+    for d in (1, 2):
+        s = sum(v * v for (dd, _), v in got.items() if dd == d)
+        assert s == pytest.approx(1.0, abs=1e-5)
+
+
+def test_tfidf_min_df_prunes(spark):
+    from solrplugins_spark.text.analysis import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.term) for r in
+           tfidf_vectors(docs, min_df=2).collect()}
+    assert got == {(1, "a"), (2, "a")}  # singletons pruned
