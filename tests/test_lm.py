@@ -207,3 +207,20 @@ def test_tfidf_min_df_prunes(spark):
     got = {(r.doc_id, r.term) for r in
            tfidf_vectors(docs, min_df=2).collect()}
     assert got == {(1, "a"), (2, "a")}  # singletons pruned
+
+
+def test_ppl_bucket_monotone_in_score(spark):
+    """Within a group, bucket is monotone non-decreasing in score."""
+    from solrplugins_spark.text.lm import ppl_bucket
+
+    rows = [(i, "g" + str(i % 3), float(((i * 7919) % 101) - 50))
+            for i in range(60)]
+    scored = spark.createDataFrame(rows, "doc_id long, g string, lm_logp double")
+    got = ppl_bucket(scored, by="g").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append((r.lm_logp, r.bucket))
+    for g, pairs in by_g.items():
+        pairs.sort()
+        buckets = [b for _, b in pairs]
+        assert buckets == sorted(buckets), g

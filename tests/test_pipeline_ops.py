@@ -844,3 +844,24 @@ def test_mixture_sample_plan_shape(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_mixture_sample_exact_hash_property(spark):
+    """Every kept row satisfies unit_hash(id, seed) < rate_s and every
+    dropped in-weights row fails it — the keep set is EXACTLY the hash
+    rule, not approximately the target mixture."""
+    import hashlib
+
+    from solrplugins_spark.text import mixture_rates, mixture_sample
+
+    rows = [(i, ["a", "b"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"a": 0.8, "b": 0.2}
+    rates = mixture_rates(df, weights)
+    kept = {r.doc_id for r in mixture_sample(df, weights, seed=7).collect()}
+
+    def u(i):
+        return int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    for i, src in rows:
+        assert (i in kept) == (u(i) < rates[src]), (i, src)
