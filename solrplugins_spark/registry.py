@@ -330,6 +330,21 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # joint_probability (3x driver green r02-r04, all pure
 # column-expression / hash-agg / n-gram-semi-join shapes; still
 # oracle-paired + pytest-parity-checked every round).
+#
+# r05 late rotation (same round, after the new operators landed and
+# cleared sf0.01 parity): IN — the ten gates built this round
+# (wand_update, wand_boosted_fn, dup_spans, dedup_substring,
+# explain_score, lm_quality, ppl_buckets, mixture_sample,
+# session_transcripts, tfidf_vectors) so they get driver rows in the
+# round they were written instead of waiting for r06. OUT — ten gates
+# driver-green in BOTH r03 and r04 whose operator shape stays covered
+# by an in-window twin: phrase_query / field_query / range_query /
+# boosted_fn (packed twins wand_phrase / wand_field / wand_range /
+# wand_boosted_fn remain), classic_coord (classic family covered by
+# classic_lossy_norm), suggest_case_variant / suggest_canonical /
+# spellcheck_collate (spellcheck remains), nb_classify / stumps
+# (analytics covered by event_windows + the new lm/ppl gates). All
+# ten stay oracle-paired + pytest-parity-checked every round.
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",
@@ -356,23 +371,23 @@ _WINDOW_ORDER = [
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
-    "classic_coord",
-    "boosted_fn",
-    "range_query",
+    "wand_update",
+    "wand_boosted_fn",
     "mlt_docs",
     # flat-path extensions
-    "phrase_query",
-    "field_query",
-    "suggest_case_variant",
     "payload_search",
     "spellcheck",
-    "spellcheck_collate",
-    "suggest_canonical",
+    "explain_score",
     # analytics
     "event_windows",
-    "nb_classify",
-    "stumps",
+    "session_transcripts",
+    "tfidf_vectors",
     # LLM-pipeline operators
+    "lm_quality",
+    "ppl_buckets",
+    "mixture_sample",
+    "dup_spans",
+    "dedup_substring",
     "simhash",
     "dedup_minhash_sig",
     "ngram_jaccard",
@@ -387,19 +402,19 @@ _WINDOW_ORDER = [
     "ann_ivf",
     "classic_lossy_norm",
     # --- driver window boundary (position 50) ---
-    # registered past the window this round, oracle-paired + pytest
-    # parity-checked; rotate in r06 (the r04 pattern)
-    "wand_update",
-    "wand_boosted_fn",
-    "dup_spans",
-    "dedup_substring",
-    "explain_score",
-    "lm_quality",
-    "ppl_buckets",
-    "mixture_sample",
-    "session_transcripts",
-    "tfidf_vectors",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
+    # r05 late rotation: flat twins of in-window packed gates + 3x-
+    # green suggest/analytics shapes (see policy comment above)
+    "phrase_query",
+    "field_query",
+    "range_query",
+    "boosted_fn",
+    "classic_coord",
+    "suggest_case_variant",
+    "suggest_canonical",
+    "spellcheck_collate",
+    "nb_classify",
+    "stumps",
     # r05: joint_probability (3x green r02-r04, smoothing-agg shape)
     # rotated out for the new wand_delete liveDocs gate
     "joint_probability",
