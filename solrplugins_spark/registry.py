@@ -375,7 +375,6 @@ _WINDOW_ORDER = [
     "wand_boosted_fn",
     "mlt_docs",
     # flat-path extensions
-    "payload_search",
     "spellcheck",
     "explain_score",
     # analytics
@@ -386,6 +385,7 @@ _WINDOW_ORDER = [
     "lm_quality",
     "ppl_buckets",
     "mixture_sample",
+    "source_cap",
     "dup_spans",
     "dedup_substring",
     "simhash",
@@ -404,7 +404,10 @@ _WINDOW_ORDER = [
     # --- driver window boundary (position 50) ---
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05 late rotation: flat twins of in-window packed gates + 3x-
-    # green suggest/analytics shapes (see policy comment above)
+    # green suggest/analytics shapes (see policy comment above);
+    # payload_search (flat twin of in-window wand_payload) made room
+    # for the new source_cap gate
+    "payload_search",
     "phrase_query",
     "field_query",
     "range_query",

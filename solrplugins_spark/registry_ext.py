@@ -1427,6 +1427,33 @@ WHERE CAST(('0x' || substr(md5('7:' || d.doc_id), 1, 8)) AS BIGINT)::DOUBLE
 """
 
 
+def q_source_cap(spark, sf_dir):
+    """Exact per-source document cap (MassiveText / RefinedWeb domain
+    caps): keep the 13 lowest-hash docs of every source — a COUNT
+    ceiling, where mixture_sample is a RATE rebalance. Non-vacuous at
+    sf0.01: every source holds 25 rows, so all 20 caps bind and the
+    oracle must reproduce the md5 hash ORDER exactly, not just the
+    cap arithmetic; the salted two-phase rank must agree with the
+    oracle's single global rank per source."""
+    from .text import cap_per_stratum
+
+    return cap_per_stratum(
+        _docs(spark, sf_dir), cap=13, strata_col="source", seed=7
+    ).select("doc_id", "source")
+
+
+SQL_SOURCE_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap7:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 13
+"""
+
+
 # ---- event / transcript sequence operators ----------------------------
 
 def _events(spark, sf_dir):
@@ -2550,6 +2577,7 @@ EXT_QUERIES = {
     "lm_quality": q_lm_quality,
     "ppl_buckets": q_ppl_buckets,
     "mixture_sample": q_mixture_sample,
+    "source_cap": q_source_cap,
     "session_transcripts": q_session_transcripts,
     "tfidf_vectors": q_tfidf_vectors,
     "wand_single": q_wand_single,
@@ -2644,6 +2672,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "lm_quality": SQL_LM_QUALITY,
         "ppl_buckets": SQL_PPL_BUCKETS,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
+        "source_cap": SQL_SOURCE_CAP,
         "session_transcripts": SQL_SESSION_TRANSCRIPTS,
         "tfidf_vectors": SQL_TFIDF_VECTORS,
         "wand_single": SQL_BM25_SINGLE,

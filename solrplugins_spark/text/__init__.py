@@ -20,6 +20,7 @@ from .lm import (
     train_bigram_lm,
 )
 from .sampling import (
+    cap_per_stratum,
     chunk_documents,
     deterministic_sample,
     mixture_rates,
@@ -52,4 +53,5 @@ __all__ = [
     "ppl_bucket",
     "mixture_rates",
     "mixture_sample",
+    "cap_per_stratum",
 ]

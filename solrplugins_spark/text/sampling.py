@@ -249,3 +249,49 @@ def mixture_sample(
     return stratified_sample(
         docs, rates, strata_col, seed=seed, id_col=id_col, default_rate=0.0
     )
+
+
+def cap_per_stratum(
+    docs: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    seed: int = 7,
+    id_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the per-domain cap of
+    MassiveText / RefinedWeb-style curation (a handful of head domains
+    would otherwise dominate the corpus; mixture_sample rebalances by
+    RATE, this enforces an exact COUNT ceiling). Survivors are the
+    ``cap`` lowest md5(seed:id) hashes per stratum, so the choice is a
+    pure function of (id, seed): rerunning, repartitioning, or growing
+    the cluster never changes which rows survive, and the hash order
+    is mirrored verbatim in DuckDB oracles.
+
+    Scale shape: exact salted two-phase top-cap. Phase 1 ranks within
+    (stratum, salt) — a head domain holding 1% of a 100-TB corpus
+    splits across ``salts`` rank groups instead of funnelling into one
+    task's sort. Phase 2 ranks the <= salts*cap phase-1 survivors per
+    stratum — bounded input regardless of corpus size. The union of
+    per-salt lowest-cap sets contains the global lowest-cap set, so
+    the two-phase result is exact, not approximate. Strata with fewer
+    than ``cap`` rows keep everything.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"cap{int(seed)}:"), F.col(id_col).cast("string")))
+    salt = F.pmod(
+        F.conv(F.substring(h, 17, 8), 16, 10).cast("long"), F.lit(int(salts))
+    )
+    staged = docs.withColumn("_h", h).withColumn("_salt", salt)
+    partial = Window.partitionBy(strata_col, "_salt").orderBy("_h", id_col)
+    final = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        staged.withColumn("_rn", F.row_number().over(partial))
+        .filter(F.col("_rn") <= cap)
+        .withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= cap)
+        .drop("_h", "_salt", "_rn")
+    )

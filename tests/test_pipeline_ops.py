@@ -865,3 +865,55 @@ def test_mixture_sample_exact_hash_property(spark):
 
     for i, src in rows:
         assert (i in kept) == (u(i) < rates[src]), (i, src)
+
+
+def test_cap_per_stratum_exact_lowest_hash_set(spark):
+    """The survivors are EXACTLY the cap lowest md5(capSEED:id) per
+    stratum (the salted two-phase rank equals one global rank), and a
+    stratum under the cap keeps every row."""
+    import hashlib
+
+    from solrplugins_spark.text import cap_per_stratum
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_stratum(df, cap=12, seed=3, salts=4).toPandas()
+
+    def h(i):
+        return hashlib.md5(f"cap3:{i}".encode()).hexdigest()
+
+    want_big = sorted((i for i, s in rows if s == "big"),
+                      key=lambda i: (h(i), i))[:12]
+    assert sorted(got[got["source"] == "big"]["doc_id"]) == sorted(want_big)
+    assert (got["source"] == "small").sum() == 10  # under cap: keep all
+
+
+def test_cap_per_stratum_partition_invariant(spark):
+    from solrplugins_spark.text import cap_per_stratum
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    one = cap_per_stratum(df, cap=20, seed=9).toPandas()
+    two = cap_per_stratum(df.repartition(13), cap=20, seed=9).toPandas()
+    assert sorted(one["doc_id"]) == sorted(two["doc_id"])
+    assert one.groupby("source")["doc_id"].count().max() <= 20
+
+
+def test_cap_per_stratum_salted_window_in_plan(spark):
+    """Phase 1 ranks within (stratum, _salt): the first Window's
+    partition spec must include the salt column so a head stratum
+    never funnels into one task's sort."""
+    from solrplugins_spark.text import cap_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(50)], "doc_id long, source string"
+    )
+    plan = (
+        cap_per_stratum(df, cap=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan
+    assert plan.count("Window") >= 2  # partial + final rank stages
+
+    with pytest.raises(ValueError):
+        cap_per_stratum(df, cap=0)

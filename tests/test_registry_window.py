@@ -18,6 +18,7 @@ R05_FIRST_TIMERS = {
     "lm_quality",
     "ppl_buckets",
     "mixture_sample",
+    "source_cap",
     "dup_spans",
     "dedup_substring",
     # registered in r04 past that round's window; first driver row r05
