@@ -724,3 +724,75 @@ def remove_duplicate_spans(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_chars: int = 1,
+    sep: str = "\n",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated-LINE removal (CCNet's paragraph dedup /
+    Dolma's paragraph Bloom pass, made exact and deterministic): split
+    every document on ``sep``, keep exactly ONE canonical occurrence
+    of each repeated unit — the (doc_id, pos)-lowest copy, a pure
+    function of the data, never "first seen" under scheduling order —
+    and reassemble documents from their surviving units in original
+    order. Units shorter than ``min_chars`` are exempt (blank lines
+    and separators survive everywhere). Complements ExactSubstr
+    (duplicate_spans): that dedups token WINDOWS across docs, this
+    dedups whole separator-delimited units, the granularity CCNet/
+    Dolma actually run first.
+
+    Scale shape: one hash-agg shuffle for the canonical winner
+    (min(struct(doc_id,pos)) per unit — map-side partial combine
+    absorbs boilerplate units like "Thank you."), one key-partitioned
+    join of the exploded units against the one-row-per-unit winner
+    frame (a hot unit key is AQE skew-split; the winner side is a
+    single row per key so splits just replicate it), one per-doc
+    bounded reassembly agg. Nothing driver-side; no windows over the
+    unit key.
+
+    Every input doc keeps a row: a doc whose every unit was removed
+    comes back with empty text and n_kept 0 (the quality gate decides
+    what to do with it, matching remove_duplicate_spans).
+    """
+    import re as _re
+
+    if min_chars < 0:
+        raise ValueError("min_chars must be >= 0")
+    units = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pos", "ln"),
+    )
+    canon = (
+        units.filter(F.length("ln") >= min_chars)
+        .groupBy("ln")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_w"))
+    )
+    kept = units.join(canon, "ln", "left").filter(
+        F.col("_w").isNull()
+        | (
+            (F.col("_w.doc_id") == F.col("doc_id"))
+            & (F.col("_w.pos") == F.col("pos"))
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+            sep,
+        ).alias(text_col),
+    )
+    all_ids = docs.select(F.col(doc_col).alias("doc_id")).distinct()
+    return all_ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+    )

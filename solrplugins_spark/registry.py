@@ -357,7 +357,6 @@ _WINDOW_ORDER = [
     "boolean_precedence",
     "mlt_terms",
     "feedback",
-    "facet_counts",
     # packed-path gates — never driver-checked before r03
     "wand_single",
     "wand_or",
@@ -388,6 +387,7 @@ _WINDOW_ORDER = [
     "source_cap",
     "dup_spans",
     "dedup_substring",
+    "dedup_lines",
     "simhash",
     "dedup_minhash_sig",
     "ngram_jaccard",
@@ -406,8 +406,10 @@ _WINDOW_ORDER = [
     # r05 late rotation: flat twins of in-window packed gates + 3x-
     # green suggest/analytics shapes (see policy comment above);
     # payload_search (flat twin of in-window wand_payload) made room
-    # for the new source_cap gate
+    # for the new source_cap gate; facet_counts (flat twin of
+    # in-window wand_facet) made room for the new dedup_lines gate
     "payload_search",
+    "facet_counts",
     "phrase_query",
     "field_query",
     "range_query",

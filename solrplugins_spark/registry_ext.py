@@ -715,6 +715,50 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Duplicated-UNIT removal (CCNet paragraph dedup / Dolma
+    paragraph pass, exact + deterministic): one canonical
+    (doc_id,pos)-lowest copy of every repeated unit survives, units
+    under min_chars are exempt, docs reassembled in order. The
+    synthetic corpus is single-line, so the gate runs the operator at
+    sep=' ' (unit = token; real pipelines pass '\\n' or '\\n\\n' —
+    the rule and plan are identical): massively repeated vocab makes
+    the canonical-winner rule fire thousands of times, and min_chars=3
+    exempts the short function words so both branches are exercised."""
+    from .dedup.dedup import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_lines(docs, min_chars=3, sep=" ")
+
+
+SQL_DEDUP_LINES = """
+WITH e AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(string_split(coalesce(text, ''), ' ')) - 1))
+           AS pos,
+         unnest(string_split(coalesce(text, ''), ' ')) AS ln
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, ln,
+         CASE WHEN length(ln) < 3 THEN TRUE
+              ELSE row_number() OVER (PARTITION BY ln
+                                      ORDER BY doc_id, pos) = 1
+         END AS keep
+  FROM e
+),
+rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(ln, ' ' ORDER BY pos) AS text
+  FROM marked WHERE keep GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(r.text, '') AS text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_dedup_apply(spark, sf_dir):
     """End of the dedup pipeline: the MATERIALIZED deduplicated corpus
     — planted near-dup corpus minus every non-canonical cluster member
@@ -2558,6 +2602,7 @@ EXT_QUERIES = {
     "dedup_apply": q_dedup_apply,
     "dup_spans": q_dup_spans,
     "dedup_substring": q_dedup_substring,
+    "dedup_lines": q_dedup_lines,
     "emb_near_dup": q_emb_near_dup,
     "knn_join": q_knn_join,
     "ann_cosine": q_ann_cosine,
@@ -2653,6 +2698,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "dedup_apply": _sql_dedup_apply(),
         "dup_spans": SQL_DUP_SPANS,
         "dedup_substring": SQL_DEDUP_SUBSTRING,
+        "dedup_lines": SQL_DEDUP_LINES,
         "emb_near_dup": _sql_emb_near_dup(),
         "knn_join": _sql_knn_join(),
         "ann_cosine": SQL_ANN_COSINE,

@@ -917,3 +917,49 @@ def test_cap_per_stratum_salted_window_in_plan(spark):
 
     with pytest.raises(ValueError):
         cap_per_stratum(df, cap=0)
+
+
+def test_dedup_lines_canonical_survivor(spark):
+    """One canonical (doc_id,pos)-lowest copy of each repeated line
+    survives; short lines are exempt everywhere; docs reassemble in
+    original order; a doc keeps its row even when gutted."""
+    from solrplugins_spark.dedup import dedup_lines
+
+    rows = [
+        (0, "intro\ncommon header\nbody zero"),
+        (1, "common header\nbody one\n--"),
+        (2, "common header\nbody one\n--"),  # fully duplicated vs 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["text"])
+        for r in dedup_lines(df, min_chars=3).collect()
+    }
+    assert got[0] == (3, "intro\ncommon header\nbody zero")
+    # doc 0 holds the canonical "common header"; "--" is exempt
+    assert got[1] == (2, "body one\n--")
+    assert got[2] == (1, "--")  # both long lines lost to docs 0/1
+    assert set(got) == {0, 1, 2}
+
+
+def test_dedup_lines_partition_invariant_and_custom_sep(spark):
+    from solrplugins_spark.dedup import dedup_lines
+
+    rows = [(i, f"alpha beta w{i % 5} gamma") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = dedup_lines(df, min_chars=3, sep=" ").toPandas()
+    two = dedup_lines(df.repartition(11), min_chars=3, sep=" ").toPandas()
+    assert (
+        one.sort_values("doc_id").reset_index(drop=True)
+        .equals(two.sort_values("doc_id").reset_index(drop=True))
+    )
+    # alpha/beta/gamma survive once corpus-wide (canonical = doc 0);
+    # the 2-char "wN" tokens are under min_chars=3, exempt everywhere
+    assert int(one["n_kept"].sum()) == 3 + 100
+    first = one.set_index("doc_id").loc[0]
+    assert first["text"] == "alpha beta w0 gamma"
+    rest = one[one["doc_id"] > 0]
+    assert (rest["n_kept"] == 1).all()
+
+    with pytest.raises(ValueError):
+        dedup_lines(df, min_chars=-1)

@@ -21,6 +21,7 @@ R05_FIRST_TIMERS = {
     "source_cap",
     "dup_spans",
     "dedup_substring",
+    "dedup_lines",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
