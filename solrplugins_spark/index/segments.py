@@ -1078,12 +1078,19 @@ def _segment_topk_sim(
     avgdl: float,
     min_should_match: int = 1,
     boost_fn_spec: tuple | None = None,
+    after: tuple[float, int, int] | None = None,
 ) -> pd.DataFrame:
     """Exact per-segment top-k for an arbitrary Similarity (payload /
     classic / toggle variants) — decodes the full posting (+ payload
     sub-stream when the similarity uses it) per query term. The
     block-max pruned path stays specialized to BM25; these variants
     are exact by construction.
+
+    ``after``: (score, doc_id, round_to) searchAfter cursor — docs at
+    or before the cursor in (rounded-score desc, doc_id asc) order
+    are dropped BEFORE the per-segment truncation, so page N+1's
+    candidates are never lost to page N's top-k cut. Applied to the
+    FINAL score (post boost_fn), the order the client paginates in.
 
     ``boost_fn_spec``: (value_col, fn) — BoostedQuery's multiplicative
     ValueSource (MoreLikeThisHelper.java:131-145): fn is a vectorized
@@ -1174,6 +1181,11 @@ def _segment_topk_sim(
                 f"boost array; got {boost.shape} for {acc_scores.shape}"
             )
         acc_scores = acc_scores * boost
+    if after is not None and len(acc_docs):
+        s_a, d_a, rt = after
+        rs = np.round(acc_scores, rt)
+        keep = (rs < s_a) | ((rs == s_a) & (acc_docs > d_a))
+        acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
     return _topk_frame(acc_docs, acc_scores, k)
 
 
@@ -2628,6 +2640,7 @@ def wand_search_multi(
     sim=None,
     min_should_match: int = 1,
     boost_fn: tuple | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k across MULTIPLE packed indexes (e.g. streamed generations
     before compaction) with GLOBAL statistics.
@@ -2654,6 +2667,7 @@ def wand_search_multi(
         terms_boosts,
         k=k, k1=k1, b=b, round_to=round_to, sim=sim,
         min_should_match=min_should_match, boost_fn=boost_fn,
+        after=after,
     )
 
 
@@ -2668,6 +2682,7 @@ def wand_search(
     sim=None,
     min_should_match: int = 1,
     boost_fn: tuple | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Distributed top-k over packed segments.
 
@@ -2698,11 +2713,21 @@ def wand_search(
     via build_segments(..., value_cols=[...])), multiplied into every
     candidate's score BEFORE ranking. Runs the exact per-segment
     scorer — an unbounded multiplier invalidates block-max bounds.
+    ``after``: (score, doc_id) searchAfter cursor (Lucene
+    IndexSearcher.searchAfter / Solr cursorMark) — return the k docs
+    strictly after that position in (score desc, doc_id asc) order.
+    The cursor filter runs INSIDE the per-segment kernel before its
+    top-k cut, so every page costs k rows per segment at any depth —
+    OFFSET paging would refetch offset+k rows per segment per page,
+    the deep-paging anti-pattern at 10^12 docs. Cursor pages route to
+    the exact scorer (the block-max heap prunes against the
+    unfiltered top-k, which would drop page-2 docs).
     """
     return _wand_search_frames(
         spark, [(0, seg_index)], seg_index, terms_boosts,
         k=k, k1=k1, b=b, round_to=round_to, sim=sim,
         min_should_match=min_should_match, boost_fn=boost_fn,
+        after=after,
     )
 
 
@@ -2907,6 +2932,7 @@ def _wand_search_frames(
     sim=None,
     min_should_match: int = 1,
     boost_fn: tuple | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     term_list = sorted({t for t, _ in terms_boosts})
     boosts: dict[str, float] = {}
@@ -2919,7 +2945,10 @@ def _wand_search_frames(
     # postings decode anyway), and boost_fn (an unbounded multiplier
     # invalidates the block-max upper bounds) run the exact
     # per-segment scorer over the v3 sub-streams
-    plain_bm25 = min_should_match <= 1 and boost_fn is None and (
+    # searchAfter also routes to the exact scorer: the block-max core
+    # prunes against ITS OWN unfiltered top-k heap, which would drop
+    # exactly the deeper docs a page-2 cursor needs
+    plain_bm25 = min_should_match <= 1 and boost_fn is None and after is None and (
         sim is None
         or (
             sim.kind == "bm25"
@@ -2976,22 +3005,34 @@ def _wand_search_frames(
 
             sim = Similarity(kind="bm25", k1=k1, b=b)
 
+        cursor = (
+            (float(after[0]), int(after[1]), round_to)
+            if after is not None
+            else None
+        )
+
         def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             return _segment_topk_sim(
                 pdf, boosts, dfs, k, sim, n, avgdl,
                 min_should_match=min_should_match,
                 boost_fn_spec=boost_fn,
+                after=cursor,
             )
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
         _n_segments_hint(*(si for _, si in gens)),
     )
-    return (
-        seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    out = seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
+    if after is not None:
+        # idempotent re-check on the Spark-rounded score (the kernel
+        # already filtered on the numpy rounding of the same values)
+        s_a, d_a = float(after[0]), int(after[1])
+        out = out.filter(
+            (F.col("score") < s_a)
+            | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
+        )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def describe_index(path: str) -> dict:

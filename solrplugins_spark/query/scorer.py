@@ -379,10 +379,19 @@ def search_terms(
     must_doc_ids: DataFrame | None = None,
     exclude_doc_ids: DataFrame | None = None,
     round_to: int = 5,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k docs for a boosted OR query (BooleanQuery SHOULD +
     minShouldMatch, MLTQuery.java:46-53; mm default "1"
     MoreLikeThis.java:147).
+
+    ``after``: (score, doc_id) of the LAST hit of the previous page —
+    Lucene IndexSearcher.searchAfter / Solr cursorMark. Returns the
+    next k docs strictly after that cursor in (score desc, doc_id
+    asc) order. Cursor paging keeps per-page work at k rows at any
+    depth, where OFFSET paging refetches offset+k rows per page.
+    Scores are rounded before ranking, so the cursor compares exactly
+    against the same rounded values the client saw.
 
     Deterministic tie-break: (score desc, doc_id asc) — required for
     the rank-identical criterion (SURVEY.md §2.5). Scores are rounded
@@ -403,6 +412,12 @@ def search_terms(
         scored = scored.join(must_doc_ids.select("doc_id"), "doc_id", "left_semi")
     if exclude_doc_ids is not None:
         scored = scored.join(exclude_doc_ids.select("doc_id"), "doc_id", "left_anti")
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < s_a)
+            | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
+        )
     return (
         scored.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -94,7 +94,9 @@ def q_bm25_single(spark, sf_dir):
     return search_terms(_index(spark, sf_dir), [("dup", 1.0)], k=10)
 
 
-def _sql_topk_for_terms(terms_boosts, k=10, min_should_match=1, extra_where=""):
+def _sql_topk_for_terms(
+    terms_boosts, k=10, min_should_match=1, extra_where="", offset=0
+):
     sel = " UNION ALL ".join(
         f"SELECT '{t}' AS term, {b}::DOUBLE AS boost" for t, b in terms_boosts
     )
@@ -107,7 +109,7 @@ scored AS (
   GROUP BY p.doc_id
 )
 SELECT doc_id, score FROM scored WHERE matched >= {min_should_match}{extra_where}
-ORDER BY score DESC, doc_id ASC LIMIT {k}
+ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
@@ -345,12 +347,17 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # spellcheck_collate (spellcheck remains), nb_classify / stumps
 # (analytics covered by event_windows + the new lm/ppl gates). All
 # ten stay oracle-paired + pytest-parity-checked every round.
+#
+# r05 addition: cursor_page (searchAfter/cursorMark deep paging over
+# the packed index, first-timer) rotated IN; bm25_or_boosted (4x
+# driver-green r01-r04) rotated OUT — its boosted-OR oracle shape
+# stays in-window twice over (wand_or shares the identical SQL, and
+# cursor_page scores the same boosted-OR query).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",
     "doclen",
     "bm25_single",
-    "bm25_or_boosted",
     "bm25_mm2",
     "boolean_and",
     "boolean_not",
@@ -360,6 +367,7 @@ _WINDOW_ORDER = [
     # packed-path gates — never driver-checked before r03
     "wand_single",
     "wand_or",
+    "cursor_page",
     "wand_phrase",
     "wand_payload",
     "wand_boolean",
@@ -407,7 +415,10 @@ _WINDOW_ORDER = [
     # green suggest/analytics shapes (see policy comment above);
     # payload_search (flat twin of in-window wand_payload) made room
     # for the new source_cap gate; facet_counts (flat twin of
-    # in-window wand_facet) made room for the new dedup_lines gate
+    # in-window wand_facet) made room for the new dedup_lines gate;
+    # bm25_or_boosted (oracle shared with in-window wand_or) made room
+    # for the new cursor_page gate
+    "bm25_or_boosted",
     "payload_search",
     "facet_counts",
     "phrase_query",

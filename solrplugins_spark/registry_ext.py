@@ -1666,6 +1666,29 @@ def q_wand_or(spark, sf_dir):
     )
 
 
+def q_cursor_page(spark, sf_dir):
+    """searchAfter / cursorMark deep paging (Lucene
+    IndexSearcher.searchAfter; Solr CursorMark — the deep-paging story
+    the reference's Solr tier sits on): page 2 (ranks 11-20) of the
+    boosted-OR query over the PACKED index, fetched with page 1's last
+    (score, doc_id) as the cursor. The cursor filter runs inside the
+    per-segment kernel BEFORE its top-k cut, so every page costs k rows
+    per segment at any depth; OFFSET paging would re-fetch offset+k
+    rows per segment per page. The oracle states the same page as
+    OFFSET 10 over the full deterministic (score desc, doc_id asc)
+    ordering — rank identity proves the cursor never drops or repeats
+    a doc across the boundary."""
+    from .index.segments import wand_search
+
+    terms = [("dup", 2.0), ("batch", 1.0), ("window", 0.5)]
+    segs = _segments(spark, sf_dir)
+    page1 = wand_search(spark, segs, terms, k=10).collect()  # bounded: k rows
+    last = page1[-1]
+    return wand_search(
+        spark, segs, terms, k=10, after=(last["score"], last["doc_id"])
+    )
+
+
 _SEG_POS_CACHE: dict[str, object] = {}
 
 
@@ -2627,6 +2650,7 @@ EXT_QUERIES = {
     "tfidf_vectors": q_tfidf_vectors,
     "wand_single": q_wand_single,
     "wand_or": q_wand_or,
+    "cursor_page": q_cursor_page,
     "wand_phrase": q_wand_phrase,
     "wand_payload": q_wand_payload,
     "wand_boolean": q_wand_boolean,
@@ -2654,6 +2678,16 @@ def _sql_wand_delete():
         [("dup", 2.0), ("batch", 1.0), ("window", 0.5)],
         k=10,
         extra_where=" AND (doc_id % 7) <> 3",
+    )
+
+
+def _sql_cursor_page():
+    # page 2 == OFFSET 10 of the full deterministic ordering: the
+    # oracle never sees the cursor, only the ordering it must preserve
+    from .registry import _sql_topk_for_terms
+
+    return _sql_topk_for_terms(
+        [("dup", 2.0), ("batch", 1.0), ("window", 0.5)], k=10, offset=10
     )
 
 
@@ -2723,6 +2757,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "tfidf_vectors": SQL_TFIDF_VECTORS,
         "wand_single": SQL_BM25_SINGLE,
         "wand_or": SQL_BM25_OR_BOOSTED,
+        "cursor_page": _sql_cursor_page(),
         "wand_phrase": SQL_PHRASE,
         "wand_payload": SQL_PAYLOAD_SEARCH,
         "wand_boolean": SQL_BOOLEAN_PRECEDENCE_REF,

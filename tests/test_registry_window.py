@@ -22,6 +22,7 @@ R05_FIRST_TIMERS = {
     "dup_spans",
     "dedup_substring",
     "dedup_lines",
+    "cursor_page",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
