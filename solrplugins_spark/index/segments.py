@@ -1346,6 +1346,8 @@ def _segment_boolean_topk(
     facet_ord_col: str | None = None,
     boost_terms: list[tuple[str, float]] | None = None,
     boost_fn_spec: tuple | None = None,
+    collapse_ord_col: str | None = None,
+    round_to: int = 5,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1375,7 +1377,11 @@ def _segment_boolean_topk(
         dls_by_field[f] = _decode_doclens(r["data"])
         doc_lo_by_field[f] = int(r["doc_lo"])
     if "" not in dls_by_field:
-        return _empty_facet() if facet_ord_col is not None else empty
+        if facet_ord_col is not None:
+            return _empty_facet()
+        if collapse_ord_col is not None:
+            return _empty_collapse()
+        return empty
     doc_lo = doc_lo_by_field[""]
     dls = dls_by_field[""]
     # dl=0 docs never match (no tokens); TOMBSTONE slots are
@@ -1621,6 +1627,36 @@ def _segment_boolean_topk(
         return pd.DataFrame(
             {"ord": nz.astype(np.int64), "cnt": counts[nz].astype(np.int64)}
         )
+    if collapse_ord_col is not None:
+        # field collapse (CollapsingQParserPlugin): the segment's
+        # winner per group ordinal — (rounded-score desc, doc_id asc),
+        # the same total order the client sees, so cross-segment
+        # merging by max is exact. At most |segment group vocab| rows
+        # leave the kernel, never the match set.
+        if len(docs) == 0 or collapse_ord_col not in dvs:
+            return _empty_collapse()
+        ords_arr = dvs[collapse_ord_col]
+        c_lo = dv_lo[collapse_ord_col]
+        ids = docs - c_lo
+        valid = (ids >= 0) & (ids < len(ords_arr))
+        docs_v, scores_v = docs[valid], scores[valid]
+        hit_ords = ords_arr[ids[valid]].astype(np.int64)
+        live = hit_ords != TOMBSTONE
+        docs_v, scores_v, hit_ords = docs_v[live], scores_v[live], hit_ords[live]
+        if len(docs_v) == 0:
+            return _empty_collapse()
+        scores_r = np.round(scores_v, round_to)
+        # lexsort: last key is primary -> (ord, -score, doc_id)
+        order = np.lexsort((docs_v, -scores_r, hit_ords))
+        o_s, d_s, s_s = hit_ords[order], docs_v[order], scores_r[order]
+        first = np.unique(o_s, return_index=True)[1]
+        return pd.DataFrame(
+            {
+                "ord": o_s[first].astype(np.int64),
+                "doc_id": d_s[first].astype(np.int64),
+                "score": s_s[first].astype(np.float64),
+            }
+        )
     if len(docs) == 0:
         return empty
     return _topk_frame(docs, scores, k)
@@ -1629,6 +1665,16 @@ def _segment_boolean_topk(
 def _empty_facet() -> pd.DataFrame:
     return pd.DataFrame(
         {"ord": pd.Series([], dtype="int64"), "cnt": pd.Series([], dtype="int64")}
+    )
+
+
+def _empty_collapse() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "ord": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
     )
 
 
@@ -2031,6 +2077,90 @@ def wand_facet_search(
         .groupBy("value")
         .agg(F.sum("cnt").alias("cnt"))
         .select(F.col("value").alias(facet_col), "cnt")
+    )
+
+
+def wand_collapse_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    collapse_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Field collapse on the packed path — Solr's
+    CollapsingQParserPlugin (`fq={!collapse field=...}`): one
+    representative doc per ``collapse_col`` value — the group's
+    highest-scoring match under the deterministic (score desc, doc_id
+    asc) order — then top-k over representatives. The dedup-to-best
+    serving shape (one hit per conversation / per source domain).
+
+    Plan at scale: the boolean tree evaluates per segment, matched
+    docs map to ordinals from the collapse column's SortedDocValues
+    stream (build_segments string_cols), and the kernel emits ONE
+    winner row per segment-local ordinal — at most |group vocab| rows
+    per segment, never the match set. Winners merge in one
+    vocab-bounded max_by agg and join the broadcast ordinal
+    dictionary back to values; the corpus is never touched at query
+    time. ONE Spark job, exactly the wand_facet_search shape with
+    max_by in place of sum.
+
+    ``seg_index`` may be a LIST of generations (disjoint doc sets):
+    partials carry the generation id, join their generation's own
+    dictionary, and merge by VALUE — winners equal the compacted
+    index's."""
+    gens = _as_gens(seg_index)
+    for _, si in gens:
+        if collapse_col not in si.string_cols:
+            raise ValueError(
+                f"packed collapse over {collapse_col!r} needs an ordinal "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"string_cols=[{collapse_col!r}])"
+            )
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        str_cols=(collapse_col,),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b,
+            collapse_ord_col=collapse_col, round_to=round_to,
+        )
+        out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
+        return out
+
+    partials = _apply_per_segment(
+        unified, per_segment, "gen long, ord long, doc_id long, score double",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    )
+    dicts = None
+    for gen_id, si in gens:
+        d = spark.read.parquet(
+            os.path.join(si.path, "docvalues_str", collapse_col, "dict")
+        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dicts = d if dicts is None else dicts.unionByName(d)
+    # (gen, ord) -> value, then ONE max_by per value: the winner
+    # comparator (score, -doc_id) reproduces (score desc, doc_id asc)
+    winner = F.max_by(
+        F.struct("doc_id", "score"),
+        F.struct(F.col("score"), (-F.col("doc_id")).alias("nd")),
+    )
+    return (
+        partials.join(F.broadcast(dicts), ["gen", "ord"], "left")
+        .groupBy("value")
+        .agg(winner.alias("w"))
+        .select(
+            F.col("value").alias(collapse_col),
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.score").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

@@ -353,14 +353,19 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # driver-green r01-r04) rotated OUT — its boosted-OR oracle shape
 # stays in-window twice over (wand_or shares the identical SQL, and
 # cursor_page scores the same boosted-OR query).
+#
+# r05 addition: collapse_field + wand_collapse (Solr
+# CollapsingQParserPlugin field collapse, flat + packed, first-timers)
+# rotated IN; boolean_and + boolean_not (4x driver-green r01-r04)
+# rotated OUT — their MUST/MUST_NOT shapes stay in-window via the
+# packed twins wand_boolean / wand_not, and boolean_precedence keeps
+# the flat parser path certified.
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",
     "doclen",
     "bm25_single",
     "bm25_mm2",
-    "boolean_and",
-    "boolean_not",
     "boolean_precedence",
     "mlt_terms",
     "feedback",
@@ -375,6 +380,8 @@ _WINDOW_ORDER = [
     "wand_field",
     "wand_range",
     "wand_facet",
+    "collapse_field",
+    "wand_collapse",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
@@ -417,8 +424,12 @@ _WINDOW_ORDER = [
     # for the new source_cap gate; facet_counts (flat twin of
     # in-window wand_facet) made room for the new dedup_lines gate;
     # bm25_or_boosted (oracle shared with in-window wand_or) made room
-    # for the new cursor_page gate
+    # for the new cursor_page gate; boolean_and / boolean_not (packed
+    # twins wand_boolean / wand_not in-window) made room for the new
+    # collapse_field / wand_collapse gates
     "bm25_or_boosted",
+    "boolean_and",
+    "boolean_not",
     "payload_search",
     "facet_counts",
     "phrase_query",

@@ -1833,7 +1833,7 @@ def _dv_segments(spark, sf_dir):
         out = tempfile.mkdtemp(prefix="registry_segs_dv_")
         _SEG_DV_CACHE[sf_dir] = build_segments(
             _index(spark, sf_dir), f"{out}/idx", seg_size=128, groups=2,
-            value_cols=["n_chars"], string_cols=["lang"],
+            value_cols=["n_chars"], string_cols=["lang", "source"],
         )
     return _SEG_DV_CACHE[sf_dir]
 
@@ -1861,6 +1861,58 @@ def q_wand_facet(spark, sf_dir):
     from .index.segments import wand_facet_search
 
     return wand_facet_search(spark, _dv_segments(spark, sf_dir), "dup", "lang")
+
+
+def q_collapse_field(spark, sf_dir):
+    """Field collapse (Solr CollapsingQParserPlugin, `fq={!collapse
+    field=source}`): one representative doc per source — the group's
+    best (score desc, doc_id asc) match for 'dup or batch' — then
+    top-10 over representatives. Flat path: scored docset joins the
+    (doc_id, source) mapping, one max_by agg per group."""
+    from .query.collapse import collapse_search
+
+    return collapse_search(
+        _index(spark, sf_dir),
+        "dup or batch",
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+        k=10,
+    )
+
+
+def q_wand_collapse(spark, sf_dir):
+    """The same collapse on the PACKED path: group read from the
+    source ordinal docvalues stream per segment (kernel emits one
+    winner per segment-local ordinal — vocab-bounded, never the match
+    set), merged by value across segments. Same oracle as
+    collapse_field — the corpus is never touched at query time."""
+    from .index.segments import wand_collapse_search
+
+    return wand_collapse_search(
+        spark, _dv_segments(spark, sf_dir), "dup or batch", "source", k=10
+    )
+
+
+SQL_COLLAPSE_FIELD = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+a AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'),
+b AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'batch'),
+un AS (SELECT doc_id, s FROM a UNION ALL SELECT doc_id, s FROM b),
+scored AS (SELECT doc_id, round(sum(s), 5) AS score FROM un GROUP BY doc_id),
+j AS (
+  SELECT d.source, s.doc_id, s.score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score DESC, doc_id ASC
+         ) AS rn
+  FROM j
+)
+SELECT source, doc_id, score FROM r WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
 
 def q_wand_mlt(spark, sf_dir):
@@ -2658,6 +2710,8 @@ EXT_QUERIES = {
     "wand_field": q_wand_field,
     "wand_range": q_wand_range,
     "wand_facet": q_wand_facet,
+    "collapse_field": q_collapse_field,
+    "wand_collapse": q_wand_collapse,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
@@ -2765,6 +2819,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_field": SQL_FIELD_QUERY,
         "wand_range": SQL_RANGE_QUERY,
         "wand_facet": SQL_FACET_COUNTS_REF,
+        "collapse_field": SQL_COLLAPSE_FIELD,
+        "wand_collapse": SQL_COLLAPSE_FIELD,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),

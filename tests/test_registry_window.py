@@ -23,6 +23,8 @@ R05_FIRST_TIMERS = {
     "dedup_substring",
     "dedup_lines",
     "cursor_page",
+    "collapse_field",
+    "wand_collapse",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
