@@ -1348,6 +1348,7 @@ def _segment_boolean_topk(
     boost_fn_spec: tuple | None = None,
     collapse_ord_col: str | None = None,
     round_to: int = 5,
+    only_doc_ids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1579,6 +1580,14 @@ def _segment_boolean_topk(
     # a tombstoned doc contributes nothing to any OTHER doc's score
     if deleted.size and len(docs):
         docs, scores = _strip_deleted(docs, deleted, scores)
+    if only_doc_ids is not None and len(docs):
+        # second-pass scoring for a bounded candidate page (ReRank):
+        # keep only the allowlisted docs and return ALL of them — the
+        # caller owns ranking; the per-segment output is at most
+        # |allowlist| rows
+        keep = np.isin(docs, only_doc_ids, assume_unique=True)
+        docs, scores = docs[keep], scores[keep]
+        k = len(only_doc_ids)
     # boosted SHOULD clauses over the tree's match docset — the
     # feedback final query (seed MUST + expansion SHOULD,
     # UnsupervisedFeedbackHelper.java:110-118): candidates stay the
@@ -2158,6 +2167,85 @@ def wand_collapse_search(
             F.col("value").alias(collapse_col),
             F.col("w.doc_id").alias("doc_id"),
             F.col("w.score").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def wand_rerank_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    base_query: str,
+    rerank_query: str,
+    k: int = 10,
+    rerank_docs: int = 30,
+    weight: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Two-pass re-ranking on the packed path — Solr's
+    ReRankQParserPlugin (`rq={!rerank reRankQuery=... reRankDocs=N
+    reRankWeight=w}`): the base query ranks, the top ``rerank_docs``
+    are re-scored as ``base + weight * rerank_score``, and the re-sorted
+    page is served. The cheap-retrieval + expensive-rescoring shape
+    every learning-to-rank deployment sits on.
+
+    Job shape (the bounded-driver-crossing discipline of the packed
+    /mlt and /uf handlers): job 1 = base top-N (per-segment fan-out,
+    N rows cross the driver); job 2 = the rerank tree evaluated per
+    segment against the broadcast N-id allowlist — each segment emits
+    at most |allowlist| rows, the match set never leaves the kernel.
+    At 10^12 docs both jobs stay k/N-row bounded regardless of how
+    many docs match either query.
+
+    ``k`` must be <= ``rerank_docs`` (Solr serves reranked rows from
+    within the reRankDocs prefix; the below-N tail keeps base order —
+    a page past N is a base-query cursor page, not a rerank)."""
+    if k > rerank_docs:
+        raise ValueError(
+            f"rerank serves from the top-{rerank_docs} prefix; page size "
+            f"k={k} exceeds it — raise rerank_docs or page the base query"
+        )
+    base_rows = wand_boolean_search(
+        spark, seg_index, base_query, k=rerank_docs, k1=k1, b=b,
+        round_to=round_to, field_segments=field_segments,
+        field_sims=field_sims,
+    ).collect()  # bounded: rerank_docs rows
+    if not base_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    allow = np.unique(np.array([int(r["doc_id"]) for r in base_rows], np.int64))
+
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, rerank_query, field_segments, field_sims,
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b, only_doc_ids=allow
+        )
+
+    rr = _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(*(si for _, si in _as_gens(seg_index))),
+    ).select("doc_id", F.round("score", round_to).alias("rr_score"))
+
+    base = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in base_rows],
+        "doc_id long, score double",
+    )
+    return (
+        base.join(rr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score")
+                + F.lit(float(weight)) * F.coalesce("rr_score", F.lit(0.0)),
+                round_to,
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -360,6 +360,13 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # rotated OUT — their MUST/MUST_NOT shapes stay in-window via the
 # packed twins wand_boolean / wand_not, and boolean_precedence keeps
 # the flat parser path certified.
+#
+# r05 addition: rerank + wand_rerank (Solr ReRankQParserPlugin
+# two-pass re-ranking, flat + packed, first-timers) rotated IN;
+# mlt_terms + feedback (4x driver-green r01-r04) rotated OUT — the
+# interesting-terms queue is the SAME shared helper the in-window
+# wand_mlt executes, and feedback's oracle (SQL_FEEDBACK) is the
+# identical SQL the in-window wand_feedback is checked against.
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "term_stats",
@@ -367,8 +374,6 @@ _WINDOW_ORDER = [
     "bm25_single",
     "bm25_mm2",
     "boolean_precedence",
-    "mlt_terms",
-    "feedback",
     # packed-path gates — never driver-checked before r03
     "wand_single",
     "wand_or",
@@ -382,6 +387,8 @@ _WINDOW_ORDER = [
     "wand_facet",
     "collapse_field",
     "wand_collapse",
+    "rerank",
+    "wand_rerank",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
@@ -427,9 +434,14 @@ _WINDOW_ORDER = [
     # for the new cursor_page gate; boolean_and / boolean_not (packed
     # twins wand_boolean / wand_not in-window) made room for the new
     # collapse_field / wand_collapse gates
+    # mlt_terms / feedback (shared queue helper + identical oracle as
+    # in-window wand_mlt / wand_feedback) made room for the new
+    # rerank / wand_rerank gates
     "bm25_or_boosted",
     "boolean_and",
     "boolean_not",
+    "mlt_terms",
+    "feedback",
     "payload_search",
     "facet_counts",
     "phrase_query",

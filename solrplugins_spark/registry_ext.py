@@ -1915,6 +1915,55 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_rerank(spark, sf_dir):
+    """Two-pass re-ranking (Solr ReRankQParserPlugin): base
+    'dup or batch' retrieves, the top-30 prefix re-scores as
+    base + 2.0 * bm25('window'), the re-sorted top-10 is served."""
+    from .query.rerank import rerank_search
+
+    return rerank_search(
+        _index(spark, sf_dir), "dup or batch", "window",
+        k=10, rerank_docs=30, weight=2.0,
+    )
+
+
+def q_wand_rerank(spark, sf_dir):
+    """The same rerank on the PACKED path: base top-30 via the
+    per-segment boolean fan-out, second pass evaluated per segment
+    against the broadcast 30-id allowlist (at most |allowlist| rows
+    per segment leave the kernel). Same oracle as rerank."""
+    from .index.segments import wand_rerank_search
+
+    return wand_rerank_search(
+        spark, _segments(spark, sf_dir), "dup or batch", "window",
+        k=10, rerank_docs=30, weight=2.0,
+    )
+
+
+SQL_RERANK = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+a AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'),
+b AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'batch'),
+un AS (SELECT doc_id, s FROM a UNION ALL SELECT doc_id, s FROM b),
+base_scored AS (
+  SELECT doc_id, round(sum(s), 5) AS score FROM un GROUP BY doc_id
+),
+topn AS (
+  SELECT doc_id, score FROM base_scored
+  ORDER BY score DESC, doc_id ASC LIMIT 30
+),
+rr AS (
+  SELECT doc_id, round(partial, 5) AS rrs FROM partials
+  WHERE term = 'window'
+),
+comb AS (
+  SELECT t.doc_id, round(t.score + 2.0 * coalesce(rr.rrs, 0), 5) AS score
+  FROM topn t LEFT JOIN rr USING (doc_id)
+)
+SELECT doc_id, score FROM comb ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_wand_mlt(spark, sf_dir):
     """/mlt served ENTIRELY from segment files (docstore seed text +
     termstats-sidecar df + wand_search execution, seeds excluded) —
@@ -2712,6 +2761,8 @@ EXT_QUERIES = {
     "wand_facet": q_wand_facet,
     "collapse_field": q_collapse_field,
     "wand_collapse": q_wand_collapse,
+    "rerank": q_rerank,
+    "wand_rerank": q_wand_rerank,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
@@ -2821,6 +2872,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_facet": SQL_FACET_COUNTS_REF,
         "collapse_field": SQL_COLLAPSE_FIELD,
         "wand_collapse": SQL_COLLAPSE_FIELD,
+        "rerank": SQL_RERANK,
+        "wand_rerank": SQL_RERANK,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),

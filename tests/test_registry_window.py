@@ -25,6 +25,8 @@ R05_FIRST_TIMERS = {
     "cursor_page",
     "collapse_field",
     "wand_collapse",
+    "rerank",
+    "wand_rerank",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
