@@ -1349,6 +1349,8 @@ def _segment_boolean_topk(
     collapse_ord_col: str | None = None,
     round_to: int = 5,
     only_doc_ids: np.ndarray | None = None,
+    facet_range_spec: tuple | None = None,
+    stats_col: str | None = None,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1378,10 +1380,12 @@ def _segment_boolean_topk(
         dls_by_field[f] = _decode_doclens(r["data"])
         doc_lo_by_field[f] = int(r["doc_lo"])
     if "" not in dls_by_field:
-        if facet_ord_col is not None:
+        if facet_ord_col is not None or facet_range_spec is not None:
             return _empty_facet()
         if collapse_ord_col is not None:
             return _empty_collapse()
+        if stats_col is not None:
+            return _empty_stats()
         return empty
     doc_lo = doc_lo_by_field[""]
     dls = dls_by_field[""]
@@ -1636,6 +1640,39 @@ def _segment_boolean_topk(
         return pd.DataFrame(
             {"ord": nz.astype(np.int64), "cnt": counts[nz].astype(np.int64)}
         )
+    if facet_range_spec is not None:
+        # range faceting (facet.range): bucket the matched docs'
+        # numeric docvalues into [start + i*gap, start + (i+1)*gap);
+        # per-segment partials are at most n_buckets rows, merged by
+        # sum — the ordinal-facet shape with arithmetic in place of
+        # the dictionary
+        f_col, f_start, f_gap, f_nb = facet_range_spec
+        if len(docs) == 0 or f_col not in dvs:
+            return _empty_facet()
+        vals = dvs[f_col][docs - dv_lo[f_col]].astype(np.float64)
+        buckets = np.floor((vals - f_start) / f_gap).astype(np.int64)
+        ok = (buckets >= 0) & (buckets < f_nb)
+        counts = np.bincount(buckets[ok], minlength=f_nb)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {"ord": nz.astype(np.int64), "cnt": counts[nz].astype(np.int64)}
+        )
+    if stats_col is not None:
+        # stats component (StatsComponent): one mergeable moment row
+        # per segment — count/sum/sum-of-squares/min/max; mean and
+        # stddev derive exactly at merge time
+        if len(docs) == 0 or stats_col not in dvs:
+            return _empty_stats()
+        vals = dvs[stats_col][docs - dv_lo[stats_col]].astype(np.float64)
+        return pd.DataFrame(
+            {
+                "cnt": np.array([len(vals)], np.int64),
+                "s": np.array([vals.sum()], np.float64),
+                "ss": np.array([(vals * vals).sum()], np.float64),
+                "mn": np.array([vals.min()], np.float64),
+                "mx": np.array([vals.max()], np.float64),
+            }
+        )
     if collapse_ord_col is not None:
         # field collapse (CollapsingQParserPlugin): the segment's
         # winner per group ordinal — (rounded-score desc, doc_id asc),
@@ -1683,6 +1720,18 @@ def _empty_collapse() -> pd.DataFrame:
             "ord": pd.Series([], dtype="int64"),
             "doc_id": pd.Series([], dtype="int64"),
             "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def _empty_stats() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "cnt": pd.Series([], dtype="int64"),
+            "s": pd.Series([], dtype="float64"),
+            "ss": pd.Series([], dtype="float64"),
+            "mn": pd.Series([], dtype="float64"),
+            "mx": pd.Series([], dtype="float64"),
         }
     )
 
@@ -2171,6 +2220,129 @@ def wand_collapse_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def wand_facet_range_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    facet_col: str,
+    start: int,
+    end: int,
+    gap: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Range faceting on the packed path — Solr's ``facet.range``
+    (RangeFacetProcessor): counts of query-matching docs per
+    ``[start + i*gap, start + (i+1)*gap)`` bucket of a numeric
+    docvalues column. Zero-count buckets are included (Solr returns
+    the full lattice); values outside [start, end) are ignored (the
+    facet.range.other=NONE default).
+
+    Plan: the boolean tree evaluates per segment, matched docs map to
+    bucket ids by pure arithmetic over the dense numeric stream, and
+    per-segment partials — at most n_buckets rows each — merge in one
+    bounded agg joined to a generated bucket lattice. The corpus is
+    never touched; ONE Spark job, the wand_facet_search shape with
+    floor-divide in place of the ordinal dictionary."""
+    if gap <= 0 or end <= start:
+        raise ValueError("facet.range needs gap > 0 and end > start")
+    n_buckets = -(-(end - start) // gap)
+    gens = _as_gens(seg_index)
+    for _, si in gens:
+        if facet_col not in si.value_cols:
+            raise ValueError(
+                f"packed range faceting over {facet_col!r} needs a numeric "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"value_cols=[{facet_col!r}])"
+            )
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        extra_dv_cols=(facet_col,),
+    )
+    spec = (facet_col, float(start), float(gap), int(n_buckets))
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b, facet_range_spec=spec
+        )
+
+    partials = _apply_per_segment(
+        unified, per_segment, "ord long, cnt long",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    )
+    lattice = spark.range(n_buckets).select(F.col("id").alias("ord"))
+    return (
+        lattice.join(
+            partials.groupBy("ord").agg(F.sum("cnt").alias("cnt")), "ord", "left"
+        )
+        .select(
+            (F.lit(int(start)) + F.col("ord") * F.lit(int(gap))).alias("bucket"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def wand_stats_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    stats_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Solr StatsComponent (``stats=true&stats.field=...``) on the
+    packed path: count / min / max / sum / mean / sample-stddev of a
+    numeric docvalues column over the query's matched docset.
+
+    Plan: each segment emits ONE moment row (count, sum, sum of
+    squares, min, max) — the classic mergeable-moments trick — and
+    the driver-side agg derives mean and the corrected (sample)
+    stddev exactly: sqrt((ss - s^2/n) / (n-1)), StatsValuesFactory's
+    formula. The matched docset never leaves the kernels."""
+    gens = _as_gens(seg_index)
+    for _, si in gens:
+        if stats_col not in si.value_cols:
+            raise ValueError(
+                f"packed stats over {stats_col!r} needs a numeric "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"value_cols=[{stats_col!r}])"
+            )
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        extra_dv_cols=(stats_col,),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b, stats_col=stats_col
+        )
+
+    partials = _apply_per_segment(
+        unified, per_segment,
+        "cnt long, s double, ss double, mn double, mx double",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    )
+    n = F.sum("cnt")
+    s = F.sum("s")
+    ss = F.sum("ss")
+    return partials.agg(
+        n.alias("cnt"),
+        F.min("mn").cast("long").alias("min_v"),
+        F.max("mx").cast("long").alias("max_v"),
+        s.cast("long").alias("sum_v"),
+        F.round(s / n, round_to).alias("mean_v"),
+        F.round(
+            F.sqrt((ss - s * s / n) / (n - F.lit(1))), round_to
+        ).alias("stddev_v"),
+    ).filter(F.col("cnt") > 0)
 
 
 def wand_rerank_search(

@@ -1,0 +1,90 @@
+"""Solr search components over a query's matched docset: range
+faceting (``facet.range`` — RangeFacetProcessor) and field stats
+(``stats=true&stats.field=...`` — StatsComponent /
+StatsValuesFactory). Flat-path twins of
+index.segments.wand_facet_range_search / wand_stats_search: the
+matched docset joins the corpus's numeric column, then one bounded
+agg — bucket counts are n_buckets rows, stats is one row, regardless
+of match count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import InvertedIndex
+from .compiler import compile_ast
+from .parser import parse_query
+
+
+def _matched_values(
+    index: InvertedIndex, query: str, values_df: DataFrame, col: str
+) -> DataFrame:
+    tree, _errors = parse_query(query)
+    matched = compile_ast(index, tree).select("doc_id")
+    return matched.join(values_df.select("doc_id", col), "doc_id")
+
+
+def facet_range_search(
+    index: InvertedIndex,
+    query: str,
+    values_df: DataFrame,
+    facet_col: str,
+    start: int,
+    end: int,
+    gap: int,
+) -> DataFrame:
+    """Counts of matching docs per ``[start + i*gap, start +
+    (i+1)*gap)`` bucket of ``facet_col``. Zero-count buckets included
+    (Solr returns the full lattice); values outside [start, end)
+    ignored (facet.range.other=NONE). Returns (bucket, cnt) ordered
+    by bucket — ``bucket`` is the range's inclusive lower bound."""
+    if gap <= 0 or end <= start:
+        raise ValueError("facet.range needs gap > 0 and end > start")
+    n_buckets = -(-(end - start) // gap)
+    j = _matched_values(index, query, values_df, facet_col)
+    b = F.floor((F.col(facet_col) - F.lit(start)) / F.lit(gap))
+    counts = (
+        j.select(b.alias("ord"))
+        .filter((F.col("ord") >= 0) & (F.col("ord") < n_buckets))
+        .groupBy("ord")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lattice = index.postings.sparkSession.range(n_buckets).select(
+        F.col("id").alias("ord")
+    )
+    return (
+        lattice.join(counts, "ord", "left")
+        .select(
+            (F.lit(int(start)) + F.col("ord") * F.lit(int(gap))).alias("bucket"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def stats_search(
+    index: InvertedIndex,
+    query: str,
+    values_df: DataFrame,
+    stats_col: str,
+    round_to: int = 5,
+) -> DataFrame:
+    """One row: count / min / max / sum / mean / sample stddev of
+    ``stats_col`` over the matched docset — StatsValuesFactory's
+    corrected-stddev formula, matching stddev_samp in every SQL
+    engine. Empty docset -> empty frame (Solr omits the section)."""
+    j = _matched_values(index, query, values_df, stats_col)
+    v = F.col(stats_col).cast("double")
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(stats_col).cast("long").alias("min_v"),
+            F.max(stats_col).cast("long").alias("max_v"),
+            F.sum(stats_col).cast("long").alias("sum_v"),
+            F.round(F.avg(v), round_to).alias("mean_v"),
+            F.round(F.stddev_samp(v), round_to).alias("stddev_v"),
+        )
+        .filter(F.col("cnt") > 0)
+    )

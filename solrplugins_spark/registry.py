@@ -367,11 +367,17 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # interesting-terms queue is the SAME shared helper the in-window
 # wand_mlt executes, and feedback's oracle (SQL_FEEDBACK) is the
 # identical SQL the in-window wand_feedback is checked against.
+#
+# r05 addition: facet_range + wand_facet_range (Solr facet.range) and
+# field_stats + wand_stats (Solr StatsComponent), flat + packed,
+# first-timers, rotated IN; rotated OUT (all 4x driver-green
+# r01-r04): bm25_single (identical oracle in-window via wand_single),
+# mlt_docs (identical oracle via wand_mlt), term_stats + doclen
+# (their df/cf and dl values are recomputed from scratch inside every
+# in-window BM25 oracle's CTEs — a regression in either breaks those
+# gates immediately).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
-    "term_stats",
-    "doclen",
-    "bm25_single",
     "bm25_mm2",
     "boolean_precedence",
     # packed-path gates — never driver-checked before r03
@@ -389,12 +395,15 @@ _WINDOW_ORDER = [
     "wand_collapse",
     "rerank",
     "wand_rerank",
+    "facet_range",
+    "wand_facet_range",
+    "field_stats",
+    "wand_stats",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
     "wand_update",
     "wand_boosted_fn",
-    "mlt_docs",
     # flat-path extensions
     "spellcheck",
     "explain_score",
@@ -436,7 +445,14 @@ _WINDOW_ORDER = [
     # collapse_field / wand_collapse gates
     # mlt_terms / feedback (shared queue helper + identical oracle as
     # in-window wand_mlt / wand_feedback) made room for the new
-    # rerank / wand_rerank gates
+    # rerank / wand_rerank gates; bm25_single / mlt_docs / term_stats
+    # / doclen (oracles shared with, or recomputed inside, in-window
+    # gates) made room for facet_range / wand_facet_range /
+    # field_stats / wand_stats
+    "term_stats",
+    "doclen",
+    "bm25_single",
+    "mlt_docs",
     "bm25_or_boosted",
     "boolean_and",
     "boolean_not",

@@ -1915,6 +1915,84 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_facet_range(spark, sf_dir):
+    """Range faceting (Solr facet.range / RangeFacetProcessor):
+    n_chars counts in [0,600) gap-100 buckets over docs matching
+    'dup' — zero buckets included, the full Solr lattice."""
+    from .query.components import facet_range_search
+
+    return facet_range_search(
+        _index(spark, sf_dir), "dup",
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars", 0, 600, 100,
+    )
+
+
+def q_wand_facet_range(spark, sf_dir):
+    """The same range facet on the PACKED path: buckets computed by
+    arithmetic over the n_chars numeric docvalues stream per segment
+    (at most n_buckets partial rows each), corpus never touched. Same
+    oracle as facet_range."""
+    from .index.segments import wand_facet_range_search
+
+    return wand_facet_range_search(
+        spark, _dv_segments(spark, sf_dir), "dup", "n_chars", 0, 600, 100
+    )
+
+
+def q_field_stats(spark, sf_dir):
+    """Solr StatsComponent: count/min/max/sum/mean/sample-stddev of
+    n_chars over docs matching 'dup or batch'."""
+    from .query.components import stats_search
+
+    return stats_search(
+        _index(spark, sf_dir), "dup or batch",
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "n_chars",
+    )
+
+
+def q_wand_stats(spark, sf_dir):
+    """The same stats on the PACKED path: each segment emits ONE
+    mergeable moment row (count, sum, sum-of-squares, min, max); mean
+    and corrected stddev derive exactly at merge. Same oracle as
+    field_stats."""
+    from .index.segments import wand_stats_search
+
+    return wand_stats_search(
+        spark, _dv_segments(spark, sf_dir), "dup or batch", "n_chars"
+    )
+
+
+SQL_FACET_RANGE = f"""
+WITH {TOK_SQL},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+j AS (SELECT d.n_chars AS v FROM m JOIN documents d USING (doc_id)),
+c AS (
+  SELECT CAST(floor(v / 100) AS BIGINT) AS ord, count(*) AS cnt
+  FROM j WHERE v >= 0 AND v < 600 GROUP BY 1
+),
+lat AS (SELECT generate_series AS ord FROM generate_series(0, 5))
+SELECT CAST(lat.ord * 100 AS BIGINT) AS bucket,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM lat LEFT JOIN c USING (ord)
+ORDER BY bucket
+"""
+
+
+SQL_FIELD_STATS = f"""
+WITH {TOK_SQL},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup', 'batch')),
+j AS (SELECT d.n_chars AS v FROM m JOIN documents d USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       round(avg(v), 5) AS mean_v,
+       round(stddev_samp(v), 5) AS stddev_v
+FROM j
+"""
+
+
 def q_rerank(spark, sf_dir):
     """Two-pass re-ranking (Solr ReRankQParserPlugin): base
     'dup or batch' retrieves, the top-30 prefix re-scores as
@@ -2763,6 +2841,10 @@ EXT_QUERIES = {
     "wand_collapse": q_wand_collapse,
     "rerank": q_rerank,
     "wand_rerank": q_wand_rerank,
+    "facet_range": q_facet_range,
+    "wand_facet_range": q_wand_facet_range,
+    "field_stats": q_field_stats,
+    "wand_stats": q_wand_stats,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
@@ -2874,6 +2956,10 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_collapse": SQL_COLLAPSE_FIELD,
         "rerank": SQL_RERANK,
         "wand_rerank": SQL_RERANK,
+        "facet_range": SQL_FACET_RANGE,
+        "wand_facet_range": SQL_FACET_RANGE,
+        "field_stats": SQL_FIELD_STATS,
+        "wand_stats": SQL_FIELD_STATS,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),

@@ -1,0 +1,111 @@
+"""Solr search components: range faceting (facet.range /
+RangeFacetProcessor) and field stats (StatsComponent /
+StatsValuesFactory). Flat and packed must agree exactly, include the
+full zero-bucket lattice, and reproduce a brute-force recompute —
+including the corrected (sample) stddev formula."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from solrplugins_spark.index.builder import build_index
+from solrplugins_spark.index.segments import (
+    build_segments,
+    wand_facet_range_search,
+    wand_stats_search,
+)
+from solrplugins_spark.query.components import facet_range_search, stats_search
+from solrplugins_spark.query.compiler import execute_query
+
+
+@pytest.fixture(scope="module")
+def comp_segments(tiny_index, tmp_path_factory):
+    out = tmp_path_factory.mktemp("components") / "idx"
+    return build_segments(
+        tiny_index, str(out), seg_size=128, groups=2, value_cols=["turn_idx"]
+    )
+
+
+@pytest.fixture(scope="module")
+def hot_term(tiny_index):
+    return tiny_index.terms.orderBy(F.desc("df"), F.asc("term")).limit(1).collect()[0]["term"]
+
+
+def _matched_vals(tiny_index, tiny_corpus_pd, query):
+    matched = execute_query(tiny_index, query, k=10**6).toPandas()["doc_id"]
+    return tiny_corpus_pd.set_index("doc_id").loc[matched, "turn_idx"].to_numpy()
+
+
+def test_flat_facet_range_matches_brute(tiny_index, tiny_corpus, tiny_corpus_pd, hot_term):
+    got = facet_range_search(
+        tiny_index, hot_term, tiny_corpus.select("doc_id", "turn_idx"),
+        "turn_idx", 0, 20, 5,
+    ).toPandas()
+    vals = _matched_vals(tiny_index, tiny_corpus_pd, hot_term)
+    want_counts = [
+        int(((vals >= lo) & (vals < lo + 5)).sum()) for lo in range(0, 20, 5)
+    ]
+    assert list(got["bucket"]) == [0, 5, 10, 15]
+    assert list(got["cnt"]) == want_counts
+    assert int(got["cnt"].sum()) == len(vals)  # [0,20) covers turn_idx fully
+
+
+def test_packed_facet_range_matches_flat(spark, tiny_index, tiny_corpus, comp_segments, hot_term):
+    flat = facet_range_search(
+        tiny_index, hot_term, tiny_corpus.select("doc_id", "turn_idx"),
+        "turn_idx", 0, 24, 4,
+    ).toPandas()
+    packed = wand_facet_range_search(
+        spark, comp_segments, hot_term, "turn_idx", 0, 24, 4
+    ).toPandas()
+    pd.testing.assert_frame_equal(packed, flat)
+    # turn_idx < 20, so the [20,24) bucket exists and is zero — the
+    # full Solr lattice, not just observed buckets
+    assert list(flat["bucket"]) == [0, 4, 8, 12, 16, 20]
+    assert int(flat.iloc[-1]["cnt"]) == 0
+
+
+def test_flat_stats_matches_brute(tiny_index, tiny_corpus, tiny_corpus_pd, hot_term):
+    got = stats_search(
+        tiny_index, hot_term, tiny_corpus.select("doc_id", "turn_idx"), "turn_idx"
+    ).toPandas()
+    vals = _matched_vals(tiny_index, tiny_corpus_pd, hot_term).astype(np.float64)
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["cnt"] == len(vals) and r["min_v"] == vals.min() and r["max_v"] == vals.max()
+    assert r["sum_v"] == vals.sum()
+    assert abs(r["mean_v"] - round(vals.mean(), 5)) < 1e-9
+    assert abs(r["stddev_v"] - round(vals.std(ddof=1), 5)) < 1e-9
+
+
+def test_packed_stats_matches_flat(spark, tiny_index, tiny_corpus, comp_segments, hot_term):
+    flat = stats_search(
+        tiny_index, hot_term, tiny_corpus.select("doc_id", "turn_idx"), "turn_idx"
+    ).toPandas()
+    packed = wand_stats_search(
+        spark, comp_segments, hot_term, "turn_idx"
+    ).toPandas()
+    pd.testing.assert_frame_equal(packed, flat)
+
+
+def test_no_matches(spark, tiny_index, tiny_corpus, comp_segments):
+    stats = stats_search(
+        tiny_index, "zzznope", tiny_corpus.select("doc_id", "turn_idx"), "turn_idx"
+    )
+    assert stats.count() == 0
+    assert wand_stats_search(spark, comp_segments, "zzznope", "turn_idx").count() == 0
+    lattice = wand_facet_range_search(
+        spark, comp_segments, "zzznope", "turn_idx", 0, 20, 5
+    ).toPandas()
+    assert list(lattice["cnt"]) == [0, 0, 0, 0]
+
+
+def test_validation(spark, tiny_index, tiny_corpus, comp_segments):
+    with pytest.raises(ValueError, match="gap"):
+        facet_range_search(
+            tiny_index, "alpha", tiny_corpus.select("doc_id", "turn_idx"),
+            "turn_idx", 0, 20, 0,
+        )
+    with pytest.raises(ValueError, match="numeric docvalues stream"):
+        wand_stats_search(spark, comp_segments, "alpha", "nope_col")

@@ -27,6 +27,10 @@ R05_FIRST_TIMERS = {
     "wand_collapse",
     "rerank",
     "wand_rerank",
+    "facet_range",
+    "wand_facet_range",
+    "field_stats",
+    "wand_stats",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
