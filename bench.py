@@ -357,9 +357,12 @@ def main() -> None:
     # serving-path benchmark line (match+facet from segment files)
     # store_cols: the docstore powers the packed /mlt + /uf serving
     # lines (q_wand_mlt / q_wand_feedback) — the serve-tier shape
+    # value_cols: the turn_idx numeric stream powers the range-facet /
+    # stats component lines (~8 bytes/doc — negligible next to the
+    # r04 docstore addition already in this number)
     seg = build_segments(
         idx, os.path.join(seg_dir, "idx"), seg_size=65536, groups=4,
-        string_cols=["role"], store_cols=["text"],
+        string_cols=["role"], store_cols=["text"], value_cols=["turn_idx"],
     )
     seg_build_secs = time.time() - t0
 
@@ -403,6 +406,50 @@ def main() -> None:
 
     timings = {name: time_query(fn) for name, fn in queries.items()}
     facet_best = time_query(facet_fn)
+
+    # r05 serving components (reported under their own keys, like
+    # wand_facet, to keep the headline p95's 11-query set comparable
+    # across rounds): field collapse, two-pass rerank, range facet,
+    # stats, and a cursor page-2 (searchAfter) — each on the packed
+    # path at sf0.1
+    from solrplugins_spark.index.segments import (
+        wand_collapse_search,
+        wand_facet_range_search,
+        wand_rerank_search,
+        wand_stats_search,
+    )
+
+    p1 = wand_search(
+        spark, seg, [("w0000", 1.0), ("zephyrblade", 2.0)], k=10
+    ).collect()
+    cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    components = {
+        "wand_collapse_secs": time_query(
+            lambda: wand_collapse_search(
+                spark, seg, "zephyrblade or w0003", "role", k=10
+            )
+        ),
+        "wand_rerank_secs": time_query(
+            lambda: wand_rerank_search(
+                spark, seg, "zephyrblade or w0003", "w0100",
+                k=10, rerank_docs=30, weight=2.0,
+            )
+        ),
+        "wand_facet_range_secs": time_query(
+            lambda: wand_facet_range_search(
+                spark, seg, "zephyrblade", "turn_idx", 0, 24, 4
+            )
+        ),
+        "wand_stats_secs": time_query(
+            lambda: wand_stats_search(spark, seg, "zephyrblade or w0003", "turn_idx")
+        ),
+        "cursor_page2_secs": time_query(
+            lambda: wand_search(
+                spark, seg, [("w0000", 1.0), ("zephyrblade", 2.0)],
+                k=10, after=cursor,
+            )
+        ),
+    }
 
     # packed /mlt + /uf serving lines (VERDICT r03 item #1 "Done"):
     # latency + SPARK JOB COUNT vs the flat handlers — parity means the
@@ -473,6 +520,7 @@ def main() -> None:
         "scaling_efficiency_8_to_32_fullbuild": round(efficiency_8_32, 3),
         **cluster,
         "wand_facet_secs": round(facet_best, 4),
+        "components": components,
         **serving,
         "segment_build_secs": round(seg_build_secs, 2),
         "total_bench_secs": round(time.time() - t_start, 1),
