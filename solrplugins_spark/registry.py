@@ -376,10 +376,15 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # (their df/cf and dl values are recomputed from scratch inside every
 # in-window BM25 oracle's CTEs — a regression in either breaks those
 # gates immediately).
+#
+# r05 addition: highlight (Solr highlighter best-window snippets,
+# first-timer) rotated IN; boolean_precedence (4x driver-green
+# r01-r04) rotated OUT — its oracle (SQL_BOOLEAN_PRECEDENCE) is the
+# identical SQL the in-window wand_boolean is checked against, and
+# the parser keeps its 23 ported golden tests.
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "bm25_mm2",
-    "boolean_precedence",
     # packed-path gates — never driver-checked before r03
     "wand_single",
     "wand_or",
@@ -399,6 +404,7 @@ _WINDOW_ORDER = [
     "wand_facet_range",
     "field_stats",
     "wand_stats",
+    "highlight",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
@@ -449,6 +455,9 @@ _WINDOW_ORDER = [
     # / doclen (oracles shared with, or recomputed inside, in-window
     # gates) made room for facet_range / wand_facet_range /
     # field_stats / wand_stats
+    # boolean_precedence (oracle shared with in-window wand_boolean)
+    # made room for the new highlight gate
+    "boolean_precedence",
     "term_stats",
     "doclen",
     "bm25_single",

@@ -1993,6 +1993,61 @@ FROM j
 """
 
 
+def q_highlight(spark, sf_dir):
+    """Solr highlighter (hl=true): best 8-token window per matching
+    doc for terms {dup, batch}, matches wrapped in <em> tags —
+    occurrence-count scoring, earliest-window tie-break, pure JVM
+    array expressions (zero UDFs / shuffles). At scale this runs over
+    the k-row result page (docstore fetch_docs on the packed path);
+    the gate applies it corpus-wide so the oracle checks every doc."""
+    from .query.highlight import highlight_snippets
+
+    return highlight_snippets(_docs(spark, sf_dir), ["dup", "batch"], window=8)
+
+
+SQL_HIGHLIGHT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, t,
+         list_transform(
+           t, x -> CASE WHEN x IN ('dup', 'batch') THEN 1 ELSE 0 END
+         ) AS hits,
+         len(t) AS n
+  FROM toks
+),
+w AS (SELECT doc_id, t, hits, n, least(8, n) AS w FROM h),
+s AS (
+  SELECT doc_id, t, hits, w,
+         list_transform(
+           range(1, n - w + 2),
+           i -> list_sum(list_slice(hits, i, i + w - 1))
+         ) AS scores
+  FROM w
+),
+b AS (
+  SELECT doc_id, t, w,
+         list_position(scores, list_max(scores)) AS best,
+         list_max(scores) AS win_hits,
+         list_sum(hits) AS total
+  FROM s
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_slice(t, best, best + w - 1),
+           x -> CASE WHEN x IN ('dup', 'batch')
+                THEN '<em>' || x || '</em>' ELSE x END
+         ), ' ') AS snippet,
+       CAST(win_hits AS BIGINT) AS hits
+FROM b WHERE total > 0
+"""
+
+
 def q_rerank(spark, sf_dir):
     """Two-pass re-ranking (Solr ReRankQParserPlugin): base
     'dup or batch' retrieves, the top-30 prefix re-scores as
@@ -2845,6 +2900,7 @@ EXT_QUERIES = {
     "wand_facet_range": q_wand_facet_range,
     "field_stats": q_field_stats,
     "wand_stats": q_wand_stats,
+    "highlight": q_highlight,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
@@ -2960,6 +3016,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_facet_range": SQL_FACET_RANGE,
         "field_stats": SQL_FIELD_STATS,
         "wand_stats": SQL_FIELD_STATS,
+        "highlight": SQL_HIGHLIGHT,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),

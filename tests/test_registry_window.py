@@ -31,6 +31,7 @@ R05_FIRST_TIMERS = {
     "wand_facet_range",
     "field_stats",
     "wand_stats",
+    "highlight",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
