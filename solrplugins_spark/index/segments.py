@@ -2345,6 +2345,39 @@ def wand_stats_search(
     ).filter(F.col("cnt") > 0)
 
 
+def wand_scores_for_ids(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    doc_ids: list[int],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Scores of a BOUNDED doc-id set under a boolean query — the
+    second-pass primitive behind re-ranking and query elevation: the
+    tree evaluates per segment against the broadcast allowlist, each
+    segment emits at most |allowlist| rows, and ids the query does not
+    match are simply absent. ONE Spark job; the match set never leaves
+    the kernels."""
+    allow = np.unique(np.asarray([int(d) for d in doc_ids], np.int64))
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b, only_doc_ids=allow
+        )
+
+    return _apply_per_segment(
+        unified, per_segment, "doc_id long, score double",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    ).select("doc_id", F.round("score", round_to).alias("score"))
+
+
 def wand_rerank_search(
     spark: SparkSession,
     seg_index: SegmentIndex,
@@ -2389,21 +2422,12 @@ def wand_rerank_search(
     ).collect()  # bounded: rerank_docs rows
     if not base_rows:
         return spark.createDataFrame([], "doc_id long, score double")
-    allow = np.unique(np.array([int(r["doc_id"]) for r in base_rows], np.int64))
-
-    tree, field_ctx, unified = _prepare_boolean(
-        spark, seg_index, rerank_query, field_segments, field_sims,
-    )
-
-    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_boolean_topk(
-            pdf, tree, field_ctx, 0, k1, b, only_doc_ids=allow
-        )
-
-    rr = _apply_per_segment(
-        unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(*(si for _, si in _as_gens(seg_index))),
-    ).select("doc_id", F.round("score", round_to).alias("rr_score"))
+    rr = wand_scores_for_ids(
+        spark, seg_index, rerank_query,
+        [int(r["doc_id"]) for r in base_rows],
+        k1=k1, b=b, round_to=round_to,
+        field_segments=field_segments, field_sims=field_sims,
+    ).withColumnRenamed("score", "rr_score")
 
     base = spark.createDataFrame(
         [(int(r["doc_id"]), float(r["score"])) for r in base_rows],

@@ -382,12 +382,19 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # r01-r04) rotated OUT — its oracle (SQL_BOOLEAN_PRECEDENCE) is the
 # identical SQL the in-window wand_boolean is checked against, and
 # the parser keeps its 23 ported golden tests.
+#
+# r05 addition: elevation + wand_elevation (Solr
+# QueryElevationComponent, flat + packed, first-timers) rotated IN;
+# rotated OUT: wand_or (2x green r03-r04 — the in-window cursor_page
+# runs the IDENTICAL boosted-OR wand_search query and checks its
+# ranking one page deeper) and ann_lsh (3x green r02-r04 — the
+# hyperplane-LSH bucketing stays exercised in-window by emb_near_dup,
+# and ann_ivf holds the bucketed-ANN serving shape).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "bm25_mm2",
     # packed-path gates — never driver-checked before r03
     "wand_single",
-    "wand_or",
     "cursor_page",
     "wand_phrase",
     "wand_payload",
@@ -405,6 +412,8 @@ _WINDOW_ORDER = [
     "field_stats",
     "wand_stats",
     "highlight",
+    "elevation",
+    "wand_elevation",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
@@ -432,7 +441,6 @@ _WINDOW_ORDER = [
     "dedup_apply",
     "emb_near_dup",
     "knn_join",
-    "ann_lsh",
     "quality_gate",
     "chunk_docs",
     "epoch_shard",
@@ -456,7 +464,12 @@ _WINDOW_ORDER = [
     # gates) made room for facet_range / wand_facet_range /
     # field_stats / wand_stats
     # boolean_precedence (oracle shared with in-window wand_boolean)
-    # made room for the new highlight gate
+    # made room for the new highlight gate; wand_or (cursor_page runs
+    # the identical query one page deeper) + ann_lsh (LSH machinery
+    # in-window via emb_near_dup/ann_ivf) made room for elevation /
+    # wand_elevation
+    "wand_or",
+    "ann_lsh",
     "boolean_precedence",
     "term_stats",
     "doclen",

@@ -2048,6 +2048,56 @@ FROM b WHERE total > 0
 """
 
 
+def q_elevation(spark, sf_dir):
+    """Query elevation (Solr QueryElevationComponent, elevate.xml +
+    forceElevation): docs 499 and 3 pinned to ranks 1-2 in that order
+    (real score when matched, 0.0 when not), organic 'dup or batch'
+    results follow in score order with the pins removed."""
+    from .query.elevation import elevation_search
+
+    return elevation_search(_index(spark, sf_dir), "dup or batch", [499, 3], k=10)
+
+
+def q_wand_elevation(spark, sf_dir):
+    """The same elevation on the PACKED path: organic page over-fetched
+    by |pins| via the per-segment boolean fan-out, pinned scores from
+    the allowlist kernel (wand_scores_for_ids) — two bounded jobs.
+    Same oracle as elevation."""
+    from .query.elevation import wand_elevation_search
+
+    return wand_elevation_search(
+        spark, _segments(spark, sf_dir), "dup or batch", [499, 3], k=10
+    )
+
+
+SQL_ELEVATION = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+ta AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'),
+tb AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'batch'),
+un AS (SELECT doc_id, s FROM ta UNION ALL SELECT doc_id, s FROM tb),
+scored AS (SELECT doc_id, round(sum(s), 5) AS score FROM un GROUP BY doc_id),
+elev(doc_id, rank) AS (VALUES (CAST(499 AS BIGINT), 1), (CAST(3 AS BIGINT), 2)),
+pinned AS (
+  SELECT e.rank, e.doc_id, coalesce(s.score, 0.0) AS score, TRUE AS elevated
+  FROM elev e LEFT JOIN scored s USING (doc_id)
+),
+org AS (
+  SELECT doc_id, score FROM scored WHERE doc_id NOT IN (499, 3)
+  ORDER BY score DESC, doc_id ASC LIMIT 8
+),
+org_r AS (
+  SELECT CAST(2 + row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, score, FALSE AS elevated
+  FROM org
+)
+SELECT rank, doc_id, score, elevated FROM pinned
+UNION ALL
+SELECT rank, doc_id, score, elevated FROM org_r
+ORDER BY rank
+"""
+
+
 def q_rerank(spark, sf_dir):
     """Two-pass re-ranking (Solr ReRankQParserPlugin): base
     'dup or batch' retrieves, the top-30 prefix re-scores as
@@ -2901,6 +2951,8 @@ EXT_QUERIES = {
     "field_stats": q_field_stats,
     "wand_stats": q_wand_stats,
     "highlight": q_highlight,
+    "elevation": q_elevation,
+    "wand_elevation": q_wand_elevation,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
@@ -3017,6 +3069,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "field_stats": SQL_FIELD_STATS,
         "wand_stats": SQL_FIELD_STATS,
         "highlight": SQL_HIGHLIGHT,
+        "elevation": SQL_ELEVATION,
+        "wand_elevation": SQL_ELEVATION,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),

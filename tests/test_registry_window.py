@@ -32,6 +32,8 @@ R05_FIRST_TIMERS = {
     "field_stats",
     "wand_stats",
     "highlight",
+    "elevation",
+    "wand_elevation",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
