@@ -1351,6 +1351,7 @@ def _segment_boolean_topk(
     only_doc_ids: np.ndarray | None = None,
     facet_range_spec: tuple | None = None,
     stats_col: str | None = None,
+    collapse_limit: int = 1,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1695,12 +1696,19 @@ def _segment_boolean_topk(
         # lexsort: last key is primary -> (ord, -score, doc_id)
         order = np.lexsort((docs_v, -scores_r, hit_ords))
         o_s, d_s, s_s = hit_ords[order], docs_v[order], scores_r[order]
-        first = np.unique(o_s, return_index=True)[1]
+        _, first, counts = np.unique(o_s, return_index=True, return_counts=True)
+        if collapse_limit <= 1:
+            keep = first
+        else:
+            # result grouping (group.limit=n): top-n per ordinal —
+            # rank within each ordinal run, keep ranks < n
+            ranks = np.arange(len(o_s)) - np.repeat(first, counts)
+            keep = np.flatnonzero(ranks < collapse_limit)
         return pd.DataFrame(
             {
-                "ord": o_s[first].astype(np.int64),
-                "doc_id": d_s[first].astype(np.int64),
-                "score": s_s[first].astype(np.float64),
+                "ord": o_s[keep].astype(np.int64),
+                "doc_id": d_s[keep].astype(np.int64),
+                "score": s_s[keep].astype(np.float64),
             }
         )
     if len(docs) == 0:
@@ -2343,6 +2351,113 @@ def wand_stats_search(
             F.sqrt((ss - s * s / n) / (n - F.lit(1))), round_to
         ).alias("stddev_v"),
     ).filter(F.col("cnt") > 0)
+
+
+def wand_group_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    group_col: str,
+    k_groups: int = 10,
+    group_limit: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Result grouping on the packed path — Solr's
+    ``group=true&group.field=...&group.limit=n`` (Grouping.java): the
+    top ``k_groups`` groups ranked by their best doc (Solr's default
+    group sort), each with its top ``group_limit`` members. Field
+    collapse is the n=1 special case (wand_collapse_search keeps the
+    flat one-row-per-group shape).
+
+    Plan: the kernel emits the per-segment top-n PER ORDINAL (at most
+    n * |segment group vocab| rows — never the match set); partials
+    join their generation's broadcast dictionary and one
+    vocab-bounded agg per value sorts/slices the cross-segment union
+    (<= n * n_segments rows per group) into the group's member list;
+    groups rank by their head element via TakeOrderedAndProject and
+    the k_groups winners explode back to rows. Returns (grp_rank,
+    group_col, pos, doc_id, score) ordered by (grp_rank, pos)."""
+    gens = _as_gens(seg_index)
+    for _, si in gens:
+        if group_col not in si.string_cols:
+            raise ValueError(
+                f"packed grouping over {group_col!r} needs an ordinal "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"string_cols=[{group_col!r}])"
+            )
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        str_cols=(group_col,),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b,
+            collapse_ord_col=group_col, round_to=round_to,
+            collapse_limit=group_limit,
+        )
+        out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
+        return out
+
+    partials = _apply_per_segment(
+        unified, per_segment, "gen long, ord long, doc_id long, score double",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    )
+    dicts = None
+    for gen_id, si in gens:
+        d = spark.read.parquet(
+            os.path.join(si.path, "docvalues_str", group_col, "dict")
+        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dicts = d if dicts is None else dicts.unionByName(d)
+    # sort_array ascending over (ns=-score, doc_id) == (score desc,
+    # doc_id asc); slice keeps the group's true top-n because every
+    # segment already contributed its local top-n
+    member = F.struct(
+        (-F.col("score")).alias("ns"), F.col("doc_id").alias("doc_id"),
+        F.col("score").alias("score"),
+    )
+    grouped = (
+        partials.join(F.broadcast(dicts), ["gen", "ord"], "left")
+        .groupBy("value")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(member)), 1, int(group_limit)
+            ).alias("members")
+        )
+        .select(
+            F.col("value").alias(group_col),
+            "members",
+            F.element_at("members", 1).alias("head"),
+        )
+        .orderBy(F.asc("head.ns"), F.asc("head.doc_id"))
+        .limit(k_groups)
+    )
+    from pyspark.sql import Window
+
+    # grp_rank over <= k_groups rows — a bounded ranking, not a sort
+    # of the match set
+    ranked = grouped.select(
+        F.row_number()
+        .over(Window.orderBy(F.asc("head.ns"), F.asc("head.doc_id")))
+        .alias("grp_rank"),
+        group_col,
+        "members",
+    )
+    return ranked.select(
+        "grp_rank",
+        group_col,
+        F.posexplode("members").alias("pos0", "m"),
+    ).select(
+        "grp_rank",
+        group_col,
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("m.doc_id").alias("doc_id"),
+        F.col("m.score").alias("score"),
+    ).orderBy("grp_rank", "pos")
 
 
 def wand_scores_for_ids(

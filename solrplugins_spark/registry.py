@@ -390,6 +390,13 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # ranking one page deeper) and ann_lsh (3x green r02-r04 — the
 # hyperplane-LSH bucketing stays exercised in-window by emb_near_dup,
 # and ann_ivf holds the bucketed-ANN serving shape).
+#
+# r05 addition: grouping + wand_grouping (Solr result grouping
+# group.limit=n, flat + packed, first-timers) rotated IN; rotated
+# OUT: simhash + ngram_jaccard (3x driver-green r02-r04 — the
+# near-dup family keeps six in-window gates: dedup_minhash_sig,
+# dedup_clusters, dedup_apply, dup_spans/dedup_substring/dedup_lines,
+# plus emb_near_dup for the LSH-bucket shape).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "bm25_mm2",
@@ -414,6 +421,8 @@ _WINDOW_ORDER = [
     "highlight",
     "elevation",
     "wand_elevation",
+    "grouping",
+    "wand_grouping",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
@@ -434,9 +443,7 @@ _WINDOW_ORDER = [
     "dup_spans",
     "dedup_substring",
     "dedup_lines",
-    "simhash",
     "dedup_minhash_sig",
-    "ngram_jaccard",
     "dedup_clusters",
     "dedup_apply",
     "emb_near_dup",
@@ -471,6 +478,10 @@ _WINDOW_ORDER = [
     "wand_or",
     "ann_lsh",
     "boolean_precedence",
+    # simhash / ngram_jaccard (3x green; dedup family keeps six
+    # in-window gates) made room for grouping / wand_grouping
+    "simhash",
+    "ngram_jaccard",
     "term_stats",
     "doclen",
     "bm25_single",

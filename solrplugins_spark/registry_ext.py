@@ -2098,6 +2098,63 @@ ORDER BY rank
 """
 
 
+def q_grouping(spark, sf_dir):
+    """Result grouping (Solr group=true&group.field=source&
+    group.limit=2): top-5 source groups by best doc for 'dup or
+    batch', each with its top-2 members."""
+    from .query.collapse import group_search
+
+    return group_search(
+        _index(spark, sf_dir), "dup or batch",
+        _docs(spark, sf_dir).select("doc_id", "source"), "source",
+        k_groups=5, group_limit=2,
+    )
+
+
+def q_wand_grouping(spark, sf_dir):
+    """The same grouping on the PACKED path: per-segment top-2 per
+    source ordinal (vocab-bounded partials), cross-segment member
+    merge by value, head-ranked groups. Same oracle as grouping."""
+    from .index.segments import wand_group_search
+
+    return wand_group_search(
+        spark, _dv_segments(spark, sf_dir), "dup or batch", "source",
+        k_groups=5, group_limit=2,
+    )
+
+
+SQL_GROUPING = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+ta AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'dup'),
+tb AS (SELECT doc_id, partial AS s FROM partials WHERE term = 'batch'),
+un AS (SELECT doc_id, s FROM ta UNION ALL SELECT doc_id, s FROM tb),
+scored AS (SELECT doc_id, round(sum(s), 5) AS score FROM un GROUP BY doc_id),
+j AS (
+  SELECT d.source, sc.doc_id, sc.score
+  FROM scored sc JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score DESC, doc_id ASC
+         ) AS pos
+  FROM j
+),
+heads AS (SELECT source, doc_id, score FROM r WHERE pos = 1),
+g AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS grp_rank
+  FROM heads
+  ORDER BY score DESC, doc_id ASC LIMIT 5
+)
+SELECT g.grp_rank, r.source, CAST(r.pos AS INT) AS pos, r.doc_id, r.score
+FROM r JOIN g USING (source)
+WHERE r.pos <= 2
+ORDER BY g.grp_rank, pos
+"""
+
+
 def q_rerank(spark, sf_dir):
     """Two-pass re-ranking (Solr ReRankQParserPlugin): base
     'dup or batch' retrieves, the top-30 prefix re-scores as
@@ -2953,6 +3010,8 @@ EXT_QUERIES = {
     "highlight": q_highlight,
     "elevation": q_elevation,
     "wand_elevation": q_wand_elevation,
+    "grouping": q_grouping,
+    "wand_grouping": q_wand_grouping,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
@@ -3071,6 +3130,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "highlight": SQL_HIGHLIGHT,
         "elevation": SQL_ELEVATION,
         "wand_elevation": SQL_ELEVATION,
+        "grouping": SQL_GROUPING,
+        "wand_grouping": SQL_GROUPING,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),

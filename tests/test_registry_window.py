@@ -34,6 +34,8 @@ R05_FIRST_TIMERS = {
     "highlight",
     "elevation",
     "wand_elevation",
+    "grouping",
+    "wand_grouping",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
