@@ -2515,12 +2515,15 @@ def wand_rerank_search(
     every learning-to-rank deployment sits on.
 
     Job shape (the bounded-driver-crossing discipline of the packed
-    /mlt and /uf handlers): job 1 = base top-N (per-segment fan-out,
-    N rows cross the driver); job 2 = the rerank tree evaluated per
+    /mlt and /uf handlers): pass 1 = base top-N (per-segment fan-out,
+    N rows cross the driver); pass 2 = the rerank tree evaluated per
     segment against the broadcast N-id allowlist — each segment emits
     at most |allowlist| rows, the match set never leaves the kernel.
-    At 10^12 docs both jobs stay k/N-row bounded regardless of how
-    many docs match either query.
+    The final combine joins the N-row local base frame, whose
+    broadcast build schedules as its own (driver-local, N-row) job —
+    3 Spark jobs total, the same budget as the packed /uf handler,
+    every one k/N-row bounded regardless of how many docs match
+    either query (asserted in tests/test_serving_plans.py).
 
     ``k`` must be <= ``rerank_docs`` (Solr serves reranked rows from
     within the reRankDocs prefix; the below-N tail keeps base order —

@@ -103,8 +103,10 @@ def wand_elevation_search(
     """Packed path: organic page via the per-segment boolean top-k
     fan-out (over-fetched by |pins| then pin-filtered — exact, pins
     can displace at most |pins| organic rows); pinned scores via the
-    allowlist kernel. Two bounded jobs, the packed-handler
-    discipline."""
+    allowlist kernel. Two bounded per-segment passes; with the
+    broadcast builds of the tiny pin/page local frames the action
+    schedules at most 4 Spark jobs, every one k/|pins|-row bounded
+    (asserted in tests/test_serving_plans.py)."""
     from ..index.segments import wand_boolean_search, wand_scores_for_ids
 
     ids = [int(d) for d in elevated_ids]

@@ -2061,8 +2061,9 @@ def q_elevation(spark, sf_dir):
 def q_wand_elevation(spark, sf_dir):
     """The same elevation on the PACKED path: organic page over-fetched
     by |pins| via the per-segment boolean fan-out, pinned scores from
-    the allowlist kernel (wand_scores_for_ids) — two bounded jobs.
-    Same oracle as elevation."""
+    the allowlist kernel (wand_scores_for_ids) — two bounded
+    per-segment passes (<=4 jobs with the tiny-frame broadcast
+    builds). Same oracle as elevation."""
     from .query.elevation import wand_elevation_search
 
     return wand_elevation_search(

@@ -1,0 +1,112 @@
+"""Plan-shape contracts for the r05 serving components — the claims
+the docstrings make about scale must be visible in the physical plan
+or the Spark job counter, not just prose:
+
+- collapse / grouping merge their vocab-bounded partials through a
+  BROADCAST dictionary join (never a sort-merge join, never a
+  nested-loop), and flat collapse never plans a Window over the
+  match set;
+- packed rerank stays at THREE bounded jobs (base top-N fan-out,
+  allowlist second pass, and the broadcast build of the N-row local
+  base frame) — the packed /uf handler's budget;
+- packed elevation stays within a bounded-crossing budget of 4 jobs
+  (organic fan-out, allowlist scores, and the broadcast builds of
+  the two tiny local frames) — every job k/|pins|-row bounded.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solrplugins_spark.index.segments import (
+    build_segments,
+    wand_collapse_search,
+    wand_group_search,
+    wand_rerank_search,
+)
+from solrplugins_spark.query.collapse import collapse_search
+from solrplugins_spark.query.elevation import wand_elevation_search
+
+
+@pytest.fixture(scope="module")
+def plan_segments(tiny_index, tmp_path_factory):
+    out = tmp_path_factory.mktemp("servplans") / "idx"
+    return build_segments(
+        tiny_index, str(out), seg_size=128, groups=2, string_cols=["tool"]
+    )
+
+
+@pytest.fixture(scope="module")
+def hot_query(tiny_index):
+    rows = tiny_index.terms.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    return f"{rows[0]['term']} or {rows[1]['term']}"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count_jobs(spark, name, fn) -> int:
+    sc = spark.sparkContext
+    sc.setJobGroup(name, name)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(name))
+
+
+def test_collapse_dict_join_is_broadcast(spark, plan_segments, hot_query):
+    plan = _plan(wand_collapse_search(spark, plan_segments, hot_query, "tool", k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_grouping_dict_join_is_broadcast(spark, plan_segments, hot_query):
+    plan = _plan(
+        wand_group_search(spark, plan_segments, hot_query, "tool", k_groups=4, group_limit=2)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_flat_collapse_has_no_window(tiny_index, tiny_corpus, hot_query):
+    plan = _plan(
+        collapse_search(
+            tiny_index, hot_query, tiny_corpus.select("doc_id", "tool"), "tool", k=10
+        )
+    )
+    assert "Window" not in plan, "collapse must be a max_by agg, not a window"
+    assert "max_by" in plan
+
+
+def test_packed_rerank_is_two_jobs(spark, plan_segments, hot_query, tiny_index):
+    rr_term = (
+        tiny_index.terms.orderBy(F.desc("df"), F.asc("term"))
+        .limit(3)
+        .collect()[2]["term"]
+    )
+    n = _count_jobs(
+        spark,
+        "rerank_jobs",
+        lambda: wand_rerank_search(
+            spark, plan_segments, hot_query, rr_term, k=10, rerank_docs=20
+        ).collect(),
+    )
+    # pass 1 (base top-N) + pass 2 (allowlist) + the broadcast build
+    # of the N-row local base frame — the packed /uf handler's budget
+    assert n <= 3, f"packed rerank exceeded 3 bounded jobs: {n}"
+
+
+def test_packed_elevation_bounded_jobs(spark, plan_segments, hot_query):
+    n = _count_jobs(
+        spark,
+        "elev_jobs",
+        lambda: wand_elevation_search(
+            spark, plan_segments, hot_query, [399, 7], k=10
+        ).collect(),
+    )
+    # organic fan-out + allowlist scores + the broadcast builds of the
+    # two tiny local frames (pins, ranked page) — all k/|pins|-bounded
+    assert n <= 4, f"packed elevation exceeded the bounded-crossing budget: {n}"
