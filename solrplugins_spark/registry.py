@@ -397,6 +397,17 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # near-dup family keeps six in-window gates: dedup_minhash_sig,
 # dedup_clusters, dedup_apply, dup_spans/dedup_substring/dedup_lines,
 # plus emb_near_dup for the LSH-bucket shape).
+#
+# r05 addition: join_query + wand_join (Solr JoinQParser cross-core
+# join, flat + packed-key-set) and dismax (DisMaxQParser multi-field
+# disjunction-max), first-timers, rotated IN; rotated OUT:
+# dedup_minhash_sig (3x green r02-r04 — the minhash-LSH pair stream
+# is the input the in-window dedup_clusters/dedup_apply gates consume
+# every round), knn_join (3x green — the bucket-equi-join ANN shape
+# stays in-window via emb_near_dup and ann_ivf), event_windows (2x+
+# green — the sessionize lag+cumsum rule stays in-window via
+# session_transcripts, and the streamed==batch watermark semantics
+# are pinned by tests/test_events_windows + test_streaming_payloads).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "bm25_mm2",
@@ -423,6 +434,9 @@ _WINDOW_ORDER = [
     "wand_elevation",
     "grouping",
     "wand_grouping",
+    "join_query",
+    "wand_join",
+    "dismax",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
@@ -432,7 +446,6 @@ _WINDOW_ORDER = [
     "spellcheck",
     "explain_score",
     # analytics
-    "event_windows",
     "session_transcripts",
     "tfidf_vectors",
     # LLM-pipeline operators
@@ -443,11 +456,9 @@ _WINDOW_ORDER = [
     "dup_spans",
     "dedup_substring",
     "dedup_lines",
-    "dedup_minhash_sig",
     "dedup_clusters",
     "dedup_apply",
     "emb_near_dup",
-    "knn_join",
     "quality_gate",
     "chunk_docs",
     "epoch_shard",
@@ -479,9 +490,14 @@ _WINDOW_ORDER = [
     "ann_lsh",
     "boolean_precedence",
     # simhash / ngram_jaccard (3x green; dedup family keeps six
-    # in-window gates) made room for grouping / wand_grouping
+    # in-window gates) made room for grouping / wand_grouping;
+    # dedup_minhash_sig / knn_join / event_windows (see policy
+    # comment) made room for join_query / wand_join / dismax
     "simhash",
     "ngram_jaccard",
+    "dedup_minhash_sig",
+    "knn_join",
+    "event_windows",
     "term_stats",
     "doclen",
     "bm25_single",

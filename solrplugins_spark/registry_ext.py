@@ -2581,20 +2581,25 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 _LANG_INDEX_CACHE: dict[str, object] = {}
 
 
-def q_field_query(spark, sf_dir):
-    """FieldQuery routing: 'lang:en and dup' — the lang clause scores
-    against a per-field index (per-field df/dl/avgdl, the per-field
-    similarity mechanism), intersected with the text clause."""
+def _lang_index(spark, sf_dir):
     from .index.builder import build_index
-    from .query.compiler import QueryCompiler
-    from .query.parser import parse_query
 
     if sf_dir not in _LANG_INDEX_CACHE:
         _LANG_INDEX_CACHE[sf_dir] = build_index(
             _docs(spark, sf_dir), text_col="lang"
         ).persist()
+    return _LANG_INDEX_CACHE[sf_dir]
+
+
+def q_field_query(spark, sf_dir):
+    """FieldQuery routing: 'lang:en and dup' — the lang clause scores
+    against a per-field index (per-field df/dl/avgdl, the per-field
+    similarity mechanism), intersected with the text clause."""
+    from .query.compiler import QueryCompiler
+    from .query.parser import parse_query
+
     compiler = QueryCompiler(
-        _index(spark, sf_dir), field_indexes={"lang": _LANG_INDEX_CACHE[sf_dir]}
+        _index(spark, sf_dir), field_indexes={"lang": _lang_index(spark, sf_dir)}
     )
     tree, _ = parse_query("lang:en and dup")
     scored = compiler.compile(tree)
@@ -2621,6 +2626,90 @@ text_scored AS (
 )
 SELECT l.doc_id, round(l.s + t.s, 5) AS score
 FROM lang_scored l JOIN text_scored t USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_join_query(spark, sf_dir):
+    """Cross-core join (Solr {!join from=source to=source}): docs
+    whose source appears among the sources of the 'dup and batch'
+    match set — constant-score semi-join, Solr's join semantics."""
+    from .query.joins import join_query
+
+    d = _docs(spark, sf_dir)
+    return join_query(
+        _index(spark, sf_dir), "dup and batch",
+        d.select("doc_id", "source"), "source", d, "source",
+    )
+
+
+def q_wand_join(spark, sf_dir):
+    """The same join on the PACKED tier: the FROM key set comes from
+    the source ordinal-docvalues facet partials (per-segment,
+    vocab-bounded — the FROM corpus is never read), then the same
+    broadcast semi-join. Same oracle as join_query."""
+    from .query.joins import wand_join_query
+
+    return wand_join_query(
+        spark, _dv_segments(spark, sf_dir), "dup and batch", "source",
+        _docs(spark, sf_dir), "source",
+    )
+
+
+SQL_JOIN_QUERY = f"""
+WITH {TOK_SQL},
+m AS (
+  SELECT doc_id FROM tf WHERE term = 'dup'
+  INTERSECT
+  SELECT doc_id FROM tf WHERE term = 'batch'
+),
+keys AS (SELECT DISTINCT d.source FROM m JOIN documents d USING (doc_id))
+SELECT doc_id FROM documents WHERE source IN (SELECT source FROM keys)
+ORDER BY doc_id
+"""
+
+
+def q_dismax(spark, sf_dir):
+    """DisMax (Solr DisMaxQParserPlugin): terms {en, dup} each score
+    against BOTH the text and lang fields (per-field statistics);
+    per (doc, term) the best field wins plus tie=0.3 times the rest,
+    per doc the terms sum. 'en' scores through the lang field where
+    it is a whole-field token; 'dup' through text."""
+    from .query.joins import dismax_search
+
+    return dismax_search(
+        {"": _index(spark, sf_dir), "lang": _lang_index(spark, sf_dir)},
+        [("en", 1.0), ("dup", 1.0)],
+        k=10, tie=0.3,
+    )
+
+
+SQL_DISMAX = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+qt(term) AS (VALUES ('en'), ('dup')),
+text_p AS (
+  SELECT doc_id, term, partial AS s FROM partials
+  WHERE term IN ('en', 'dup')
+),
+-- lang field: dl=1, avgdl=1, tf=1 => the BM25 tf-part is exactly 1
+-- and the clause score is the lang-field idf (same recipe the
+-- field_query oracle uses)
+lang_df AS (
+  SELECT qt.term, count(*)::DOUBLE AS df
+  FROM documents d JOIN qt ON d.lang = qt.term GROUP BY qt.term
+),
+lang_p AS (
+  SELECT d.doc_id, d.lang AS term,
+         ln(1.0 + (stats.n - ld.df + 0.5) / (ld.df + 0.5)) AS s
+  FROM documents d JOIN lang_df ld ON d.lang = ld.term CROSS JOIN stats
+),
+un AS (SELECT * FROM text_p UNION ALL SELECT * FROM lang_p),
+pt AS (
+  SELECT doc_id, term, max(s) AS mx, sum(s) AS sm
+  FROM un GROUP BY doc_id, term
+),
+dm AS (SELECT doc_id, mx + 0.3 * (sm - mx) AS d FROM pt)
+SELECT doc_id, round(sum(d), 5) AS score FROM dm GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
@@ -3013,6 +3102,9 @@ EXT_QUERIES = {
     "wand_elevation": q_wand_elevation,
     "grouping": q_grouping,
     "wand_grouping": q_wand_grouping,
+    "join_query": q_join_query,
+    "wand_join": q_wand_join,
+    "dismax": q_dismax,
     "wand_mlt": q_wand_mlt,
     "wand_feedback": q_wand_feedback,
     "wand_delete": q_wand_delete,
@@ -3133,6 +3225,9 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_elevation": SQL_ELEVATION,
         "grouping": SQL_GROUPING,
         "wand_grouping": SQL_GROUPING,
+        "join_query": SQL_JOIN_QUERY,
+        "wand_join": SQL_JOIN_QUERY,
+        "dismax": SQL_DISMAX,
         "wand_mlt": SQL_MLT_DOCS,
         "wand_feedback": SQL_FEEDBACK_REF,
         "wand_delete": _sql_wand_delete(),

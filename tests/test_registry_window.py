@@ -36,6 +36,9 @@ R05_FIRST_TIMERS = {
     "wand_elevation",
     "grouping",
     "wand_grouping",
+    "join_query",
+    "wand_join",
+    "dismax",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
