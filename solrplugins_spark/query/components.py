@@ -64,6 +64,37 @@ def facet_range_search(
     )
 
 
+def terms_enum(
+    index: InvertedIndex,
+    prefix: str = "",
+    limit: int = 10,
+    sort: str = "count",
+    min_count: int = 1,
+) -> DataFrame:
+    """Solr TermsComponent (``/terms``: terms.prefix / terms.sort /
+    terms.mincount): enumerate dictionary terms under a prefix with
+    their df (Solr's /terms count) and cf, ``sort="count"`` (df desc,
+    term asc — Solr's default) or ``sort="index"`` (term asc).
+
+    One pruned scan of the (cached, term-sorted) dictionary frame +
+    TakeOrderedAndProject — the corpus and postings are never
+    touched; on the packed tier the same enumeration reads the
+    termstats sidecar, which is term-sorted parquet, so the prefix
+    becomes a row-group-prunable range predicate."""
+    t = index.terms.select("term", "df", "cf")
+    if prefix:
+        t = t.filter(F.col("term").startswith(prefix))
+    if min_count > 1:
+        t = t.filter(F.col("df") >= min_count)
+    if sort == "count":
+        t = t.orderBy(F.desc("df"), F.asc("term"))
+    elif sort == "index":
+        t = t.orderBy(F.asc("term"))
+    else:
+        raise ValueError(f"terms.sort must be 'count' or 'index', got {sort!r}")
+    return t.limit(limit)
+
+
 def stats_search(
     index: InvertedIndex,
     query: str,

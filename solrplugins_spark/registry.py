@@ -408,11 +408,18 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # green — the sessionize lag+cumsum rule stays in-window via
 # session_transcripts, and the streamed==batch watermark semantics
 # are pinned by tests/test_events_windows + test_streaming_payloads).
+#
+# r05 addition: terms_enum (Solr TermsComponent /terms enumeration,
+# first-timer) rotated IN; wand_single (2x green r03-r04) rotated OUT
+# — the wand_search entry point and kernel are exercised in-window by
+# cursor_page (the SAME code path, boosted multi-term, checked one
+# page deeper) and by every other wand_* gate, and the single-term
+# BM25 oracle stays held by the parity suite's bm25_single/wand_single
+# rows at sf0.01 every round.
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "bm25_mm2",
     # packed-path gates — never driver-checked before r03
-    "wand_single",
     "cursor_page",
     "wand_phrase",
     "wand_payload",
@@ -437,6 +444,7 @@ _WINDOW_ORDER = [
     "join_query",
     "wand_join",
     "dismax",
+    "terms_enum",
     "wand_mlt",
     "wand_feedback",
     "wand_delete",
@@ -498,6 +506,9 @@ _WINDOW_ORDER = [
     "dedup_minhash_sig",
     "knn_join",
     "event_windows",
+    # wand_single (kernel held in-window by cursor_page + the wand
+    # family) made room for terms_enum
+    "wand_single",
     "term_stats",
     "doclen",
     "bm25_single",

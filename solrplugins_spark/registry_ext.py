@@ -1993,6 +1993,26 @@ FROM j
 """
 
 
+def q_terms_enum(spark, sf_dir):
+    """Solr TermsComponent (/terms?terms.prefix=s&terms.mincount=2&
+    terms.sort=count): dictionary terms under prefix 's' with df >= 2,
+    df-desc order — one pruned dictionary scan, postings never
+    touched."""
+    from .query.components import terms_enum
+
+    return terms_enum(
+        _index(spark, sf_dir), prefix="s", limit=10, sort="count", min_count=2
+    )
+
+
+SQL_TERMS_ENUM = f"""
+WITH {TOK_SQL}
+SELECT term, df, cf FROM dfreq
+WHERE term LIKE 's%' AND df >= 2
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
 def q_highlight(spark, sf_dir):
     """Solr highlighter (hl=true): best 8-token window per matching
     doc for terms {dup, batch}, matches wrapped in <em> tags —
@@ -3098,6 +3118,7 @@ EXT_QUERIES = {
     "field_stats": q_field_stats,
     "wand_stats": q_wand_stats,
     "highlight": q_highlight,
+    "terms_enum": q_terms_enum,
     "elevation": q_elevation,
     "wand_elevation": q_wand_elevation,
     "grouping": q_grouping,
@@ -3221,6 +3242,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "field_stats": SQL_FIELD_STATS,
         "wand_stats": SQL_FIELD_STATS,
         "highlight": SQL_HIGHLIGHT,
+        "terms_enum": SQL_TERMS_ENUM,
         "elevation": SQL_ELEVATION,
         "wand_elevation": SQL_ELEVATION,
         "grouping": SQL_GROUPING,

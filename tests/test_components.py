@@ -109,3 +109,28 @@ def test_validation(spark, tiny_index, tiny_corpus, comp_segments):
         )
     with pytest.raises(ValueError, match="numeric docvalues stream"):
         wand_stats_search(spark, comp_segments, "alpha", "nope_col")
+
+
+def test_terms_enum_count_and_index_sort(tiny_index, tiny_corpus_pd):
+    from solrplugins_spark.query.components import terms_enum
+
+    got = terms_enum(tiny_index, prefix="w", limit=5, sort="count").toPandas()
+    assert len(got) == 5 and got["term"].str.startswith("w").all()
+    assert list(got["df"]) == sorted(got["df"], reverse=True)
+    # brute-force df for the top term
+    top = got.iloc[0]
+    df = sum(
+        top["term"] in str(t).lower().split() for t in tiny_corpus_pd["text"]
+    )
+    assert int(top["df"]) == df
+    idx_sorted = terms_enum(tiny_index, prefix="w", limit=5, sort="index").toPandas()
+    assert list(idx_sorted["term"]) == sorted(idx_sorted["term"])
+
+
+def test_terms_enum_mincount_and_validation(tiny_index):
+    from solrplugins_spark.query.components import terms_enum
+
+    got = terms_enum(tiny_index, prefix="w", limit=50, min_count=5).toPandas()
+    assert (got["df"] >= 5).all()
+    with pytest.raises(ValueError, match="terms.sort"):
+        terms_enum(tiny_index, sort="nope")

@@ -39,6 +39,7 @@ R05_FIRST_TIMERS = {
     "join_query",
     "wand_join",
     "dismax",
+    "terms_enum",
     # registered in r04 past that round's window; first driver row r05
     "chunk_docs",
     "epoch_shard",
