@@ -422,6 +422,7 @@ def main() -> None:
     p1 = wand_search(
         spark, seg, [("w0000", 1.0), ("zephyrblade", 2.0)], k=10
     ).collect()
+    assert p1, "bench cursor fixture: empty first page (corpus drift?)"
     cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
     components = {
         "wand_collapse_secs": time_query(

@@ -1184,6 +1184,28 @@ def _segment_topk_sim(
     if after is not None and len(acc_docs):
         s_a, d_a, rt = after
         rs = np.round(acc_scores, rt)
+        # np.round is binary half-even; the client's cursor holds
+        # Spark F.round values (HALF_UP on the shortest decimal repr,
+        # java.math.BigDecimal.valueOf). For a double within one
+        # quantum of the cursor the two roundings can disagree, which
+        # would drop a page-2 doc (or let a page-1 doc burn a top-k
+        # slot) BEFORE the truncation — so docs in that band get the
+        # exact Spark rounding via decimal (repr(float) is the same
+        # shortest round-trip repr Double.toString produces). The
+        # band is at most the cursor-score tie group; everything
+        # outside it rounds to the same side under both schemes.
+        band = np.abs(rs - s_a) <= 1.5 * 10.0 ** (-rt)
+        if band.any():
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal(1).scaleb(-rt)
+            rs[band] = np.array(
+                [
+                    float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+                    for v in acc_scores[band]
+                ],
+                np.float64,
+            )
         keep = (rs < s_a) | ((rs == s_a) & (acc_docs > d_a))
         acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
     return _topk_frame(acc_docs, acc_scores, k)
@@ -1647,12 +1669,20 @@ def _segment_boolean_topk(
         # per-segment partials are at most n_buckets rows, merged by
         # sum — the ordinal-facet shape with arithmetic in place of
         # the dictionary
-        f_col, f_start, f_gap, f_nb = facet_range_spec
+        f_col, f_start, f_gap, f_nb, f_end = facet_range_spec
         if len(docs) == 0 or f_col not in dvs:
             return _empty_facet()
-        vals = dvs[f_col][docs - dv_lo[f_col]].astype(np.float64)
+        arr = dvs[f_col]
+        ids = docs - dv_lo[f_col]
+        valid = (ids >= 0) & (ids < len(arr))
+        raw = arr[ids[valid]]
+        # TOMBSTONE slots are compacted-away deletions — same guard as
+        # the ordinal-facet block; [start, end) enforced explicitly so
+        # a non-gap-aligned end never spills into the last bucket
+        raw = raw[raw != TOMBSTONE]
+        vals = raw.astype(np.float64)
         buckets = np.floor((vals - f_start) / f_gap).astype(np.int64)
-        ok = (buckets >= 0) & (buckets < f_nb)
+        ok = (buckets >= 0) & (buckets < f_nb) & (vals < f_end)
         counts = np.bincount(buckets[ok], minlength=f_nb)
         nz = np.flatnonzero(counts)
         return pd.DataFrame(
@@ -1664,7 +1694,16 @@ def _segment_boolean_topk(
         # stddev derive exactly at merge time
         if len(docs) == 0 or stats_col not in dvs:
             return _empty_stats()
-        vals = dvs[stats_col][docs - dv_lo[stats_col]].astype(np.float64)
+        arr = dvs[stats_col]
+        ids = docs - dv_lo[stats_col]
+        valid = (ids >= 0) & (ids < len(arr))
+        raw = arr[ids[valid]]
+        # TOMBSTONE sentinel (2^48-1) would corrupt every moment —
+        # same strip as the facet/collapse blocks
+        raw = raw[raw != TOMBSTONE]
+        if len(raw) == 0:
+            return _empty_stats()
+        vals = raw.astype(np.float64)
         return pd.DataFrame(
             {
                 "cnt": np.array([len(vals)], np.int64),
@@ -2271,7 +2310,7 @@ def wand_facet_range_search(
         spark, seg_index, query, field_segments, field_sims,
         extra_dv_cols=(facet_col,),
     )
-    spec = (facet_col, float(start), float(gap), int(n_buckets))
+    spec = (facet_col, float(start), float(gap), int(n_buckets), float(end))
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_boolean_topk(
@@ -2341,15 +2380,19 @@ def wand_stats_search(
     n = F.sum("cnt")
     s = F.sum("s")
     ss = F.sum("ss")
+    # n == 1: the corrected variance is undefined — NULL, matching
+    # both stddev_samp engines (Spark's NaN is normalized the same
+    # way on the flat path)
+    stddev = F.when(
+        n > 1, F.round(F.sqrt((ss - s * s / n) / (n - F.lit(1))), round_to)
+    )
     return partials.agg(
         n.alias("cnt"),
         F.min("mn").cast("long").alias("min_v"),
         F.max("mx").cast("long").alias("max_v"),
         s.cast("long").alias("sum_v"),
         F.round(s / n, round_to).alias("mean_v"),
-        F.round(
-            F.sqrt((ss - s * s / n) / (n - F.lit(1))), round_to
-        ).alias("stddev_v"),
+        stddev.alias("stddev_v"),
     ).filter(F.col("cnt") > 0)
 
 

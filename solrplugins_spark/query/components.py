@@ -46,7 +46,10 @@ def facet_range_search(
     j = _matched_values(index, query, values_df, facet_col)
     b = F.floor((F.col(facet_col) - F.lit(start)) / F.lit(gap))
     counts = (
-        j.select(b.alias("ord"))
+        # the explicit v < end keeps a non-gap-aligned range honest:
+        # the last bucket never swallows values in [end, start+nb*gap)
+        j.filter((F.col(facet_col) >= start) & (F.col(facet_col) < end))
+        .select(b.alias("ord"))
         .filter((F.col("ord") >= 0) & (F.col("ord") < n_buckets))
         .groupBy("ord")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -108,6 +111,12 @@ def stats_search(
     engine. Empty docset -> empty frame (Solr omits the section)."""
     j = _matched_values(index, query, values_df, stats_col)
     v = F.col(stats_col).cast("double")
+    # single-match docsets: Spark's stddev_samp returns NaN where SQL
+    # engines (and the packed moment merge) return NULL — normalize
+    # to NULL so flat == packed == oracle on every docset size
+    stddev = F.when(
+        F.count(F.lit(1)) > 1, F.round(F.stddev_samp(v), round_to)
+    )
     return (
         j.agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -115,7 +124,7 @@ def stats_search(
             F.max(stats_col).cast("long").alias("max_v"),
             F.sum(stats_col).cast("long").alias("sum_v"),
             F.round(F.avg(v), round_to).alias("mean_v"),
-            F.round(F.stddev_samp(v), round_to).alias("stddev_v"),
+            stddev.alias("stddev_v"),
         )
         .filter(F.col("cnt") > 0)
     )

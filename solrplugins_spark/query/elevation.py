@@ -78,9 +78,12 @@ def elevation_search(
     sim: Similarity = BM25,
     round_to: int = 5,
 ) -> DataFrame:
-    """Flat path: one scored docset serves both the pinned-score
-    lookup (broadcast semi on the tiny id list) and the organic top-k
-    (TakeOrderedAndProject)."""
+    """Flat path: one scored-docset DEFINITION feeds both branches —
+    the pinned-score lookup (isin on the tiny id list) and the
+    organic top-k (TakeOrderedAndProject). The plan executes the
+    pruned scan once per branch (no cache is pinned inside a query
+    function); both executions are isin/top-k bounded, and the packed
+    twin pays the same two passes by design."""
     tree, _errors = parse_query(query)
     scored = compile_ast(index, tree, sim=sim).select(
         "doc_id", F.round("score", round_to).alias("score")

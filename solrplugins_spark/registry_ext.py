@@ -1683,6 +1683,11 @@ def q_cursor_page(spark, sf_dir):
     terms = [("dup", 2.0), ("batch", 1.0), ("window", 0.5)]
     segs = _segments(spark, sf_dir)
     page1 = wand_search(spark, segs, terms, k=10).collect()  # bounded: k rows
+    if not page1:
+        raise RuntimeError(
+            "cursor_page gate fixture yielded an empty first page — "
+            "the boosted-OR terms no longer match this scale factor"
+        )
     last = page1[-1]
     return wand_search(
         spark, segs, terms, k=10, after=(last["score"], last["doc_id"])

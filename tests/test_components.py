@@ -134,3 +134,38 @@ def test_terms_enum_mincount_and_validation(tiny_index):
     assert (got["df"] >= 5).all()
     with pytest.raises(ValueError, match="terms.sort"):
         terms_enum(tiny_index, sort="nope")
+
+
+def test_single_match_stats_stddev_is_null(spark, tiny_index, tiny_corpus, comp_segments):
+    """Exactly one matching doc: corrected stddev is undefined ->
+    NULL on BOTH paths (Spark's raw stddev_samp NaN is normalized),
+    matching SQL engines' stddev_samp."""
+    one = tiny_index.terms.filter(F.col("df") == 1).limit(1).collect()
+    if not one:
+        pytest.skip("fixture has no df=1 term")
+    term = one[0]["term"]
+    flat = stats_search(
+        tiny_index, term, tiny_corpus.select("doc_id", "turn_idx"), "turn_idx"
+    ).toPandas()
+    packed = wand_stats_search(spark, comp_segments, term, "turn_idx").toPandas()
+    for got in (flat, packed):
+        assert len(got) == 1 and got.iloc[0]["cnt"] == 1
+        assert pd.isna(got.iloc[0]["stddev_v"])
+    pd.testing.assert_frame_equal(packed, flat)
+
+
+def test_facet_range_non_aligned_end(spark, tiny_index, tiny_corpus, tiny_corpus_pd, comp_segments, hot_term):
+    """end not gap-aligned: values in [end, last_bucket_hi) must NOT
+    leak into the last bucket — [start, end) is the contract."""
+    flat = facet_range_search(
+        tiny_index, hot_term, tiny_corpus.select("doc_id", "turn_idx"),
+        "turn_idx", 0, 10, 3,
+    ).toPandas()
+    packed = wand_facet_range_search(
+        spark, comp_segments, hot_term, "turn_idx", 0, 10, 3
+    ).toPandas()
+    pd.testing.assert_frame_equal(packed, flat)
+    # last bucket [9, 12) clipped at end=10: only value 9 counts
+    vals = _matched_vals(tiny_index, tiny_corpus_pd, hot_term)
+    assert int(flat.iloc[-1]["cnt"]) == int((vals == 9).sum())
+    assert int(flat["cnt"].sum()) == int((vals < 10).sum())
