@@ -1183,32 +1183,44 @@ def _segment_topk_sim(
         acc_scores = acc_scores * boost
     if after is not None and len(acc_docs):
         s_a, d_a, rt = after
-        rs = np.round(acc_scores, rt)
-        # np.round is binary half-even; the client's cursor holds
-        # Spark F.round values (HALF_UP on the shortest decimal repr,
-        # java.math.BigDecimal.valueOf). For a double within one
-        # quantum of the cursor the two roundings can disagree, which
-        # would drop a page-2 doc (or let a page-1 doc burn a top-k
-        # slot) BEFORE the truncation — so docs in that band get the
-        # exact Spark rounding via decimal (repr(float) is the same
-        # shortest round-trip repr Double.toString produces). The
-        # band is at most the cursor-score tie group; everything
-        # outside it rounds to the same side under both schemes.
-        band = np.abs(rs - s_a) <= 1.5 * 10.0 ** (-rt)
-        if band.any():
-            from decimal import ROUND_HALF_UP, Decimal
-
-            q = Decimal(1).scaleb(-rt)
-            rs[band] = np.array(
-                [
-                    float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
-                    for v in acc_scores[band]
-                ],
-                np.float64,
-            )
-        keep = (rs < s_a) | ((rs == s_a) & (acc_docs > d_a))
+        keep = _cursor_keep(acc_scores, acc_docs, s_a, d_a, rt)
         acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
     return _topk_frame(acc_docs, acc_scores, k)
+
+
+def _cursor_keep(
+    scores: np.ndarray, docs: np.ndarray, s_a: float, d_a: int, rt: int
+) -> np.ndarray:
+    """searchAfter keep-mask: True where (round(score, rt), doc) sits
+    strictly after the cursor in (score desc, doc asc) order — under
+    the SAME rounding the client's cursor was produced with.
+
+    np.round is binary half-even; the cursor holds Spark F.round
+    values (HALF_UP on the shortest decimal repr,
+    java.math.BigDecimal.valueOf). For a double within one quantum of
+    the cursor the two roundings can disagree, which would drop a
+    page-2 doc (or let a page-1 doc burn a top-k slot) BEFORE the
+    per-segment truncation — so docs in that band get the exact Spark
+    rounding via decimal (repr(float) is the same shortest round-trip
+    repr Double.toString produces). The band is at most the
+    cursor-score tie group; everything outside it rounds to the same
+    side under both schemes (the two roundings of one double differ
+    by at most one quantum). Property-tested against a pure-Decimal
+    reference in tests/test_cursor.py."""
+    rs = np.round(scores, rt)
+    band = np.abs(rs - s_a) <= 1.5 * 10.0 ** (-rt)
+    if band.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-rt)
+        rs[band] = np.array(
+            [
+                float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+                for v in scores[band]
+            ],
+            np.float64,
+        )
+    return (rs < s_a) | ((rs == s_a) & (docs > d_a))
 
 
 def _segment_phrase_topk(

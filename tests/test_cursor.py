@@ -116,6 +116,54 @@ def test_cursor_past_end_is_empty(spark, cur_segments, hot_terms):
     assert nxt.count() == 0
 
 
+def test_cursor_keep_matches_decimal_reference():
+    """Property: the kernel's keep-mask equals a pure-Decimal HALF_UP
+    reference (the exact arithmetic Spark's F.round performs) for
+    doubles engineered to sit ON and AROUND .5-quantum boundaries —
+    where numpy's half-even rounding disagrees with HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from solrplugins_spark.index.segments import _cursor_keep
+
+    rt = 5
+    q = Decimal(1).scaleb(-rt)
+
+    def spark_round(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    # scores near k * 1e-5 +/- {0, half-quantum, epsilon} boundaries
+    base = st.integers(min_value=0, max_value=200_000)
+    jitter = st.sampled_from(
+        [0.0, 0.5e-5, 0.5e-5 - 1e-12, 0.5e-5 + 1e-12, 0.9999e-5, 1e-12]
+    )
+    score = st.tuples(base, jitter).map(lambda t: t[0] * 1e-5 + t[1])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        scores=st.lists(score, min_size=1, max_size=30),
+        cursor=score,
+        d_a=st.integers(min_value=0, max_value=20),
+    )
+    def run(scores, cursor, d_a):
+        arr = np.asarray(scores, np.float64)
+        docs = np.arange(len(arr), dtype=np.int64)
+        s_a = spark_round(cursor)  # cursors are always client-rounded
+        got = _cursor_keep(arr, docs, s_a, d_a, rt)
+        want = np.array(
+            [
+                (spark_round(v) < s_a)
+                or (spark_round(v) == s_a and d > d_a)
+                for v, d in zip(arr, docs)
+            ]
+        )
+        assert np.array_equal(got, want)
+
+    run()
+
+
 def test_multi_generation_cursor(spark, tiny_corpus_pd, cur_segments, tmp_path):
     """Cursor pages over two generations (disjoint halves, global
     stats) equal the single compacted index's pages."""
