@@ -1188,6 +1188,38 @@ def _segment_topk_sim(
     return _topk_frame(acc_docs, acc_scores, k)
 
 
+def _spark_round(scores: np.ndarray, rt: int) -> np.ndarray:
+    """Vectorized Spark-compatible rounding: HALF_UP on the shortest
+    decimal repr (java BigDecimal.valueOf(double)) — bit-for-bit what
+    F.round serves on the flat tier and what the shared DuckDB oracles
+    compute.
+
+    np.round (binary half-even on the scaled binary value) agrees with
+    that everywhere except within ~one repr-ULP of a .5 quantum
+    boundary; only that band pays the exact per-element Decimal path,
+    so the fast path stays fully vectorized. Shared by the packed
+    collapse/group winner selection and the boost_fn base rounding so
+    packed winner order matches the flat/Spark rounding exactly
+    (a .xxxx5-boundary score must not flip a group winner between
+    collapse_search and wand_collapse_search)."""
+    rs = np.round(scores, rt)
+    scaled = scores * (10.0**rt)
+    frac = scaled - np.floor(scaled)
+    band = np.abs(frac - 0.5) <= 1e-6
+    if band.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-rt)
+        rs[band] = np.array(
+            [
+                float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+                for v in scores[band]
+            ],
+            np.float64,
+        )
+    return rs
+
+
 def _cursor_keep(
     scores: np.ndarray, docs: np.ndarray, s_a: float, d_a: int, rt: int
 ) -> np.ndarray:
@@ -1206,20 +1238,10 @@ def _cursor_keep(
     cursor-score tie group; everything outside it rounds to the same
     side under both schemes (the two roundings of one double differ
     by at most one quantum). Property-tested against a pure-Decimal
-    reference in tests/test_cursor.py."""
-    rs = np.round(scores, rt)
-    band = np.abs(rs - s_a) <= 1.5 * 10.0 ** (-rt)
-    if band.any():
-        from decimal import ROUND_HALF_UP, Decimal
-
-        q = Decimal(1).scaleb(-rt)
-        rs[band] = np.array(
-            [
-                float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
-                for v in scores[band]
-            ],
-            np.float64,
-        )
+    reference in tests/test_cursor.py. Rounding now delegated to the
+    shared _spark_round (exact HALF_UP everywhere, not just in the
+    cursor band — strictly stronger than the original band fix)."""
+    rs = _spark_round(scores, rt)
     return (rs < s_a) | ((rs == s_a) & (docs > d_a))
 
 
@@ -1656,9 +1678,10 @@ def _segment_boolean_topk(
             vals = dvs[bcol][docs - dv_lo[bcol]].astype(np.float64)
         # flat twin parity: the flat boolean surfaces hand
         # _apply_boost_fn a 5-decimal-rounded base score
-        # (unsupervised_feedback / execute_query round their output),
-        # so the multiplier applies to the rounded base here too
-        scores = np.round(scores, 5) * np.asarray(bfn(vals), np.float64)
+        # (unsupervised_feedback / execute_query round their output
+        # with F.round = decimal HALF_UP), so the multiplier applies
+        # to the identically-rounded base here too
+        scores = _spark_round(scores, 5) * np.asarray(bfn(vals), np.float64)
     if facet_ord_col is not None:
         if len(docs) == 0 or facet_ord_col not in dvs:
             return _empty_facet()
@@ -1743,7 +1766,7 @@ def _segment_boolean_topk(
         docs_v, scores_v, hit_ords = docs_v[live], scores_v[live], hit_ords[live]
         if len(docs_v) == 0:
             return _empty_collapse()
-        scores_r = np.round(scores_v, round_to)
+        scores_r = _spark_round(scores_v, round_to)
         # lexsort: last key is primary -> (ord, -score, doc_id)
         order = np.lexsort((docs_v, -scores_r, hit_ords))
         o_s, d_s, s_s = hit_ords[order], docs_v[order], scores_r[order]
@@ -2395,8 +2418,16 @@ def wand_stats_search(
     # n == 1: the corrected variance is undefined — NULL, matching
     # both stddev_samp engines (Spark's NaN is normalized the same
     # way on the flat path)
+    # clamp the variance operand at 0: floating-point cancellation on
+    # near-constant or large-magnitude columns can push ss - s^2/n
+    # fractionally negative, which would serve NaN where the flat
+    # stddev_samp twin serves 0.0
     stddev = F.when(
-        n > 1, F.round(F.sqrt((ss - s * s / n) / (n - F.lit(1))), round_to)
+        n > 1,
+        F.round(
+            F.sqrt(F.greatest(ss - s * s / n, F.lit(0.0)) / (n - F.lit(1))),
+            round_to,
+        ),
     )
     return partials.agg(
         n.alias("cnt"),

@@ -6,8 +6,13 @@ wrapped in pre/post tags.
 
 Deterministic snippet rule (simplified but fully specified, so an
 independent SQL engine reproduces it byte-for-byte):
-  1. tokens = whitespace-split of lower(text), empties dropped — the
-     same analyzer chain the index was built with;
+  1. tokens = whitespace-split of lower(text), empties dropped —
+     these are the DISPLAY units the snippet reassembles from; a
+     display token is a HIT iff any of its index-grammar subtokens
+     (split on ``[^a-z0-9]+``, the analyzer chain the index was built
+     with — text/lm._token_array) equals a query term, so
+     punctuation-adjacent occurrences like ``dup.`` or ``(batch)``
+     highlight exactly where the index matched them;
   2. the snippet window is the ``window`` consecutive tokens with the
      MOST query-term hits (occurrence count, not distinct terms);
      ties break to the EARLIEST window (Lucene's highlighter also
@@ -36,11 +41,16 @@ def _snippet_cols(
     """(snippet, window_hits, total_hits) expressions for one text
     column — shared by every highlight surface."""
     terms_arr = F.array(*[F.lit(t) for t in terms])
+
+    def _is_hit(x: Column) -> Column:
+        # index-grammar subtokens of the display token — a hit iff any
+        # subtoken is a query term ("dup." / "(batch)" must highlight)
+        return F.arrays_overlap(
+            F.filter(F.split(x, r"[^a-z0-9]+"), lambda s: s != ""), terms_arr
+        )
+
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
-    hits = F.transform(
-        toks,
-        lambda x: F.when(F.array_contains(terms_arr, x), 1).otherwise(0),
-    )
+    hits = F.transform(toks, lambda x: F.when(_is_hit(x), 1).otherwise(0))
     n = F.size(toks)
     w = F.least(F.lit(int(window)), n)
     # window scores by direct slice-sum: O(n * window) comparisons,
@@ -58,7 +68,7 @@ def _snippet_cols(
     wrapped = F.transform(
         F.slice(toks, best.cast("int"), w),
         lambda x: F.when(
-            F.array_contains(terms_arr, x), F.concat(F.lit(pre), x, F.lit(post))
+            _is_hit(x), F.concat(F.lit(pre), x, F.lit(post))
         ).otherwise(x),
     )
     snippet = F.array_join(wrapped, " ")

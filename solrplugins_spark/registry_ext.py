@@ -2038,9 +2038,14 @@ WITH toks AS (
   FROM documents
 ),
 h AS (
+  -- a display token hits iff any index-grammar subtoken
+  -- (split on [^a-z0-9]+) is a query term
   SELECT doc_id, t,
          list_transform(
-           t, x -> CASE WHEN x IN ('dup', 'batch') THEN 1 ELSE 0 END
+           t, x -> CASE WHEN len(list_filter(
+                     string_split_regex(x, '[^a-z0-9]+'),
+                     y -> y <> '' AND y IN ('dup', 'batch'))) > 0
+                   THEN 1 ELSE 0 END
          ) AS hits,
          len(t) AS n
   FROM toks
@@ -2065,7 +2070,9 @@ SELECT doc_id,
        array_to_string(
          list_transform(
            list_slice(t, best, best + w - 1),
-           x -> CASE WHEN x IN ('dup', 'batch')
+           x -> CASE WHEN len(list_filter(
+                  string_split_regex(x, '[^a-z0-9]+'),
+                  y -> y <> '' AND y IN ('dup', 'batch'))) > 0
                 THEN '<em>' || x || '</em>' ELSE x END
          ), ' ') AS snippet,
        CAST(win_hits AS BIGINT) AS hits

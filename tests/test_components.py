@@ -169,3 +169,34 @@ def test_facet_range_non_aligned_end(spark, tiny_index, tiny_corpus, tiny_corpus
     vals = _matched_vals(tiny_index, tiny_corpus_pd, hot_term)
     assert int(flat.iloc[-1]["cnt"]) == int((vals == 9).sum())
     assert int(flat["cnt"].sum()) == int((vals < 10).sum())
+
+
+def test_stats_stddev_cancellation_clamped(spark, tmp_path):
+    """Constant large-magnitude column: the packed merged-moment
+    variance operand ss - s^2/n goes fractionally NEGATIVE in float64
+    (-4.0 for v=100000001, n=3), which unclamped serves NaN where the
+    flat stddev_samp twin (and every SQL oracle) serves 0.0. The
+    F.greatest clamp must make packed == flat == 0.0."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2], dtype="int64"),
+            "text": ["alpha x", "alpha y", "alpha z"],
+            "bigval": pd.array([100000001] * 3, dtype="int64"),
+        }
+    )
+    # precondition: the cancellation really is negative in float64
+    vals = np.full(3, 100000001, np.float64)
+    assert (vals * vals).sum() - vals.sum() ** 2 / 3 < 0
+    corpus = spark.createDataFrame(pdf)
+    idx = build_index(corpus)
+    seg = build_segments(
+        idx, str(tmp_path / "clampidx"), seg_size=128, groups=1,
+        value_cols=["bigval"],
+    )
+    packed = wand_stats_search(spark, seg, "alpha", "bigval").toPandas()
+    flat = stats_search(
+        idx, "alpha", corpus.select("doc_id", "bigval"), "bigval"
+    ).toPandas()
+    assert len(packed) == 1
+    assert packed.iloc[0]["stddev_v"] == 0.0  # not NaN
+    pd.testing.assert_frame_equal(packed, flat)

@@ -183,3 +183,46 @@ def test_multi_generation_cursor(spark, tiny_corpus_pd, cur_segments, tmp_path):
     )
     assert len(single) > 13
     pd.testing.assert_frame_equal(multi, single)
+
+
+def test_spark_round_matches_decimal_reference():
+    """Property: the shared vectorized _spark_round equals the pure
+    Decimal HALF_UP-on-shortest-repr reference (Spark F.round /
+    BigDecimal.valueOf) for EVERY element — including doubles
+    engineered onto .5-quantum boundaries where np.round (half-even)
+    disagrees — and accepts np.float64 scalars regardless of numpy's
+    repr format (numpy>=2.0 repr(np.float64) regression)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from solrplugins_spark.index.segments import _spark_round
+
+    rt = 5
+    q = Decimal(1).scaleb(-rt)
+
+    def ref(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+    base = st.integers(min_value=0, max_value=200_000)
+    jitter = st.sampled_from(
+        [0.0, 0.5e-5, 0.5e-5 - 1e-12, 0.5e-5 + 1e-12, 0.9999e-5, 1e-12]
+    )
+    score = st.tuples(base, jitter).map(lambda t: t[0] * 1e-5 + t[1])
+
+    @settings(max_examples=300, deadline=None)
+    @given(scores=st.lists(score, min_size=1, max_size=50))
+    def run(scores):
+        arr = np.asarray(scores, np.float64)
+        got = _spark_round(arr, rt)
+        want = np.array([ref(v) for v in scores], np.float64)
+        assert np.array_equal(got, want)
+
+    run()
+    # golden half-even vs HALF_UP disagreement: 0.125 is EXACT in
+    # binary, np.round (half-even) gives 0.12, Spark HALF_UP 0.13
+    assert np.round(np.array([0.125]), 2)[0] == 0.12
+    assert _spark_round(np.array([0.125]), 2)[0] == 0.13
+    # np.float64 scalar input (numpy 2.x repr regression path)
+    assert _spark_round(np.full(1, np.float64(4.5e-05)), 5)[0] == 5e-05

@@ -118,3 +118,21 @@ def test_plan_is_single_projection(tiny_corpus):
     plan = highlight_snippets(tiny_corpus, ["dup"], window=4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_punctuation_adjacent_terms_highlight(spark):
+    """The index grammar splits on [^a-z0-9]+ (text/lm._token_array),
+    so 'dup.' and '(batch),' ARE index hits for dup/batch — the
+    snippet must highlight them, not silently miss the very tokens
+    that produced the match."""
+    docs = spark.createDataFrame(
+        [(0, "see dup. and (batch), here"), (1, "duplicate is not a hit")],
+        "doc_id long, text string",
+    )
+    got = highlight_snippets(docs, ["dup", "batch"], window=5).toPandas()
+    # doc 1: 'duplicate' must NOT match (subtoken is 'duplicate')
+    assert list(got["doc_id"]) == [0]
+    snip = got.iloc[0]["snippet"]
+    assert "<em>dup.</em>" in snip
+    assert "<em>(batch),</em>" in snip
+    assert int(got.iloc[0]["hits"]) == 2
