@@ -471,15 +471,22 @@ def build_segments(
         )
         _write_manifest(out_path, m)
 
-    # term->df sidecar, sorted by term: query-time idf comes from a
-    # driver-side pyarrow row-group-pruned read (O(query terms)), NOT a
-    # per-query Spark job over postings metadata — a WAND query is ONE
-    # Spark job. Written after all groups (df is global), resumable via
-    # the manifest flag.
+    # term->(df, cf) sidecar, range-partitioned + sorted by term:
+    # query-time idf comes from a driver-side pyarrow row-group-pruned
+    # read (O(query terms)), NOT a per-query Spark job over postings
+    # metadata — a WAND query is ONE Spark job. The same sidecar is the
+    # packed tier's term DICTIONARY (index.dictionary: serve-tier
+    # spellcheck / suggest / /terms have no flat terms frame at 100-TB
+    # scale) — cf rides along for /terms parity, and the explicit
+    # repartitionByRange keeps every file a disjoint term range so a
+    # prefix predicate prunes at file/row-group granularity no matter
+    # how AQE would have coalesced the write. Written after all groups
+    # (df is global), resumable via the manifest flag.
     if not m.get("termstats"):
         (
-            index.terms.select("term", "df")
-            .orderBy("term")
+            index.terms.select("term", "df", "cf")
+            .repartitionByRange(max(2, groups), "term")
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(out_path, "termstats"))
         )
@@ -3153,30 +3160,36 @@ def compact_packed(
     if not m.get("termstats"):
         if del_by_seg:
             # deletions changed df: re-derive the sidecar from the
-            # purged postings metadata (term, df) — one column-pruned
-            # job; only runs when tombstones were purged
+            # purged postings metadata (term, df, cf) — one
+            # column-pruned job; only runs when tombstones were purged
             merged_terms = (
                 spark.read.option(
                     "basePath", os.path.join(out_path, "postings")
                 )
                 .schema(POSTINGS_SCHEMA + ", group int")
                 .parquet(os.path.join(out_path, "postings"))
-                .select("term", "df")
+                .select("term", "df", "cf")
             )
         else:
             # merged termstats sidecar: per-generation sidecars are
-            # global for their generation; df is additive over
-            # disjoint doc sets
+            # global for their generation; df/cf are additive over
+            # disjoint doc sets. Pre-cf sidecars read cf as NULL —
+            # sum() then yields NULL for terms only those generations
+            # hold, which downstream surfaces treat as "unknown", never
+            # a wrong number.
             merged_terms = None
             for si in seg_indexes:
                 t = spark.read.parquet(os.path.join(si.path, "termstats"))
+                if "cf" not in t.columns:
+                    t = t.withColumn("cf", F.lit(None).cast("long"))
                 merged_terms = (
                     t if merged_terms is None else merged_terms.unionByName(t)
                 )
         (
             merged_terms.groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .orderBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .repartitionByRange(max(2, groups), "term")
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(out_path, "termstats"))
         )

@@ -67,24 +67,18 @@ def facet_range_search(
     )
 
 
-def terms_enum(
-    index: InvertedIndex,
+def enum_terms(
+    terms: DataFrame,
     prefix: str = "",
     limit: int = 10,
     sort: str = "count",
     min_count: int = 1,
 ) -> DataFrame:
-    """Solr TermsComponent (``/terms``: terms.prefix / terms.sort /
-    terms.mincount): enumerate dictionary terms under a prefix with
-    their df (Solr's /terms count) and cf, ``sort="count"`` (df desc,
-    term asc — Solr's default) or ``sort="index"`` (term asc).
-
-    One pruned scan of the (cached, term-sorted) dictionary frame +
-    TakeOrderedAndProject — the corpus and postings are never
-    touched; on the packed tier the same enumeration reads the
-    termstats sidecar, which is term-sorted parquet, so the prefix
-    becomes a row-group-prunable range predicate."""
-    t = index.terms.select("term", "df", "cf")
+    """The one TermsComponent enumeration, shared by both tiers:
+    prefix + mincount filters over a ``(term, df, cf)`` frame, then
+    ``sort="count"`` (df desc, term asc — Solr's default) or
+    ``sort="index"`` (term asc), limit -> TakeOrderedAndProject."""
+    t = terms.select("term", "df", "cf")
     if prefix:
         t = t.filter(F.col("term").startswith(prefix))
     if min_count > 1:
@@ -96,6 +90,28 @@ def terms_enum(
     else:
         raise ValueError(f"terms.sort must be 'count' or 'index', got {sort!r}")
     return t.limit(limit)
+
+
+def terms_enum(
+    index: InvertedIndex,
+    prefix: str = "",
+    limit: int = 10,
+    sort: str = "count",
+    min_count: int = 1,
+) -> DataFrame:
+    """Solr TermsComponent (``/terms``: terms.prefix / terms.sort /
+    terms.mincount): enumerate dictionary terms under a prefix with
+    their df (Solr's /terms count) and cf.
+
+    One pruned scan of the (cached, term-sorted) dictionary frame +
+    TakeOrderedAndProject — the corpus and postings are never
+    touched. The packed tier's twin is
+    ``index.dictionary.wand_terms_enum``: the same ``enum_terms``
+    over the termstats sidecar, whose range-partitioned term-sorted
+    files make the prefix a row-group-prunable range predicate."""
+    return enum_terms(
+        index.terms, prefix=prefix, limit=limit, sort=sort, min_count=min_count
+    )
 
 
 def stats_search(

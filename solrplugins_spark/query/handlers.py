@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from ..index.builder import InvertedIndex
 from .feedback import unsupervised_feedback
-from .mlt import MLTParams, interesting_terms, more_like_this
+from .mlt import (
+    MLTParams,
+    interesting_terms,
+    interesting_terms_text,
+    more_like_text,
+    more_like_this,
+)
 
 
 def _apply_boost_fn(
@@ -70,24 +76,84 @@ def boosted_search(
     )
 
 
+def match_seed(
+    index: InvertedIndex, match_query: str, match_offset: int = 0
+) -> int:
+    """Seed-side paging: run ``q``, take the match at ``match_offset``
+    as the MLT seed (DiceMoreLikeThisHandler.java:199-221 iterates the
+    match DocList to ``matchOffset`` before reading the seed doc).
+    Bounded: fetches match_offset+1 rows, one query execution."""
+    from .compiler import execute_query
+
+    if match_offset < 0:
+        raise ValueError("matchOffset must be >= 0")
+    rows = execute_query(index, match_query, k=match_offset + 1).collect()
+    if len(rows) <= match_offset:
+        raise ValueError(
+            f"matchOffset={match_offset} is past the match list "
+            f"({len(rows)} match(es) for {match_query!r})"
+        )
+    return int(rows[match_offset]["doc_id"])
+
+
 def mlt_handler(
     index: InvertedIndex,
-    seed_doc_ids: list[int],
+    seed_doc_ids: list[int] | None = None,
     params: MLTParams = MLTParams(),
     k: int = 10,
     facet_fields: list[str] | None = None,
     boost_fn: Column | None = None,
     interesting_terms_detail: bool = True,
+    like_text: str | None = None,
+    match_query: str | None = None,
+    match_offset: int = 0,
 ) -> dict[str, DataFrame]:
     """/mlt response: docs + interestingTerms + facets.
 
+    Seed selection, in the reference's precedence order
+    (DiceMoreLikeThisHandler.java:184-221):
+    - ``like_text``: POSTED free text is the seed (content stream /
+      ``stream.body``) — no seed doc, nothing excluded;
+    - ``seed_doc_ids``: explicit seed documents;
+    - ``match_query`` (+ ``match_offset``): run ``q`` and use the
+      match at ``matchOffset`` as the seed (seed-side paging).
+
     facets are counts over the RESULT docset (match+facet,
     DiceMoreLikeThisHandler.java:263-271)."""
+    if like_text is not None:
+        result = more_like_text(
+            index, like_text, params, k=None if boost_fn is not None else k
+        )
+        result = _apply_boost_fn(index, result, boost_fn, k)
+        terms = interesting_terms_text(index, like_text, params)
+        return _mlt_response(
+            index, result, terms, facet_fields, interesting_terms_detail
+        )
+    if seed_doc_ids is None:
+        if match_query is None:
+            raise ValueError(
+                "/mlt needs a seed: like_text, seed_doc_ids, or match_query"
+            )
+        seed_doc_ids = [match_seed(index, match_query, match_offset)]
     result = more_like_this(
         index, seed_doc_ids, params, k=None if boost_fn is not None else k
     )
     result = _apply_boost_fn(index, result, boost_fn, k)
     terms = interesting_terms(index, seed_doc_ids, params)
+    return _mlt_response(
+        index, result, terms, facet_fields, interesting_terms_detail
+    )
+
+
+def _mlt_response(
+    index: InvertedIndex,
+    result: DataFrame,
+    terms: DataFrame,
+    facet_fields: list[str] | None,
+    interesting_terms_detail: bool,
+) -> dict[str, DataFrame]:
+    """Assemble the /mlt response sections — shared by the
+    document-seed and content-stream paths."""
     if not interesting_terms_detail:
         terms = terms.select("term", "score")  # mlt.interestingTerms=list
     out: dict[str, DataFrame] = {"docs": result, "interesting_terms": terms}
@@ -177,6 +243,7 @@ def _packed_interesting_terms(
     text_col: str = "text",
     round_to: int = 5,
     tok_kwargs: dict | None = None,
+    like_text: str | list[str] | None = None,
 ):
     """MLT term extraction served ENTIRELY from segment files: stored
     seed text via the docstore (fetch_docs — the ir.document analogue,
@@ -194,18 +261,24 @@ def _packed_interesting_terms(
     from .mlt import mlt_queue, seed_term_counts
 
     sis = [si for _, si in _as_gens(seg_index)]
-    for si in sis:
-        if text_col not in si.store_cols:
-            raise ValueError(
-                f"packed MLT needs the stored {text_col!r} column — rebuild "
-                f"with build_segments(..., store_cols=[{text_col!r}, ...])"
-            )
-    texts = [
-        r[text_col]
-        for r in fetch_docs(spark, seg_index, seed_doc_ids)
-        .select(text_col)
-        .collect()
-    ]
+    if like_text is not None:
+        # content stream (DiceMoreLikeThisHandler.java:184-197): the
+        # POSTED text is the seed — no docstore read
+        texts = [like_text] if isinstance(like_text, str) else list(like_text)
+    else:
+        for si in sis:
+            if text_col not in si.store_cols:
+                raise ValueError(
+                    f"packed MLT needs the stored {text_col!r} column — "
+                    f"rebuild with build_segments(..., "
+                    f"store_cols=[{text_col!r}, ...])"
+                )
+        texts = [
+            r[text_col]
+            for r in fetch_docs(spark, seg_index, seed_doc_ids)
+            .select(text_col)
+            .collect()
+        ]
     if tok_kwargs is None:
         tok_kwargs = sis[0].tok_kwargs or {}
     counts = seed_term_counts(texts, tok_kwargs)
@@ -226,7 +299,7 @@ def _packed_interesting_terms(
 def packed_mlt_handler(
     spark,
     seg_index,
-    seed_doc_ids: list[int],
+    seed_doc_ids: list[int] | None = None,
     params: MLTParams = MLTParams(),
     k: int = 10,
     facet_fields: list[str] | None = None,
@@ -234,6 +307,9 @@ def packed_mlt_handler(
     interesting_terms_detail: bool = True,
     tok_kwargs: dict | None = None,
     boost_fn: tuple | None = None,
+    like_text: str | list[str] | None = None,
+    match_query: str | None = None,
+    match_offset: int = 0,
 ) -> dict[str, DataFrame]:
     """/mlt served ENTIRELY from a packed index — no flat corpus, no
     postings frame (DiceMoreLikeThisHandler.java:67-271 at the
@@ -247,14 +323,43 @@ def packed_mlt_handler(
     rows of the true top-k. ``seg_index`` may be a list of generations
     (wand_search_multi global statistics). ``params.min_should_match``
     threads through to the packed scorer (mm>1 takes the exact
-    per-segment path — MoreLikeThis.java:147's mm is configurable)."""
-    from ..index.segments import fetch_docs, wand_search, wand_search_multi
+    per-segment path — MoreLikeThis.java:147's mm is configurable).
+
+    Seed selection mirrors the flat handler's reference precedence
+    (DiceMoreLikeThisHandler.java:184-221): ``like_text`` (content
+    stream — no seed doc, nothing excluded), explicit
+    ``seed_doc_ids``, or ``match_query`` + ``match_offset`` (run the
+    boolean query over the packed index, seed = the match at
+    ``matchOffset``; fetches match_offset+1 rows, one execution)."""
+    from ..index.segments import (
+        fetch_docs,
+        wand_boolean_search,
+        wand_search,
+        wand_search_multi,
+    )
 
     is_multi = isinstance(seg_index, (list, tuple))
     first = seg_index[0] if is_multi else seg_index
-    seed_ids = [int(d) for d in seed_doc_ids]
+    if like_text is None and seed_doc_ids is None:
+        if match_query is None:
+            raise ValueError(
+                "/mlt needs a seed: like_text, seed_doc_ids, or match_query"
+            )
+        if match_offset < 0:
+            raise ValueError("matchOffset must be >= 0")
+        matches = wand_boolean_search(
+            spark, seg_index, match_query, k=match_offset + 1
+        ).collect()
+        if len(matches) <= match_offset:
+            raise ValueError(
+                f"matchOffset={match_offset} is past the match list "
+                f"({len(matches)} match(es) for {match_query!r})"
+            )
+        seed_doc_ids = [int(matches[match_offset]["doc_id"])]
+    seed_ids = [int(d) for d in seed_doc_ids] if like_text is None else []
     queue = _packed_interesting_terms(
-        spark, seg_index, seed_ids, params, text_col, tok_kwargs=tok_kwargs
+        spark, seg_index, seed_ids, params, text_col,
+        tok_kwargs=tok_kwargs, like_text=like_text,
     )
     terms = spark.createDataFrame(queue, schema=_MLT_TERMS_SCHEMA)
     if not interesting_terms_detail:

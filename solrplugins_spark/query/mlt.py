@@ -281,6 +281,74 @@ def interesting_terms(
     )
 
 
+def interesting_terms_text(
+    index: InvertedIndex,
+    like_text: str | list[str],
+    params: MLTParams = MLTParams(),
+    round_to: int = 5,
+) -> DataFrame:
+    """Content-stream MLT term extraction: the seed is POSTED free
+    text, not an indexed document (DiceMoreLikeThisHandler.java:184-197
+    reads the request body / ``stream.body`` and feeds
+    MoreLikeThis.like(Reader)). The text is analyzed with the index's
+    own tokenizer settings and the queue is the same shared
+    ``mlt_queue`` the document-seed path builds — semantics are
+    identical, except there is no seed document to exclude.
+
+    Terms absent from the dictionary are skipped (df == 0 —
+    MoreLikeThis.createQueue skips docFreq==0 terms), so pasted text
+    full of out-of-corpus words degrades gracefully."""
+    from .scorer import resolve_df
+
+    spark = index.postings.sparkSession
+    out_schema = "term string, tf long, df long, score double, raw_weight double"
+    texts = [like_text] if isinstance(like_text, str) else list(like_text)
+    counts = seed_term_counts(texts, index.tok_kwargs)
+    if not counts:
+        return spark.createDataFrame([], out_schema)
+    df_map = {
+        t: d for t, d in resolve_df(index, sorted(counts)).items() if d > 0
+    }
+    out = mlt_queue(counts, df_map, index.n_docs, params, round_to)
+    if len(out) == 0:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(out, schema=out_schema)
+
+
+def more_like_text(
+    index: InvertedIndex,
+    like_text: str | list[str],
+    params: MLTParams = MLTParams(),
+    k: int | None = 10,
+    sim: Similarity = BM25,
+) -> DataFrame:
+    """Top-k docs similar to POSTED free text — the content-stream
+    /mlt (DiceMoreLikeThisHandler.java:184-197). Same expansion query
+    as ``more_like_this`` (boosted SHOULD over the interesting terms,
+    minShouldMatch threaded through) but with no seed-doc exclusion:
+    the seed never entered the index."""
+    spark = index.postings.sparkSession
+    rows = interesting_terms_text(index, like_text, params).collect()
+    boosts = [(r["term"], float(r["score"])) for r in rows]
+    df_map = {r["term"]: int(r["df"]) for r in rows}
+    if not boosts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    partials = score_terms(index, boosts, sim=sim, df_map=df_map)
+    scored = partials.groupBy("doc_id").agg(
+        F.round(F.sum("partial"), 5).alias("score"),
+        F.count(F.lit(1)).alias("matched"),
+    )
+    if params.min_should_match > 1:
+        scored = scored.filter(F.col("matched") >= params.min_should_match)
+    if k is None:
+        return scored.select("doc_id", "score")
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def more_like_this(
     index: InvertedIndex,
     seed_doc_ids: list[int] | DataFrame,

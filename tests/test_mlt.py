@@ -195,3 +195,101 @@ def test_interesting_terms_driver_matches_distributed(spark, tiny_index):
             .orderBy("term").toPandas()
         )
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_like_text_equals_doc_seed_when_text_identical(spark, tiny_index, tiny_corpus_pd):
+    """Content-stream MLT (like_text) with EXACTLY a stored doc's text
+    must produce the identical interesting-terms queue as seeding with
+    that doc (DiceMoreLikeThisHandler.java:184-197 feeds the posted
+    text through the same like() accumulation), and the same ranking
+    except the seed doc itself is NOT excluded (the posted text never
+    entered the index)."""
+    from solrplugins_spark.query.mlt import interesting_terms_text, more_like_text
+
+    text0 = tiny_corpus_pd.loc[tiny_corpus_pd["doc_id"] == 0, "text"].iloc[0]
+    p = MLTParams(min_doc_freq=2, max_query_terms=20)
+    from_text = interesting_terms_text(tiny_index, text0, p).orderBy("term").toPandas()
+    from_doc = interesting_terms(tiny_index, [0], p).orderBy("term").toPandas()
+    pd.testing.assert_frame_equal(from_text, from_doc)
+
+    top_text = more_like_text(tiny_index, text0, p, k=1000).toPandas()
+    top_doc = more_like_this(tiny_index, [0], p, k=1000).toPandas()
+    assert 0 in set(top_text["doc_id"])          # not excluded
+    assert 0 not in set(top_doc["doc_id"])        # excluded
+    merged = top_text[top_text["doc_id"] != 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, top_doc.reset_index(drop=True))
+
+
+def test_like_text_unknown_terms_skipped(tiny_index):
+    """Out-of-corpus words in the pasted text degrade gracefully
+    (createQueue skips docFreq==0 terms)."""
+    from solrplugins_spark.query.mlt import interesting_terms_text
+
+    out = interesting_terms_text(
+        tiny_index, "zzqq xxyy w0000 w0001", MLTParams(min_doc_freq=1)
+    ).toPandas()
+    assert set(out["term"]) <= {"w0000", "w0001"}
+    empty = interesting_terms_text(
+        tiny_index, "zzqq xxyy", MLTParams(min_doc_freq=1)
+    ).toPandas()
+    assert len(empty) == 0
+
+
+def test_match_query_offset_seed_selection(tiny_index):
+    """matchOffset seed-side paging (DiceMoreLikeThisHandler
+    .java:199-221): the seed is the match at position `match_offset`
+    of q's ranking; past-the-end offsets raise."""
+    from solrplugins_spark.query.handlers import match_seed, mlt_handler
+
+    ranked = execute_query(tiny_index, "w0003", k=3).collect()
+    for off in range(len(ranked)):
+        assert match_seed(tiny_index, "w0003", off) == ranked[off]["doc_id"]
+    with pytest.raises(ValueError, match="past the match list"):
+        match_seed(tiny_index, "w0003", 10_000_000)
+    with pytest.raises(ValueError, match=">= 0"):
+        match_seed(tiny_index, "w0003", -1)
+
+    p = MLTParams(min_doc_freq=2, max_query_terms=20)
+    via_handler = mlt_handler(
+        tiny_index, match_query="w0003", match_offset=1, params=p, k=5
+    )["docs"].toPandas()
+    direct = more_like_this(
+        tiny_index, [int(ranked[1]["doc_id"])], p, k=5
+    ).toPandas()
+    pd.testing.assert_frame_equal(via_handler, direct)
+
+
+def test_packed_like_text_and_match_offset_match_flat(
+    spark, tiny_index, tiny_corpus, tmp_path
+):
+    """The packed /mlt handler serves content-stream and matchOffset
+    seeds identically to the flat handler."""
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.handlers import mlt_handler, packed_mlt_handler
+
+    idx = tiny_index
+    seg = build_segments(
+        idx, str(tmp_path / "mltidx"), seg_size=128, groups=2,
+        store_cols=["text"],
+    )
+    p = MLTParams(min_doc_freq=2, max_query_terms=20)
+    txt = "w0000 w0001 w0000 w0003"
+    flat = mlt_handler(idx, like_text=txt, params=p, k=10)
+    packed = packed_mlt_handler(spark, seg, like_text=txt, params=p, k=10)
+    pd.testing.assert_frame_equal(
+        flat["docs"].toPandas(), packed["docs"].toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        flat["interesting_terms"].orderBy("term").toPandas(),
+        packed["interesting_terms"].orderBy("term").toPandas(),
+    )
+
+    flat_m = mlt_handler(idx, match_query="w0003", match_offset=2, params=p, k=10)
+    packed_m = packed_mlt_handler(
+        spark, seg, match_query="w0003", match_offset=2, params=p, k=10
+    )
+    pd.testing.assert_frame_equal(
+        flat_m["docs"].toPandas(), packed_m["docs"].toPandas()
+    )
+    with pytest.raises(ValueError, match="needs a seed"):
+        packed_mlt_handler(spark, seg, params=p, k=10)
