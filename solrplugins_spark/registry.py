@@ -222,6 +222,45 @@ FROM top CROSS JOIN veclen
 """
 
 
+def q_mlt_text(spark, sf_dir):
+    """Content-stream /mlt (DiceMoreLikeThisHandler.java:184-197): the
+    seed is POSTED free text, analyzed with the index tokenizer; the
+    expansion query runs with NO seed exclusion (the text never
+    entered the index). End-to-end: the oracle re-derives the seed
+    token counts by splitting the literal with the index grammar, then
+    the full queue -> boosts -> BM25 expansion ranking."""
+    from .query.mlt import more_like_text
+
+    return more_like_text(
+        _index(spark, sf_dir), "Dup batch, dup window scan!", _MLT, k=10
+    )
+
+
+SQL_MLT_TEXT = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+seed AS (
+  SELECT t AS term, count(*)::BIGINT AS tf
+  FROM unnest(list_filter(
+    string_split_regex(lower('Dup batch, dup window scan!'), '[^a-z0-9]+'),
+    x -> x <> '')) AS u(t)
+  GROUP BY t
+),
+cand AS (
+  SELECT s.term, s.tf * (ln(stats.n / (d.df + 1.0)) + 1.0) AS weight
+  FROM seed s JOIN dfreq d USING (term) CROSS JOIN stats
+  WHERE s.tf >= 1 AND d.df >= 5
+),
+top AS (SELECT * FROM cand ORDER BY weight DESC, term ASC LIMIT 20),
+veclen AS (SELECT sqrt(sum(weight * weight)) AS v FROM top),
+boosts AS (
+  SELECT term, round(weight / veclen.v, 5) AS boost FROM top CROSS JOIN veclen
+)
+SELECT p.doc_id, round(sum(b.boost * p.partial), 5) AS score
+FROM partials p JOIN boosts b USING (term) GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_feedback(spark, sf_dir):
     """Two-phase unsupervised feedback on 'dup' — the flagship query
     (seed top-5 -> MLT expansion -> seed MUST + expansion SHOULD)."""
@@ -416,6 +455,22 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # page deeper) and by every other wand_* gate, and the single-term
 # BM25 oracle stays held by the parity suite's bm25_single/wand_single
 # rows at sf0.01 every round.
+#
+# r06 rotation: IN — the four gates built this round: wand_terms_enum
+# / wand_spellcheck / wand_suggest (packed-tier dictionary surfaces
+# over the termstats sidecar, VERDICT r05 item #1) and mlt_text
+# (content-stream /mlt, VERDICT r05 item #5). All 35 r05 first-timers
+# STAY in-window for their second green row (VERDICT r05 item #2).
+# OUT (each >=2x driver-green, shape still covered in-window):
+# spellcheck (5x green r01-r05 — the packed twin wand_spellcheck runs
+# the IDENTICAL spellcheck_suggest code against the same oracle, only
+# the dictionary source differs), wand_mlt (2x green r04-r05 — the
+# packed seed/sidecar machinery stays in-window via wand_feedback,
+# and the shared MLT queue via mlt_text), emb_near_dup (4x green
+# r02-r05 — the LSH-bucketed ANN shape stays in-window via ann_ivf)
+# and dedup_clusters (4x green r02-r05 — the in-window dedup_apply
+# gate consumes clusters' output every round, so a clustering
+# regression still breaks an in-window gate).
 _WINDOW_ORDER = [
     # core flat-path queries (driver-green r01+r02, keep certified)
     "bm25_mm2",
@@ -445,13 +500,16 @@ _WINDOW_ORDER = [
     "wand_join",
     "dismax",
     "terms_enum",
-    "wand_mlt",
+    # r06: packed-tier dictionary surfaces + content-stream /mlt
+    "wand_terms_enum",
+    "wand_spellcheck",
+    "wand_suggest",
+    "mlt_text",
     "wand_feedback",
     "wand_delete",
     "wand_update",
     "wand_boosted_fn",
     # flat-path extensions
-    "spellcheck",
     "explain_score",
     # analytics
     "session_transcripts",
@@ -464,15 +522,21 @@ _WINDOW_ORDER = [
     "dup_spans",
     "dedup_substring",
     "dedup_lines",
-    "dedup_clusters",
     "dedup_apply",
-    "emb_near_dup",
     "quality_gate",
     "chunk_docs",
     "epoch_shard",
     "ann_ivf",
     "classic_lossy_norm",
     # --- driver window boundary (position 50) ---
+    # r06 rotation: spellcheck / wand_mlt / emb_near_dup /
+    # dedup_clusters (all >=2x driver-green; see policy comment above)
+    # made room for wand_terms_enum / wand_spellcheck / wand_suggest /
+    # mlt_text
+    "spellcheck",
+    "wand_mlt",
+    "emb_near_dup",
+    "dedup_clusters",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05 late rotation: flat twins of in-window packed gates + 3x-
     # green suggest/analytics shapes (see policy comment above);
@@ -570,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_not": q_boolean_not,
         "boolean_precedence": q_boolean_precedence,
         "mlt_terms": q_mlt_terms,
+        "mlt_text": q_mlt_text,
         "feedback": q_feedback,
         "facet_counts": q_facet_counts,
         "joint_counts": q_joint_counts,
@@ -595,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_not": SQL_BOOLEAN_NOT,
         "boolean_precedence": SQL_BOOLEAN_PRECEDENCE,
         "mlt_terms": SQL_MLT_TERMS,
+        "mlt_text": SQL_MLT_TEXT,
         "feedback": SQL_FEEDBACK,
         "facet_counts": SQL_FACET_COUNTS,
         "joint_counts": SQL_JOINT_COUNTS,

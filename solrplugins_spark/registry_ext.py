@@ -203,6 +203,40 @@ SELECT token, suggestion, freq, distance, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_wand_spellcheck(spark, sf_dir):
+    """DirectSpellChecker suggestions served from the PACKED tier: the
+    dictionary is the termstats sidecar pruned to the token/typo
+    prefix buckets (index.dictionary.wand_spellcheck_suggest) — the
+    100-TB serve tier has no flat terms frame. Same oracle as the flat
+    spellcheck gate: sidecar df == flat dictionary df, so the
+    suggestion ranking is value-identical."""
+    from .index.dictionary import wand_spellcheck_suggest
+
+    return wand_spellcheck_suggest(
+        spark, _segments(spark, sf_dir), _SPELL_TOKENS, typos=_SPELL_TYPOS
+    )
+
+
+def q_wand_suggest(spark, sf_dir):
+    """Index-as-dictionary canonical suggest from the PACKED tier:
+    HighFrequencyDictionary built from the prefix-pruned termstats
+    sidecar (packed_dictionary), then the identical Title-case-
+    decorated canonical merge as the flat suggest_canonical gate —
+    same oracle."""
+    from .index.dictionary import packed_dictionary
+    from .suggest import canonical_suggest, high_frequency_dictionary
+
+    d = packed_dictionary(spark, _segments(spark, sf_dir), prefixes=["s"])
+    hf = high_frequency_dictionary(d, threshold=0.5)
+    title = hf.select(
+        F.concat(
+            F.upper(F.substring("phrase", 1, 1)), F.expr("substring(phrase, 2)")
+        ).alias("phrase"),
+        (F.col("freq") + 1).alias("freq"),
+    )
+    return canonical_suggest(hf.unionByName(title), "s", count=10)
+
+
 def q_spellcheck_collate(spark, sf_dir):
     """Whole-query collated rewrites from per-token suggestions
     (DiceSpellCheckComponent collate behavior): 'bacth window' ->
@@ -2018,6 +2052,20 @@ ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+def q_wand_terms_enum(spark, sf_dir):
+    """/terms served from the PACKED tier's termstats sidecar (the
+    100-TB serve tier has no flat terms frame): the prefix becomes a
+    pushed StringStartsWith over range-partitioned term-sorted parquet
+    (row-group prune asserted in tests/test_dictionary.py). Same
+    oracle as terms_enum — sidecar (term, df, cf) == flat dictionary."""
+    from .index.dictionary import wand_terms_enum
+
+    return wand_terms_enum(
+        spark, _segments(spark, sf_dir), prefix="s", limit=10,
+        sort="count", min_count=2,
+    )
+
+
 def q_highlight(spark, sf_dir):
     """Solr highlighter (hl=true): best 8-token window per matching
     doc for terms {dup, batch}, matches wrapped in <em> tags —
@@ -3073,6 +3121,9 @@ EXT_QUERIES = {
     "fq_termintersect": q_fq_termintersect,
     "fq_termoverlap": q_fq_termoverlap,
     "spellcheck": q_spellcheck,
+    "wand_spellcheck": q_wand_spellcheck,
+    "wand_suggest": q_wand_suggest,
+    "wand_terms_enum": q_wand_terms_enum,
     "spellcheck_collate": q_spellcheck_collate,
     "suggest_canonical": q_suggest_canonical,
     "sessionize": q_sessionize,
@@ -3197,6 +3248,11 @@ def ext_oracle_sql() -> dict[str, str]:
         "fq_termintersect": SQL_FQ_TERMINTERSECT,
         "fq_termoverlap": SQL_FQ_TERMOVERLAP,
         "spellcheck": SQL_SPELLCHECK,
+        # packed-tier dictionary twins: value-identical to the flat
+        # surfaces by construction, so they share the SAME oracles
+        "wand_spellcheck": SQL_SPELLCHECK,
+        "wand_suggest": SQL_SUGGEST_CANONICAL,
+        "wand_terms_enum": SQL_TERMS_ENUM,
         "spellcheck_collate": SQL_SPELLCHECK_COLLATE,
         "suggest_canonical": SQL_SUGGEST_CANONICAL,
         "sessionize": SQL_SESSIONIZE,

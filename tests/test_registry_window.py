@@ -47,6 +47,18 @@ R05_FIRST_TIMERS = {
     "classic_lossy_norm",
 }
 
+# r06 first-timers: packed-tier dictionary surfaces + content-stream
+# /mlt — no driver row yet, must be in-window this round. The r05
+# first-timers above each have exactly ONE green driver row (r05), and
+# the rotation policy requires >=2 before rotating out, so they must
+# ALL stay in-window for r06 too.
+R06_FIRST_TIMERS = {
+    "wand_terms_enum",
+    "wand_spellcheck",
+    "wand_suggest",
+    "mlt_text",
+}
+
 
 def test_window_order_is_registration_order():
     names = list(entry_mod.queries())
@@ -60,8 +72,8 @@ def test_window_has_no_duplicates_and_covers_all_gates():
 
 def test_first_timers_inside_driver_window():
     window = set(_WINDOW_ORDER[:50])
-    missing = R05_FIRST_TIMERS - window
-    assert not missing, f"never-driver-checked gates past the window: {missing}"
+    missing = (R05_FIRST_TIMERS | R06_FIRST_TIMERS) - window
+    assert not missing, f"gates needing a driver row past the window: {missing}"
 
 
 def test_every_window_gate_is_oracle_paired():
