@@ -2163,6 +2163,67 @@ def fetch_docs(
     return out
 
 
+def fetch_docs_local(seg_index, doc_ids: list[int], columns: list[str] | None = None):
+    """Driver-side docstore point read for a BOUNDED id list — ZERO
+    Spark jobs (pyarrow dataset, same bounded-driver-read contract as
+    the termstats sidecar / tombstone streams). The hive layout
+    (docstore/group=g/seg=s/, rows sorted by doc_id) makes the
+    seg-isin filter a directory prune and the doc_id-isin a row-group
+    prune, so the read is O(requested ids), never a corpus scan.
+
+    This is the serving hot path for seed-text retrieval: the packed
+    /mlt and /uf handlers fetch <= max_seed_docs texts per request,
+    and paying a Spark job (scheduling + stage round-trip, ~0.3 s on
+    a loaded driver) for a point read of a handful of rows was the
+    difference between a 3-job and a 2-job /uf (BENCH/BASELINE.md
+    r06). Returns a pandas frame (doc_id + requested columns),
+    tombstoned ids excluded — identical rows to
+    ``fetch_docs(...).toPandas()`` (tests/test_segments_v3.py)."""
+    import pyarrow.dataset as ds
+
+    gens = _as_gens(seg_index)
+    ids = [int(d) for d in doc_ids]
+    frames = []
+    for _, si in gens:
+        if not si.store_cols:
+            raise ValueError(
+                "packed index has no docstore — rebuild with "
+                "build_segments(..., store_cols=[...])"
+            )
+        tombs = _load_tombstones(si.path)
+        if tombs:
+            dead = {int(x) for v in tombs.values() for x in v}
+            ids_g = [d for d in ids if d not in dead]
+        else:
+            ids_g = ids
+        if not ids_g:
+            continue
+        segs = sorted({d // si.seg_size for d in ids_g})
+        cols = ["doc_id"] + [
+            c for c in (columns or list(si.store_cols)) if c != "doc_id"
+        ]
+        dset = ds.dataset(
+            os.path.join(si.path, "docstore"),
+            format="parquet",
+            partitioning="hive",
+        )
+        tbl = dset.to_table(
+            columns=cols,
+            filter=ds.field("seg").isin(segs) & ds.field("doc_id").isin(ids_g),
+        )
+        frames.append(tbl.to_pandas())
+    import pandas as pd
+
+    if not frames:
+        _, si0 = gens[0]
+        cols = ["doc_id"] + [
+            c for c in (columns or list(si0.store_cols)) if c != "doc_id"
+        ]
+        return pd.DataFrame({c: [] for c in cols})
+    out = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    return out.sort_values("doc_id", kind="stable").reset_index(drop=True)
+
+
 def wand_facet_search(
     spark: SparkSession,
     seg_index: SegmentIndex,

@@ -200,7 +200,7 @@ def packed_select_handler(
              "facet_<field>": (value, cnt), ...}.
     """
     from ..index.segments import (
-        fetch_docs,
+        fetch_docs_local,
         wand_boolean_search,
         wand_facet_search,
     )
@@ -212,17 +212,36 @@ def packed_select_handler(
     )
     docs = top
     if with_stored and first.store_cols:
-        # collect the k-row page ONCE and rebuild it as a local frame —
-        # joining the lazy `top` against fetch_docs would re-execute
-        # the whole per-segment evaluation a second time
+        # collect the k-row page ONCE (joining the lazy `top` against
+        # the docstore would re-execute the whole per-segment
+        # evaluation a second time), then merge the stored fields via
+        # a DRIVER-SIDE docstore point read — zero further Spark jobs;
+        # the caller's collect serves from a local frame
         rows = top.collect()
-        page = spark.createDataFrame(rows, top.schema)
         ids = [int(r["doc_id"]) for r in rows]
         if ids:
-            docs = page.join(fetch_docs(spark, seg_index, ids), "doc_id", "left")
+            import pandas as pd
+
+            page = pd.DataFrame([r.asDict() for r in rows])
+            stored = fetch_docs_local(seg_index, ids)
+            merged = page.merge(stored, on="doc_id", how="left").sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            )
+            if first.store_schema:
+                extra = ", ".join(
+                    c
+                    for c in first.store_schema.split(", ")
+                    if not c.startswith("doc_id ")
+                )
+                schema = "doc_id bigint, score double" + (
+                    ", " + extra if extra else ""
+                )
+                names = [f.split(" ")[0] for f in schema.split(", ")]
+                docs = spark.createDataFrame(merged[names], schema=schema)
+            else:
+                docs = spark.createDataFrame(merged)
         else:
-            docs = page
-        docs = docs.orderBy(F.desc("score"), F.asc("doc_id"))
+            docs = spark.createDataFrame(rows, top.schema)
     out: dict[str, DataFrame] = {"docs": docs}
     for field in facet_fields or []:
         out[f"facet_{field}"] = wand_facet_search(
@@ -246,18 +265,19 @@ def _packed_interesting_terms(
     like_text: str | list[str] | None = None,
 ):
     """MLT term extraction served ENTIRELY from segment files: stored
-    seed text via the docstore (fetch_docs — the ir.document analogue,
-    MoreLikeThis.java:1113-1145), df via the termstats sidecar (a
-    driver-side pyarrow point read, no Spark job), and the createQueue
-    PQ built driver-side for the bounded seed list — identical queue
-    to the flat path (shared mlt_queue). ``seg_index`` may be a list
+    seed text via a driver-side docstore point read (fetch_docs_local
+    — the ir.document analogue, MoreLikeThis.java:1113-1145; zero
+    Spark jobs for the bounded seed list), df via the termstats
+    sidecar (a driver-side pyarrow point read, no Spark job), and the
+    createQueue PQ built driver-side — identical queue to the flat
+    path (shared mlt_queue), so the whole extraction costs no jobs. ``seg_index`` may be a list
     of generations: dfs sum across sidecars, n_docs aggregates, and
     the docstore point read unions. ``tok_kwargs=None`` re-analyzes
     with the tokenizer settings RECORDED in the segment manifest at
     build time — the seed text must tokenize exactly like the
     postings or rankings silently diverge. Returns a pandas frame
     (term, tf, df, score, raw_weight), <= max_query_terms rows."""
-    from ..index.segments import _as_gens, _sidecar_dfs, fetch_docs
+    from ..index.segments import _as_gens, _sidecar_dfs, fetch_docs_local
     from .mlt import mlt_queue, seed_term_counts
 
     sis = [si for _, si in _as_gens(seg_index)]
@@ -273,12 +293,12 @@ def _packed_interesting_terms(
                     f"rebuild with build_segments(..., "
                     f"store_cols=[{text_col!r}, ...])"
                 )
-        texts = [
-            r[text_col]
-            for r in fetch_docs(spark, seg_index, seed_doc_ids)
-            .select(text_col)
-            .collect()
-        ]
+        # driver-side docstore point read (pyarrow): the seed list is
+        # bounded (max_seed_docs), so this costs ZERO Spark jobs —
+        # /mlt and /uf drop from 3 jobs to 2 per request
+        texts = fetch_docs_local(seg_index, seed_doc_ids, columns=[text_col])[
+            text_col
+        ].tolist()
     if tok_kwargs is None:
         tok_kwargs = sis[0].tok_kwargs or {}
     counts = seed_term_counts(texts, tok_kwargs)
@@ -332,7 +352,7 @@ def packed_mlt_handler(
     boolean query over the packed index, seed = the match at
     ``matchOffset``; fetches match_offset+1 rows, one execution)."""
     from ..index.segments import (
-        fetch_docs,
+        fetch_docs_local,
         wand_boolean_search,
         wand_search,
         wand_search_multi,
@@ -406,18 +426,25 @@ def packed_mlt_handler(
         out["docs"] = spark.createDataFrame(rows, docs.schema)
         ids = [int(r["doc_id"]) for r in rows]
         # facets count over the RESULT page (DiceMoreLikeThisHandler
-        # .java:263-271): k rows — one docstore point read covers all
-        # requested fields
-        page = fetch_docs(spark, seg_index, ids) if ids else None
+        # .java:263-271): k rows — one DRIVER-SIDE docstore point read
+        # covers all requested fields, zero Spark jobs
+        page = (
+            fetch_docs_local(seg_index, ids, columns=list(facet_fields))
+            if ids
+            else None
+        )
         for field in facet_fields:
             if page is None:
                 out[f"facet_{field}"] = spark.createDataFrame(
                     [], f"{field} string, cnt long"
                 )
             else:
-                out[f"facet_{field}"] = page.groupBy(field).agg(
-                    F.count(F.lit(1)).alias("cnt")
+                counts = (
+                    page.groupby(field, dropna=False)
+                    .size()
+                    .reset_index(name="cnt")
                 )
+                out[f"facet_{field}"] = spark.createDataFrame(counts)
     return out
 
 

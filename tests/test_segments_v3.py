@@ -586,6 +586,50 @@ def test_packed_docstore_fetch(spark, tiny_corpus, tmp_path):
     with pytest.raises(ValueError, match="docstore"):
         fetch_docs(spark, seg_plain, [1])
 
+    # the driver-side point read (zero Spark jobs — the serving hot
+    # path for seed texts) returns the identical rows
+    from solrplugins_spark.index.segments import fetch_docs_local
+
+    local = fetch_docs_local(seg, ids)
+    pd.testing.assert_frame_equal(
+        local[want.columns.tolist()].reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    sub = fetch_docs_local(seg, ids, columns=["text"])
+    assert list(sub.columns) == ["doc_id", "text"]
+    pd.testing.assert_frame_equal(
+        sub, want[["doc_id", "text"]].reset_index(drop=True), check_dtype=False
+    )
+    assert fetch_docs_local(seg, [10**9]).empty
+    with pytest.raises(ValueError, match="docstore"):
+        fetch_docs_local(seg_plain, [1])
+
+
+def test_fetch_docs_local_excludes_tombstones(spark, tiny_corpus, tmp_path):
+    """Tombstoned ids are not retrievable via the driver-side point
+    read — same liveDocs contract as fetch_docs."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import (
+        build_segments,
+        delete_docs,
+        fetch_docs,
+        fetch_docs_local,
+    )
+
+    idx = build_index(tiny_corpus).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "dst"), seg_size=64, groups=2, store_cols=["text"]
+    )
+    delete_docs(seg.path, [3, 5])
+    ids = [2, 3, 4, 5, 6]
+    local = fetch_docs_local(seg, ids)
+    via_spark = fetch_docs(spark, seg, ids).orderBy("doc_id").toPandas()
+    assert list(local["doc_id"]) == [2, 4, 6]
+    pd.testing.assert_frame_equal(
+        local[via_spark.columns.tolist()], via_spark, check_dtype=False
+    )
+
 
 def test_compact_carries_docstore(spark, tiny_corpus_pd, tmp_path):
     """store_cols survive compaction like the docvalues streams do —
