@@ -2799,34 +2799,53 @@ def compact_packed(
     if del_by_seg:
         # Lucene merge semantics: the compacted index's stats count
         # LIVE docs only (docFreq/N drop once deletions are purged).
-        # One bounded job over the affected segments' doclen streams
-        # recovers the deleted docs' token mass.
+        # The deleted docs' token mass is recovered with ONE small
+        # Spark agg over the affected segments' doclen streams: each
+        # task's working set is a single segment's streams (a few rows
+        # x seg_size ints) and the driver receives exactly two
+        # numbers, so a mass compaction touching every segment of a
+        # 100-TB index can't balloon driver memory (r05 review item).
+        # The per-segment deleted-id lists ship in the UDF closure —
+        # tombstones are already a bounded driver-side read above.
         affected = sorted(del_by_seg.keys())
-        rows = (
+        del_ids_by_seg = {
+            int(s): np.asarray(v, dtype=np.int64)
+            for s, v in del_by_seg.items()
+        }
+
+        def _recover_stats(key, pdf):
+            d_ids = del_ids_by_seg[int(key[0])]
+            tokens = 0
+            live = np.zeros(len(d_ids), dtype=bool)
+            for dl_data, lo in zip(pdf["dl_data"], pdf["doc_lo"]):
+                arr = _decode_doclens(dl_data)
+                idx = d_ids - int(lo)
+                ok = (idx >= 0) & (idx < len(arr))
+                vals = arr[idx[ok]]
+                real = vals != TOMBSTONE
+                tokens += int(vals[real].sum())
+                # generations hold disjoint docs: at most one
+                # generation's stream has a real length for a given
+                # id, but dl=0 slots exist in every stream — count
+                # each deleted doc once across generations
+                live[np.flatnonzero(ok)[real]] = True
+            return pd.DataFrame(
+                {"del_tokens": [tokens], "n_del_live": [int(live.sum())]}
+            )
+
+        rec = (
             dls.filter(F.col("seg").isin(affected))
             .select("seg", "doc_lo", "dl_data")
-            .collect()
+            .groupBy("seg")
+            .applyInPandas(_recover_stats, "del_tokens long, n_del_live long")
+            .agg(
+                F.sum("del_tokens").alias("t"),
+                F.sum("n_del_live").alias("n"),
+            )
+            .collect()[0]
         )
-        del_tokens = 0
-        n_del_live = 0
-        counted: dict[int, set] = {}
-        for r in rows:
-            arr = _decode_doclens(r["dl_data"])
-            lo = int(r["doc_lo"])
-            seen = counted.setdefault(int(r["seg"]), set())
-            for d_id in del_by_seg[int(r["seg"])]:
-                idx = int(d_id) - lo
-                if 0 <= idx < len(arr) and arr[idx] != TOMBSTONE:
-                    # generations hold disjoint docs: at most one
-                    # generation's stream has a real length for d_id,
-                    # but dl=0 slots exist in every stream — count the
-                    # doc once
-                    del_tokens += int(arr[idx])
-                    if int(d_id) not in seen:
-                        n_del_live += 1
-                        seen.add(int(d_id))
-        n_docs = n_docs - n_del_live
-        total_tokens = total_tokens - del_tokens
+        n_docs = n_docs - int(rec["n"] or 0)
+        total_tokens = total_tokens - int(rec["t"] or 0)
         avgdl = total_tokens / n_docs if n_docs else 0.0
 
     def merge_postings(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -457,3 +457,38 @@ def test_compact_two_generations_with_deletes(spark, del_setup, tmp_path):
         .orderBy("role").toPandas().reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(gotf, wantf, check_dtype=False)
+
+
+def test_compact_mass_deletion_every_segment(spark, del_setup, tmp_path):
+    """Mass-compaction shape (r05 review item #7): EVERY segment
+    carries tombstones, so the stats-recovery pass touches all of
+    them. Recovery runs as one per-segment Spark agg
+    (segments._recover_stats) — each task decodes a single segment's
+    doclen rows and the driver receives exactly two numbers, never
+    the concatenated doclen streams — and the recovered n_docs/avgdl
+    must still equal a fresh build over the survivors."""
+    base = del_setup["base"]
+    n_segs = (base.n_docs + base.seg_size - 1) // base.seg_size
+    shutil.copytree(del_setup["root"] / "base", tmp_path / "all")
+    dead = [s * base.seg_size + off for s in range(n_segs) for off in (1, 2)]
+    delete_docs(str(tmp_path / "all"), dead)
+    lv = live_docs(str(tmp_path / "all"))
+    assert set(lv["per_segment"]) == set(range(n_segs))
+    comp = compact_packed(
+        spark,
+        [SegmentIndex.load(str(tmp_path / "all"))],
+        str(tmp_path / "comp"),
+        groups=2,
+    )
+    pdf = del_setup["pdf"]
+    live_pdf = pdf[~pdf["doc_id"].isin(set(dead))]
+    fresh = build_segments(
+        build_index(spark.createDataFrame(live_pdf), positions=True),
+        str(tmp_path / "fresh"),
+        **SEG_KW,
+    )
+    assert comp.n_docs == fresh.n_docs == 400 - len(dead)
+    assert np.isclose(comp.avgdl, fresh.avgdl)
+    got = wand_search(spark, comp, TERMS, k=10).toPandas()
+    want = wand_search(spark, fresh, TERMS, k=10).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
