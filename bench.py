@@ -203,6 +203,14 @@ def contract_scaling(n_cores: int = 1, rounds: int = 5) -> dict:
         ),
         "scaling_efficiency_n_to_4n": round(eff, 3),
         f"contract_scaling_efficiency_{n_cores}_to_{n4}": round(eff, 3),
+        # min/median/max of the per-round ratios (VERDICT r05 item #6):
+        # 2 of 5 r05 rounds were individually < 0.8 from host steal
+        # while the median cleared — publishing the spread means a
+        # one-round driver check can't flip red on noise without the
+        # full distribution being visible next to it.
+        "scaling_round_ratio_min": round(min(round_ratios), 3),
+        "scaling_round_ratio_median": round(eff, 3),
+        "scaling_round_ratio_max": round(max(round_ratios), 3),
         "scaling_efficiency_median_paired": round(
             statistics.median(round_ratios_median_paired), 3
         ),

@@ -345,6 +345,22 @@ def build_segments(
             }
         )
 
+    # lineage doc counts for every pending group in ONE aggregation —
+    # counting inside the loop cost one full doclen scan PER GROUP
+    # (4 extra jobs at the bench shape), pure overhead next to the
+    # encode jobs that already touch the same rows
+    pending = [g for g in range(groups) if g not in m["completed_groups"]]
+    group_rows: dict[int, int] = {}
+    if pending:
+        group_rows = {
+            int(r["g"]): int(r["cnt"])
+            for r in index.doclen.groupBy(
+                (((F.col("doc_id") / seg_size).cast("int")) % groups).alias("g")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
     for g in range(groups):
         if g in m["completed_groups"]:
             continue
@@ -453,11 +469,7 @@ def build_segments(
             )
 
         elapsed = time.time() - t0
-        n_rows = int(
-            index.doclen.filter(
-                ((F.col("doc_id") / seg_size).cast("int") % groups) == g
-            ).count()
-        )
+        n_rows = group_rows.get(g, 0)
         m["completed_groups"].append(g)
         m["lineage"].append(
             {
