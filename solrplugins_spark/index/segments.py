@@ -2188,9 +2188,13 @@ def fetch_docs_local(seg_index, doc_ids: list[int], columns: list[str] | None = 
     and paying a Spark job (scheduling + stage round-trip, ~0.3 s on
     a loaded driver) for a point read of a handful of rows was the
     difference between a 3-job and a 2-job /uf (BENCH/BASELINE.md
-    r06). Returns a pandas frame (doc_id + requested columns),
-    tombstoned ids excluded — identical rows to
-    ``fetch_docs(...).toPandas()`` (tests/test_segments_v3.py)."""
+    r06). The dataset is constructed from the EXPLICIT
+    group=<seg%groups>/seg=<seg> directories derived from the
+    requested ids — never the docstore root, whose recursive listing
+    would be O(total segments) driver work on a large index. Returns
+    a pandas frame (doc_id + requested columns), tombstoned ids
+    excluded — identical rows to ``fetch_docs(...).toPandas()``
+    (tests/test_segments_v3.py)."""
     import pyarrow.dataset as ds
 
     gens = _as_gens(seg_index)
@@ -2210,18 +2214,29 @@ def fetch_docs_local(seg_index, doc_ids: list[int], columns: list[str] | None = 
             ids_g = ids
         if not ids_g:
             continue
+        n_groups = int((_read_manifest(si.path) or {}).get("n_groups", 1))
         segs = sorted({d // si.seg_size for d in ids_g})
+        files: list[str] = []
+        for s in segs:
+            d = os.path.join(
+                si.path, "docstore", f"group={s % n_groups}", f"seg={s}"
+            )
+            # ids a generation doesn't hold (disjoint doc sets across
+            # generations, or ids past the end) have no seg dir — skip
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        if not files:
+            continue
         cols = ["doc_id"] + [
             c for c in (columns or list(si.store_cols)) if c != "doc_id"
         ]
-        dset = ds.dataset(
-            os.path.join(si.path, "docstore"),
-            format="parquet",
-            partitioning="hive",
-        )
+        dset = ds.dataset(files, format="parquet")
         tbl = dset.to_table(
-            columns=cols,
-            filter=ds.field("seg").isin(segs) & ds.field("doc_id").isin(ids_g),
+            columns=cols, filter=ds.field("doc_id").isin(ids_g)
         )
         frames.append(tbl.to_pandas())
     import pandas as pd
