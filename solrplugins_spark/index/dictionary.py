@@ -86,8 +86,15 @@ def sidecar_terms(
     for f in frames[1:]:
         out = out.unionByName(f)
     if len(frames) > 1:
+        # cf must stay "unknown" (NULL) when ANY generation holding
+        # the term predates the cf sidecar — sum() skips NULLs, which
+        # would serve a partial count indistinguishable from a real
+        # total, so gate the sum on every contributing row having cf
         out = out.groupBy("term").agg(
-            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+            F.sum("df").alias("df"),
+            F.when(F.count(F.lit(1)) == F.count("cf"), F.sum("cf"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("cf"),
         )
     return out
 
@@ -146,15 +153,23 @@ def wand_spellcheck_suggest(
     trivially, and typo overrides add their corrections' prefixes —
     so the union of those prefixes is a COMPLETE cover of every term
     the query can read, pushed down as Or(StringStartsWith) into the
-    sorted sidecar."""
-    pfx = {t[: max(1, min_prefix)] for t in tokens}
-    if typos:
-        pfx |= {c[: max(1, min_prefix)] for c in typos.values()}
-        # override lookups key on lower(trim(token)) — cover those too
-        pfx |= {k[: max(1, min_prefix)] for k in typos.keys()}
+    sorted sidecar. ``min_prefix < 1`` is the flat path's documented
+    degenerate config (candidates may differ in their first character,
+    served by a full-dictionary cross join) — no prefix is a complete
+    cover there, so the packed tier reads the whole sidecar for that
+    config instead of silently dropping suggestions."""
     from ..suggest.spellcheck import spellcheck_suggest
 
-    d = packed_dictionary(spark, seg_index, prefixes=sorted(pfx))
+    if min_prefix >= 1:
+        pfx = {t[:min_prefix] for t in tokens}
+        if typos:
+            pfx |= {c[:min_prefix] for c in typos.values()}
+            # override lookups key on lower(trim(token)) — cover those
+            pfx |= {k[:min_prefix] for k in typos.keys()}
+        prefixes = sorted(pfx)
+    else:
+        prefixes = None
+    d = packed_dictionary(spark, seg_index, prefixes=prefixes)
     return spellcheck_suggest(
         d, tokens, typos=typos, min_prefix=min_prefix, **spell_kwargs
     )

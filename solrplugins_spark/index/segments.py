@@ -1224,7 +1224,15 @@ def _spark_round(scores: np.ndarray, rt: int) -> np.ndarray:
     rs = np.round(scores, rt)
     scaled = scores * (10.0**rt)
     frac = scaled - np.floor(scaled)
-    band = np.abs(frac - 0.5) <= 1e-6
+    # the band must scale with the value: the repr-vs-binary offset of
+    # a .5-quantum boundary is a few ULPs OF THE SCALED VALUE, so a
+    # fixed 1e-6 misses boundary cases once |scaled| > ~5e9 (boosted
+    # scores times large docvalues). Once the scaled ULP reaches ~0.1
+    # the fractional detection itself loses resolution, and 4*ulp
+    # covers the whole [0,1) frac range — i.e. every such (rare,
+    # pathological-magnitude) value takes the exact Decimal path.
+    sp = np.spacing(np.abs(scaled))
+    band = np.abs(frac - 0.5) <= np.maximum(1e-6, 4.0 * sp)
     if band.any():
         from decimal import ROUND_HALF_UP, Decimal
 
@@ -2198,14 +2206,22 @@ def fetch_docs_local(seg_index, doc_ids: list[int], columns: list[str] | None = 
     import pyarrow.dataset as ds
 
     gens = _as_gens(seg_index)
-    ids = [int(d) for d in doc_ids]
-    frames = []
     for _, si in gens:
         if not si.store_cols:
             raise ValueError(
                 "packed index has no docstore — rebuild with "
                 "build_segments(..., store_cols=[...])"
             )
+    # same contract as fetch_docs: mixed store_cols across generations
+    # would pd.concat into a silent NaN-filled column union
+    if len({si.store_cols for _, si in gens}) > 1:
+        raise ValueError(
+            "fetch_docs_local across generations needs identical "
+            f"store_cols; got {[si.store_cols for _, si in gens]}"
+        )
+    ids = [int(d) for d in doc_ids]
+    frames = []
+    for _, si in gens:
         tombs = _load_tombstones(si.path)
         if tombs:
             dead = {int(x) for v in tombs.values() for x in v}
@@ -3280,10 +3296,10 @@ def compact_packed(
         else:
             # merged termstats sidecar: per-generation sidecars are
             # global for their generation; df/cf are additive over
-            # disjoint doc sets. Pre-cf sidecars read cf as NULL —
-            # sum() then yields NULL for terms only those generations
-            # hold, which downstream surfaces treat as "unknown", never
-            # a wrong number.
+            # disjoint doc sets. Pre-cf sidecars read cf as NULL; a
+            # term with ANY NULL contribution keeps cf NULL ("unknown")
+            # — sum() alone would skip the NULLs and serve a partial
+            # count indistinguishable from a real total.
             merged_terms = None
             for si in seg_indexes:
                 t = spark.read.parquet(os.path.join(si.path, "termstats"))
@@ -3294,7 +3310,12 @@ def compact_packed(
                 )
         (
             merged_terms.groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .agg(
+                F.sum("df").alias("df"),
+                F.when(F.count(F.lit(1)) == F.count("cf"), F.sum("cf"))
+                .otherwise(F.lit(None).cast("long"))
+                .alias("cf"),
+            )
             .repartitionByRange(max(2, groups), "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")

@@ -76,6 +76,21 @@ def boosted_search(
     )
 
 
+def _seed_at_offset(run_query, match_query: str, match_offset: int) -> int:
+    """Shared matchOffset contract (validation, the match_offset+1
+    over-fetch bound, and the error wording) for the flat and packed
+    seed-paging paths — ``run_query(q, k)`` returns collected rows."""
+    if match_offset < 0:
+        raise ValueError("matchOffset must be >= 0")
+    rows = run_query(match_query, match_offset + 1)
+    if len(rows) <= match_offset:
+        raise ValueError(
+            f"matchOffset={match_offset} is past the match list "
+            f"({len(rows)} match(es) for {match_query!r})"
+        )
+    return int(rows[match_offset]["doc_id"])
+
+
 def match_seed(
     index: InvertedIndex, match_query: str, match_offset: int = 0
 ) -> int:
@@ -85,15 +100,11 @@ def match_seed(
     Bounded: fetches match_offset+1 rows, one query execution."""
     from .compiler import execute_query
 
-    if match_offset < 0:
-        raise ValueError("matchOffset must be >= 0")
-    rows = execute_query(index, match_query, k=match_offset + 1).collect()
-    if len(rows) <= match_offset:
-        raise ValueError(
-            f"matchOffset={match_offset} is past the match list "
-            f"({len(rows)} match(es) for {match_query!r})"
-        )
-    return int(rows[match_offset]["doc_id"])
+    return _seed_at_offset(
+        lambda q, k: execute_query(index, q, k=k).collect(),
+        match_query,
+        match_offset,
+    )
 
 
 def mlt_handler(
@@ -365,17 +376,15 @@ def packed_mlt_handler(
             raise ValueError(
                 "/mlt needs a seed: like_text, seed_doc_ids, or match_query"
             )
-        if match_offset < 0:
-            raise ValueError("matchOffset must be >= 0")
-        matches = wand_boolean_search(
-            spark, seg_index, match_query, k=match_offset + 1
-        ).collect()
-        if len(matches) <= match_offset:
-            raise ValueError(
-                f"matchOffset={match_offset} is past the match list "
-                f"({len(matches)} match(es) for {match_query!r})"
+        seed_doc_ids = [
+            _seed_at_offset(
+                lambda q, k: wand_boolean_search(
+                    spark, seg_index, q, k=k
+                ).collect(),
+                match_query,
+                match_offset,
             )
-        seed_doc_ids = [int(matches[match_offset]["doc_id"])]
+        ]
     seed_ids = [int(d) for d in seed_doc_ids] if like_text is None else []
     queue = _packed_interesting_terms(
         spark, seg_index, seed_ids, params, text_col,
@@ -433,18 +442,28 @@ def packed_mlt_handler(
             if ids
             else None
         )
+        # facet column types come from the docstore's recorded DDL —
+        # inference would fail on an all-NULL page column and would
+        # lose the declared type in general
+        store_types = {}
+        if first.store_schema:
+            for fld in first.store_schema.split(", "):
+                n_, _, t_ = fld.partition(" ")
+                store_types[n_] = t_
         for field in facet_fields:
+            ddl = f"{field} {store_types.get(field, 'string')}, cnt long"
             if page is None:
-                out[f"facet_{field}"] = spark.createDataFrame(
-                    [], f"{field} string, cnt long"
-                )
+                out[f"facet_{field}"] = spark.createDataFrame([], ddl)
             else:
                 counts = (
                     page.groupby(field, dropna=False)
                     .size()
                     .reset_index(name="cnt")
                 )
-                out[f"facet_{field}"] = spark.createDataFrame(counts)
+                counts[field] = counts[field].astype(object).where(
+                    counts[field].notna(), None
+                )
+                out[f"facet_{field}"] = spark.createDataFrame(counts, schema=ddl)
     return out
 
 

@@ -226,3 +226,24 @@ def test_spark_round_matches_decimal_reference():
     assert _spark_round(np.array([0.125]), 2)[0] == 0.13
     # np.float64 scalar input (numpy 2.x repr regression path)
     assert _spark_round(np.full(1, np.float64(4.5e-05)), 5)[0] == 5e-05
+
+    # high magnitude (|scaled| ULP > 1e-6, e.g. boosted scores times
+    # large docvalues): the tie band is ULP-relative, so .5-boundary
+    # reprs at ANY magnitude still take the exact Decimal path — a
+    # fixed 1e-6 band missed these above |score| ~ 1e4 at rt=5
+    big_base = st.integers(min_value=10**9, max_value=10**14)
+    big_score = st.tuples(big_base, jitter).map(lambda t: t[0] * 1e-5 + t[1])
+
+    @settings(max_examples=200, deadline=None)
+    @given(scores=st.lists(big_score, min_size=1, max_size=20))
+    def run_big(scores):
+        arr = np.asarray(scores, np.float64)
+        got = _spark_round(arr, rt)
+        want = np.array([ref(v) for v in scores], np.float64)
+        assert np.array_equal(got, want)
+
+    run_big()
+    # dense brute sweep across the 6th-decimal boundary at 1e6
+    for i in range(100):
+        v = float(f"1000000.0000{i:02d}5")
+        assert _spark_round(np.array([v]), rt)[0] == ref(v), v

@@ -197,3 +197,56 @@ def test_spellcheck_prune_covers_typo_corrections(spark, tiny_index, dict_segmen
     )
     assert list(flat["suggestion"]) == ["w0000"]
     pd.testing.assert_frame_equal(flat, packed)
+
+
+def test_mixed_cf_generations_keep_cf_null(spark, dict_segments, tmp_path):
+    """A term held by BOTH a cf-bearing and a pre-cf generation must
+    serve cf=NULL ("unknown"), never the cf generations' partial sum —
+    sum() alone skips NULLs and would serve an understated count
+    indistinguishable from a real total."""
+    full = spark.read.parquet(
+        os.path.join(dict_segments.path, "termstats")
+    ).toPandas().sort_values("term").reset_index(drop=True)
+    half = len(full) // 2
+    old = str(tmp_path / "oldgen")
+    os.makedirs(os.path.join(old, "termstats"))
+    spark.createDataFrame(full.iloc[:half][["term", "df"]]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(old, "termstats"))
+
+    class _Shim:
+        path = old
+        n_docs = dict_segments.n_docs
+
+    got = (
+        sidecar_terms(spark, [dict_segments, _Shim()])
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    shared = set(full.iloc[:half]["term"])
+    mask = got["term"].isin(shared)
+    assert got[mask]["cf"].isna().all()
+    only_new = got[~mask].set_index("term")["cf"]
+    want = full.iloc[half:].set_index("term")["cf"]
+    assert (only_new.sort_index() == want.sort_index()).all()
+    # df still sums over every generation holding the term
+    dfs = got[mask].set_index("term")["df"]
+    want_df = full.iloc[:half].set_index("term")["df"] * 2
+    assert (dfs.sort_index() == want_df.sort_index()).all()
+
+
+def test_packed_spellcheck_min_prefix_zero_matches_flat(
+    spark, tiny_index, dict_segments
+):
+    """min_prefix=0 (candidates may differ in their first character —
+    the flat path's documented degenerate cross-join config) must stay
+    output-identical on the packed tier: no prefix is a complete cover
+    there, so the sidecar is read unpruned rather than silently
+    dropping suggestions."""
+    toks = ["w00o0"]
+    flat = _sorted(spellcheck_suggest(tiny_index, toks, min_prefix=0))
+    packed = _sorted(
+        wand_spellcheck_suggest(spark, dict_segments, toks, min_prefix=0)
+    )
+    pd.testing.assert_frame_equal(flat, packed)

@@ -293,3 +293,31 @@ def test_packed_like_text_and_match_offset_match_flat(
     )
     with pytest.raises(ValueError, match="needs a seed"):
         packed_mlt_handler(spark, seg, params=p, k=10)
+
+
+def test_packed_mlt_facet_all_null_column(spark, tiny_corpus, tmp_path):
+    """Page facets on a stored column that is NULL for every result
+    doc must serve a typed column with one NULL group (the docstore's
+    recorded DDL supplies the type — pandas inference can't type an
+    all-None column and used to crash createDataFrame)."""
+    from pyspark.sql import functions as F
+
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.handlers import packed_mlt_handler
+
+    docs = tiny_corpus.withColumn("lang", F.lit(None).cast("string"))
+    idx = build_index(docs).persist()
+    seg = build_segments(
+        idx, str(tmp_path / "nullfacet"), seg_size=128, groups=2,
+        store_cols=["text", "lang"],
+    )
+    p = MLTParams(min_doc_freq=2, max_query_terms=20)
+    out = packed_mlt_handler(
+        spark, seg, seed_doc_ids=[0], params=p, k=5, facet_fields=["lang"]
+    )
+    facet = out["facet_lang"]
+    assert dict(facet.dtypes)["lang"] == "string"
+    rows = facet.collect()
+    assert len(rows) == 1 and rows[0]["lang"] is None
+    assert rows[0]["cnt"] == out["docs"].count()

@@ -900,3 +900,22 @@ def test_exchange_strategy_parity_all_surfaces(
     assert info["n_new"] >= 1
     assert live_docs(str(tmp_path / "x"))["n_deleted"] == info["n_new"]
     shutil.rmtree(str(tmp_path / "x"), ignore_errors=True)
+
+
+def test_fetch_docs_local_mixed_store_cols_raises(spark, tiny_corpus, tmp_path):
+    """Same contract as fetch_docs: generations with different
+    store_cols must fail fast, not pd.concat into a silent NaN-filled
+    column union."""
+    from solrplugins_spark.index.builder import build_index
+    from solrplugins_spark.index.segments import build_segments, fetch_docs_local
+
+    idx = build_index(tiny_corpus).persist()
+    a = build_segments(
+        idx, str(tmp_path / "a"), seg_size=64, groups=2, store_cols=["text"]
+    )
+    b = build_segments(
+        idx, str(tmp_path / "b"), seg_size=64, groups=2,
+        store_cols=["text", "role"],
+    )
+    with pytest.raises(ValueError, match="identical store_cols"):
+        fetch_docs_local([a, b], [1, 2])
