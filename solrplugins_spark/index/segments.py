@@ -1272,6 +1272,53 @@ def _cursor_keep(
     return (rs < s_a) | ((rs == s_a) & (docs > d_a))
 
 
+def _sloppy_chain_docs(
+    slot_data: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    doc_lo: int,
+    slop: int,
+    cand_docs: np.ndarray | None = None,
+) -> np.ndarray:
+    """LOCAL doc ids holding an in-order occurrence chain of the
+    phrase slots whose window holds at most ``slop`` extra positions
+    (p_last - p_0 - (n-1) <= slop) — ordered SpanNearQuery semantics.
+
+    ``slot_data``: per-slot (docs, tfs, positions) in PHRASE order;
+    ``docs`` are global ids, ``positions`` flat-aligned to
+    repeat(docs, tfs). Docs ascend and positions ascend within a doc,
+    so the composed (local_doc, pos) int64 keys are sorted and every
+    extension step is one vectorized searchsorted. Each occurrence of
+    slot 0 seeds one candidate chain; every step extends each chain to
+    the FIRST next-slot position past its current end — greedy-minimal
+    extension is exact (for a fixed start, the minimal reachable end
+    minimizes the final window), and chains already past the slop
+    budget are pruned, so the live set only shrinks. ``cand_docs``
+    (global ids) optionally pre-filters the seeds."""
+    M = np.int64(1) << np.int64(32)
+    keys = []
+    for docs, tfs, pos in slot_data:
+        if len(docs) == 0:
+            return np.array([], np.int64)
+        k = np.repeat(docs.astype(np.int64) - doc_lo, tfs) * M + pos.astype(
+            np.int64
+        )
+        keys.append(k)
+    cur = keys[0]
+    if cand_docs is not None:
+        cur = cur[np.isin(cur // M, cand_docs.astype(np.int64) - doc_lo)]
+    starts = cur
+    for j in range(1, len(keys)):
+        kj = keys[j]
+        idx = np.searchsorted(kj, cur + 1)
+        ok = idx < len(kj)
+        nxt = kj[np.minimum(idx, len(kj) - 1)]
+        ok &= (nxt // M) == (cur // M)
+        ok &= (nxt % M) - (starts % M) - j <= slop
+        cur, starts = nxt[ok], starts[ok]
+        if cur.size == 0:
+            return np.array([], np.int64)
+    return np.unique(starts // M)
+
+
 def _segment_phrase_topk(
     pdf: pd.DataFrame,
     phrase: list[str],
@@ -1281,6 +1328,7 @@ def _segment_phrase_topk(
     b: float,
     n: int,
     avgdl: float,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """Per-segment exact phrase match + member-term BM25 scoring.
 
@@ -1324,7 +1372,7 @@ def _segment_phrase_topk(
         t = phrase[slot]
         if t in decoded:
             docs, tfs, pos = decoded[t]
-        elif keys is None:
+        elif cand_docs is None:
             row = rows[t]
             docs, tfs = decode_postings(row["data"])
             pos = decode_positions(row["pos_data"], tfs)
@@ -1352,18 +1400,39 @@ def _segment_phrase_topk(
                 np.asarray(row["pos_off"], dtype=np.int64), tfs_by_block,
             )
             decoded[t] = (docs, tfs, pos)
-        k_i = np.repeat(docs - doc_lo, tfs) * M + (pos - slot)
-        keys = k_i if keys is None else np.intersect1d(
-            keys, k_i, assume_unique=True
-        )
-        if keys.size == 0:
-            return empty
-        cand_docs = np.unique(keys // M) + doc_lo
+        if slop == 0:
+            k_i = np.repeat(docs - doc_lo, tfs) * M + (pos - slot)
+            keys = k_i if keys is None else np.intersect1d(
+                keys, k_i, assume_unique=True
+            )
+            if keys.size == 0:
+                return empty
+            cand_docs = np.unique(keys // M) + doc_lo
+        else:
+            # sloppy phrase: the position-shift key intersection only
+            # encodes EXACT adjacency, so candidates narrow at the doc
+            # level (must hold every term); the window test runs on the
+            # survivors below. Block-skip decode still applies — later
+            # terms decode only candidate-covering blocks, and
+            # intersecting with a partial decode is exact because every
+            # candidate lies inside the decoded blocks.
+            cand_docs = docs if cand_docs is None else np.intersect1d(
+                cand_docs, docs, assume_unique=True
+            )
+            if cand_docs.size == 0:
+                return empty
     # liveDocs: tombstoned docs leave the hit set before scoring (the
     # phrase path is exact — no pruning depends on the dropped docs)
     hit_docs = _strip_deleted(cand_docs, _deleted_from_pdf(pdf))
     if hit_docs.size == 0:
         return empty
+    if slop > 0:
+        local = _sloppy_chain_docs(
+            [decoded[t] for t in phrase], doc_lo, slop, hit_docs
+        )
+        if local.size == 0:
+            return empty
+        hit_docs = local + doc_lo
     hit_local = hit_docs - doc_lo
 
     # member-term BM25 over the phrase docs (distinct terms, boost 1);
@@ -1391,11 +1460,16 @@ def wand_phrase_search(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 5,
+    slop: int = 0,
 ) -> DataFrame:
     """Quoted-phrase top-k over packed v3 segments (positions
     sub-stream): per-segment position-intersection + member-term BM25,
     k rows per segment merged globally. Rank-identical to the flat
-    positional path (tests/test_segments_v3.py)."""
+    positional path (tests/test_segments_v3.py). ``slop > 0`` relaxes
+    exact adjacency to ordered span-near (`"a b"~n`): doc-level
+    candidate narrowing keeps the rarest-first block-skip decode, then
+    the in-order chain window test runs on the survivors
+    (_sloppy_chain_docs)."""
     term_list = sorted(set(phrase_terms))
     dfs = _sidecar_dfs(seg_index.path, term_list)
     if dfs is None:
@@ -1406,7 +1480,9 @@ def wand_phrase_search(
     n, avgdl = seg_index.n_docs, seg_index.avgdl
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_phrase_topk(pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl)
+        return _segment_phrase_topk(
+            pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl, slop=slop
+        )
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
@@ -1435,6 +1511,8 @@ def _segment_boolean_topk(
     facet_range_spec: tuple | None = None,
     stats_col: str | None = None,
     collapse_limit: int = 1,
+    count_trees: list | None = None,
+    stats_facet_spec: tuple | None = None,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1470,6 +1548,17 @@ def _segment_boolean_topk(
             return _empty_collapse()
         if stats_col is not None:
             return _empty_stats()
+        if stats_facet_spec is not None:
+            return _empty_stats_facet()
+        if count_trees is not None:
+            # every name still gets a row so zero-count facet queries
+            # survive the cross-segment sum (Solr serves 0 counts)
+            return pd.DataFrame(
+                {
+                    "name": [nm for nm, _ in count_trees],
+                    "cnt": np.zeros(len(count_trees), np.int64),
+                }
+            )
         return empty
     doc_lo = doc_lo_by_field[""]
     dls = dls_by_field[""]
@@ -1639,16 +1728,32 @@ def _segment_boolean_topk(
                     )
             if not phrase or any((fld, t) not in positions for t in phrase):
                 return np.array([], np.int64), np.array([], np.float64)
-            M = np.int64(1) << np.int64(32)
-            keys = None
-            for i, t in enumerate(phrase):
-                docs, tfs = decoded[(fld, t)]
-                doc_per_pos = np.repeat(docs - f_lo, tfs)
-                k_i = doc_per_pos * M + (positions[(fld, t)] - i)
-                keys = k_i if keys is None else np.intersect1d(keys, k_i)
-                if keys.size == 0:
+            slop_q = getattr(node, "slop", 0)
+            if slop_q > 0:
+                # `"a b"~n` ordered span-near: in-order chain window
+                # test over the already-decoded positions
+                local = _sloppy_chain_docs(
+                    [
+                        (*decoded[(fld, t)], positions[(fld, t)])
+                        for t in phrase
+                    ],
+                    f_lo,
+                    slop_q,
+                )
+                if local.size == 0:
                     return np.array([], np.int64), np.array([], np.float64)
-            hits = np.unique(keys // M) + f_lo
+                hits = local + f_lo
+            else:
+                M = np.int64(1) << np.int64(32)
+                keys = None
+                for i, t in enumerate(phrase):
+                    docs, tfs = decoded[(fld, t)]
+                    doc_per_pos = np.repeat(docs - f_lo, tfs)
+                    k_i = doc_per_pos * M + (positions[(fld, t)] - i)
+                    keys = k_i if keys is None else np.intersect1d(keys, k_i)
+                    if keys.size == 0:
+                        return np.array([], np.int64), np.array([], np.float64)
+                hits = np.unique(keys // M) + f_lo
             # flat compiler semantics: member-term BM25 summed on hits
             acc = (hits, np.zeros(len(hits), np.float64))
             for t in sorted(set(phrase)):
@@ -1668,6 +1773,17 @@ def _segment_boolean_topk(
     # a tombstoned doc contributes nothing to any OTHER doc's score
     if deleted.size and len(docs):
         docs, scores = _strip_deleted(docs, deleted, scores)
+    if count_trees is not None:
+        # facet.query: |main docset ∩ fq docset| per named subquery.
+        # The main docset is already tombstone-stripped, so the
+        # intersection never resurrects a deleted doc. One row per
+        # name ALWAYS (zero counts included — Solr serves them).
+        names, cnts = [], []
+        for nm, fq_tree in count_trees:
+            fd, _ = evaluate(fq_tree)
+            names.append(nm)
+            cnts.append(np.intersect1d(docs, fd, assume_unique=True).size)
+        return pd.DataFrame({"name": names, "cnt": np.asarray(cnts, np.int64)})
     if only_doc_ids is not None and len(docs):
         # second-pass scoring for a bounded candidate page (ReRank):
         # keep only the allowlisted docs and return ALL of them — the
@@ -1775,6 +1891,50 @@ def _segment_boolean_topk(
                 "mx": np.array([vals.max()], np.float64),
             }
         )
+    if stats_facet_spec is not None:
+        # stats.facet: the stats moment row computed PER facet
+        # ordinal — at most |segment facet vocab| rows leave the
+        # kernel, merged by (gen, ord) then by value upstream
+        s_col, f_col = stats_facet_spec
+        if len(docs) == 0 or s_col not in dvs or f_col not in dvs:
+            return _empty_stats_facet()
+        vals_arr = dvs[s_col]
+        ords_arr = dvs[f_col]
+        ids_v = docs - dv_lo[s_col]
+        ids_o = docs - dv_lo[f_col]
+        valid = (
+            (ids_v >= 0)
+            & (ids_v < len(vals_arr))
+            & (ids_o >= 0)
+            & (ids_o < len(ords_arr))
+        )
+        raw = vals_arr[ids_v[valid]]
+        hit_ords = ords_arr[ids_o[valid]].astype(np.int64)
+        # TOMBSTONE in either stream = compacted deletion
+        live = (raw != TOMBSTONE) & (hit_ords != TOMBSTONE)
+        raw, hit_ords = raw[live], hit_ords[live]
+        if len(raw) == 0:
+            return _empty_stats_facet()
+        vals = raw.astype(np.float64)
+        uniq, inv = np.unique(hit_ords, return_inverse=True)
+        s = np.zeros(len(uniq), np.float64)
+        np.add.at(s, inv, vals)
+        ss = np.zeros(len(uniq), np.float64)
+        np.add.at(ss, inv, vals * vals)
+        mn = np.full(len(uniq), np.inf, np.float64)
+        np.minimum.at(mn, inv, vals)
+        mx = np.full(len(uniq), -np.inf, np.float64)
+        np.maximum.at(mx, inv, vals)
+        return pd.DataFrame(
+            {
+                "ord": uniq.astype(np.int64),
+                "cnt": np.bincount(inv).astype(np.int64),
+                "s": s,
+                "ss": ss,
+                "mn": mn,
+                "mx": mx,
+            }
+        )
     if collapse_ord_col is not None:
         # field collapse (CollapsingQParserPlugin): the segment's
         # winner per group ordinal — (rounded-score desc, doc_id asc),
@@ -1829,6 +1989,19 @@ def _empty_collapse() -> pd.DataFrame:
             "ord": pd.Series([], dtype="int64"),
             "doc_id": pd.Series([], dtype="int64"),
             "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def _empty_stats_facet() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "ord": pd.Series([], dtype="int64"),
+            "cnt": pd.Series([], dtype="int64"),
+            "s": pd.Series([], dtype="float64"),
+            "ss": pd.Series([], dtype="float64"),
+            "mn": pd.Series([], dtype="float64"),
+            "mx": pd.Series([], dtype="float64"),
         }
     )
 
@@ -2548,6 +2721,191 @@ def wand_stats_search(
         F.round(s / n, round_to).alias("mean_v"),
         stddev.alias("stddev_v"),
     ).filter(F.col("cnt") > 0)
+
+
+def wand_facet_query_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    facet_queries: dict[str, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Solr ``facet.query`` on the packed path
+    (SimpleFacets.getFacetQueryCounts): for each named subquery, the
+    count of docs matching BOTH the main query and that subquery.
+    Zero counts served; (name, cnt) ordered by name — the flat twin
+    is components.facet_query_search.
+
+    Plan at scale: ONE Spark job. Every facet query's default-field
+    terms join the main tree's postings fetch (one pruned scan covers
+    all of them), the kernel evaluates main + each subquery per
+    segment over the SAME decoded postings, and per-segment
+    (name, cnt) rows — |facet_queries| each — merge in one bounded
+    sum. Facet queries may use terms, AND/OR/NOT, doc_id ranges, and
+    docvalues-column ranges; phrases inside a facet query are
+    rejected (the positions sub-stream fetch is main-tree-only)."""
+    from ..query import ast as qast
+    from ..query.compiler import _leaf_terms
+    from ..query.parser import parse_query
+
+    if not facet_queries:
+        raise ValueError("facet.query needs at least one named subquery")
+
+    def _walk(node, terms: set, rfields: set) -> None:
+        if isinstance(node, (qast.Or, qast.And)):
+            _walk(node.left, terms, rfields)
+            _walk(node.right, terms, rfields)
+        elif isinstance(node, qast.Not):
+            _walk(node.child, terms, rfields)
+        elif isinstance(node, qast.Quote):
+            raise ValueError(
+                "facet.query does not support phrases — use the main "
+                "query for positional clauses"
+            )
+        elif isinstance(node, qast.FieldQuery):
+            fname = node.field.rstrip(":")
+            if isinstance(node.child, qast.Range):
+                if fname != "doc_id":
+                    rfields.add(fname)
+            else:
+                raise ValueError(
+                    "facet.query field clauses support ranges only "
+                    f"(got a term clause for field {fname!r})"
+                )
+        elif isinstance(node, qast.Operand):
+            terms.update(_leaf_terms(node))
+
+    fq_trees: list[tuple[str, object]] = []
+    extra_terms: set = set()
+    range_fields: set = set()
+    for name, fq in facet_queries.items():
+        t, _errors = parse_query(fq)
+        _walk(t, extra_terms, range_fields)
+        fq_trees.append((name, t))
+    fq_trees.sort(key=lambda nt: nt[0])
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        extra_terms=tuple(sorted(extra_terms)),
+        extra_dv_cols=tuple(sorted(range_fields)),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b, count_trees=fq_trees
+        )
+
+    partials = _apply_per_segment(
+        unified, per_segment, "name string, cnt long",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    )
+    return (
+        partials.groupBy("name").agg(F.sum("cnt").alias("cnt")).orderBy("name")
+    )
+
+
+def wand_stats_facet_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    stats_col: str,
+    facet_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 5,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Solr ``stats.facet`` on the packed path (StatsComponent
+    per-bucket stats): count / min / max / sum / mean / sample stddev
+    of a numeric docvalues column, computed separately per value of an
+    ordinal docvalues column, over the query's matched docset. Empty
+    buckets are absent (Solr omits them); ordered by facet value —
+    the flat twin is components.stats_facet_search.
+
+    Plan: each segment emits ONE mergeable moment row per facet
+    ordinal (at most |segment facet vocab| rows — never the match
+    set); partials merge by (generation, ordinal), join the broadcast
+    ordinal dictionary, merge again by VALUE across generations, and
+    mean/stddev derive exactly from the merged moments
+    (StatsValuesFactory's corrected formula, the wand_stats_search
+    math applied per bucket)."""
+    gens = _as_gens(seg_index)
+    for _, si in gens:
+        if facet_col not in si.string_cols:
+            raise ValueError(
+                f"packed stats.facet over {facet_col!r} needs an ordinal "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"string_cols=[{facet_col!r}])"
+            )
+        if stats_col not in si.value_cols:
+            raise ValueError(
+                f"packed stats.facet over {stats_col!r} needs a numeric "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"value_cols=[{stats_col!r}])"
+            )
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        str_cols=(facet_col,), extra_dv_cols=(stats_col,),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b,
+            stats_facet_spec=(stats_col, facet_col),
+        )
+        out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
+        return out
+
+    partials = _apply_per_segment(
+        unified, per_segment,
+        "gen long, ord long, cnt long, s double, ss double, "
+        "mn double, mx double",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    )
+    dicts = None
+    for gen_id, si in gens:
+        d = spark.read.parquet(
+            os.path.join(si.path, "docvalues_str", facet_col, "dict")
+        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dicts = d if dicts is None else dicts.unionByName(d)
+    merged = (
+        partials.join(F.broadcast(dicts), ["gen", "ord"], "left")
+        .groupBy("value")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("s").alias("s"),
+            F.sum("ss").alias("ss"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    n = F.col("cnt")
+    s = F.col("s")
+    ss = F.col("ss")
+    # same n==1 NULL rule + cancellation clamp as wand_stats_search
+    stddev = F.when(
+        n > 1,
+        F.round(
+            F.sqrt(F.greatest(ss - s * s / n, F.lit(0.0)) / (n - F.lit(1))),
+            round_to,
+        ),
+    )
+    return (
+        merged.select(
+            F.col("value").alias(facet_col),
+            n.alias("cnt"),
+            F.col("mn").cast("long").alias("min_v"),
+            F.col("mx").cast("long").alias("max_v"),
+            s.cast("long").alias("sum_v"),
+            F.round(s / n, round_to).alias("mean_v"),
+            stddev.alias("stddev_v"),
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy(facet_col)
+    )
 
 
 def wand_group_search(

@@ -59,10 +59,20 @@ class Not(Expression):
 
 @dataclass
 class Quote(Expression):
+    """Quoted phrase; ``slop`` is the `"a b"~n` proximity EXTENSION
+    (the reference grammar has exact phrases only). Semantics are
+    Lucene's ordered SpanNearQuery: terms must appear in phrase order
+    and the matched window may contain at most ``slop`` extra
+    positions (slop=0 == exact adjacency). This intentionally differs
+    from PhraseQuery's sloppy matching, which also admits reordered
+    terms at an edit-distance cost."""
+
     child: Expression
+    slop: int = 0
 
     def evaluate(self) -> str:
-        return f'"{self.child.evaluate()}"'
+        base = f'"{self.child.evaluate()}"'
+        return f"{base}~{self.slop}" if self.slop > 0 else base
 
 
 @dataclass

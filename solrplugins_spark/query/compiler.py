@@ -65,6 +65,45 @@ def phrase_match_docs(index: InvertedIndex, phrase_terms: list[str]) -> DataFram
     return cur.select("doc_id")
 
 
+def sloppy_phrase_match_docs(
+    index: InvertedIndex, phrase_terms: list[str], slop: int
+) -> DataFrame:
+    """DocSet for `"t0 .. tn"~slop` — ordered SpanNearQuery semantics:
+    an in-order occurrence chain p_0 < p_1 < ... < p_n whose window
+    holds at most ``slop`` extra positions (p_n - p_0 - n <= slop).
+
+    Plan shape: n-1 joins on doc_id over single-term posting slices
+    (same as the exact path), with the chain evaluated entirely in
+    JVM higher-order array expressions. Each doc carries one candidate
+    struct per occurrence of t0 — (s = chain start, e = greedy chain
+    end) — and each join step extends every candidate to the FIRST
+    t_i position past its current end. Greedy-minimal extension is
+    exact: for a fixed start, minimizing the chain end minimizes the
+    final window, so a start matches iff its greedy chain does.
+    Candidates whose window already exceeds slop are pruned at every
+    step, bounding the array at |positions(t0)| entries."""
+    base = index.postings
+    cur = base.filter(F.col("term") == phrase_terms[0]).select(
+        "doc_id",
+        F.expr("transform(positions, p -> struct(p as s, p as e))").alias("_c"),
+    )
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = base.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("_pi")
+        )
+        step = (
+            "filter(transform(_c, c -> struct(c.s as s, "
+            "array_min(filter(_pi, q -> q > c.e)) as e)), "
+            f"c -> c.e is not null and c.e - c.s - {i} <= {int(slop)})"
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select("doc_id", F.expr(step).alias("_c"))
+            .filter(F.size("_c") > 0)
+        )
+    return cur.select("doc_id")
+
+
 def _leaf_count(node: ast.Expression) -> int:
     if isinstance(node, ast.Operand):
         return 1
@@ -349,21 +388,33 @@ class QueryCompiler:
         )
 
     def _phrase(self, node: ast.Quote) -> DataFrame:
-        """Exact consecutive-token phrase match.
+        """Exact consecutive-token phrase match; ``slop > 0`` relaxes
+        to ordered span-near (see sloppy_phrase_match_docs).
 
         Positional index present -> postings-only adjacency
         (intersect position lists shifted by offset — the Lucene
         SpanNearQuery/PhraseQuery mechanism; no corpus scan).
         Otherwise -> containment check over the stored text (same
         adjacency semantics under this tokenizer, but scans the
-        corpus; the v1 fallback documented in SURVEY.md §2.8)."""
+        corpus; the v1 fallback documented in SURVEY.md §2.8).
+        Sloppy phrases have no containment fallback — the window
+        test needs real positions."""
         phrase_toks = list(tokenize_pandas(pd.Series([node.child.evaluate()]))[0])
         if not phrase_toks:
             return self.index.doclen.select("doc_id").withColumn(
                 "score", F.lit(0.0)
             ).limit(0)
+        slop = getattr(node, "slop", 0)
+        if slop > 0 and "positions" not in self.index.postings.columns:
+            raise ValueError(
+                "sloppy phrases need positions — build_index(..., "
+                "positions=True)"
+            )
         if "positions" in self.index.postings.columns:
-            hits = phrase_match_docs(self.index, phrase_toks)
+            if slop > 0 and len(phrase_toks) > 1:
+                hits = sloppy_phrase_match_docs(self.index, phrase_toks, slop)
+            else:
+                hits = phrase_match_docs(self.index, phrase_toks)
         else:
             if self.index.docs is None:
                 raise ValueError(

@@ -114,6 +114,82 @@ def terms_enum(
     )
 
 
+def facet_query_search(
+    index: InvertedIndex, query: str, facet_queries: dict[str, str]
+) -> DataFrame:
+    """Solr ``facet.query`` (SimpleFacets.getFacetQueryCounts): for
+    each named subquery, the count of docs matching BOTH the main
+    query and that subquery. Zero counts are served (Solr returns
+    every requested facet.query). Returns (name, cnt) ordered by name.
+
+    Plan: the main docset compiles once; each facet query contributes
+    one semi-join + count-agg — a 1-row frame — and the results union.
+    Each aggregate is bounded regardless of match count, so the output
+    is |facet_queries| rows at any corpus size."""
+    if not facet_queries:
+        raise ValueError("facet.query needs at least one named subquery")
+    tree, _errors = parse_query(query)
+    main = compile_ast(index, tree).select("doc_id")
+    frames = []
+    for name, fq in facet_queries.items():
+        fq_tree, _e = parse_query(fq)
+        fq_docs = compile_ast(index, fq_tree).select("doc_id")
+        frames.append(
+            main.join(fq_docs, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(name).alias("name"), "cnt")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("name")
+
+
+def stats_facet_search(
+    index: InvertedIndex,
+    query: str,
+    values_df: DataFrame,
+    stats_col: str,
+    facet_col: str,
+    round_to: int = 5,
+) -> DataFrame:
+    """Solr ``stats.facet`` (StatsComponent per-bucket stats): the
+    stats_search aggregate computed separately for every value of
+    ``facet_col`` over the main query's matched docset. One row per
+    facet value holding count / min / max / sum / mean / sample
+    stddev of ``stats_col``; buckets with no match are absent (Solr
+    omits empty facet buckets). Ordered by facet value.
+
+    Plan: matched docset joins the two columns, then ONE
+    groupBy(facet_col) — output is |facet vocabulary| rows, never the
+    match set. The packed twin is wand_stats_facet_search (per-segment
+    per-ordinal moment rows merged by value)."""
+    tree, _errors = parse_query(query)
+    matched = compile_ast(index, tree).select("doc_id")
+    j = matched.join(
+        values_df.select("doc_id", stats_col, facet_col), "doc_id"
+    )
+    v = F.col(stats_col).cast("double")
+    # single-match buckets: stddev_samp is NaN in Spark, NULL in SQL
+    # engines and the packed moment merge — normalize (stats_search's
+    # rule applied per bucket)
+    stddev = F.when(
+        F.count(F.lit(1)) > 1, F.round(F.stddev_samp(v), round_to)
+    )
+    return (
+        j.groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(stats_col).cast("long").alias("min_v"),
+            F.max(stats_col).cast("long").alias("max_v"),
+            F.sum(stats_col).cast("long").alias("sum_v"),
+            F.round(F.avg(v), round_to).alias("mean_v"),
+            stddev.alias("stddev_v"),
+        )
+        .orderBy(facet_col)
+    )
+
+
 def stats_search(
     index: InvertedIndex,
     query: str,

@@ -171,8 +171,16 @@ class RecursiveDescentParser:
         phrase = " ".join(parts).strip()
         if not phrase:
             self.errors.add(ParserErrors.MissingQuoteCharacter)
-        self.root = ast.Quote(ast.Operand(phrase))
         self.symbol = self.lexer.next_symbol()
+        # `"a b"~n` proximity suffix (grammar EXTENSION — the reference
+        # has exact phrases only): _preprocess spaces quotes out, so the
+        # suffix arrives as its own `~n` token right after the closing
+        # quote. Anything else (incl. a bare `~foo` term) is untouched.
+        slop = 0
+        if self.symbol == Sym.TOKEN and re.fullmatch(r"~\d+", self.lexer.text):
+            slop = int(self.lexer.text[1:])
+            self.symbol = self.lexer.next_symbol()
+        self.root = ast.Quote(ast.Operand(phrase), slop=slop)
 
     def _term(self) -> None:
         self.symbol = self.lexer.next_symbol()

@@ -471,18 +471,26 @@ FROM documents GROUP BY lang, source HAVING count(*) >= 5
 # and dedup_clusters (4x green r02-r05 — the in-window dedup_apply
 # gate consumes clusters' output every round, so a clustering
 # regression still breaks an in-window gate).
+#
+# r06 addition: facet_query + wand_facet_query (Solr facet.query),
+# stats_facet + wand_stats_facet (Solr stats.facet per-bucket stats)
+# and phrase_slop + wand_phrase_slop (`"a b"~n` ordered span-near),
+# flat + packed first-timers, rotated IN. OUT (each >=2x driver-green,
+# kernel shape still certified in-window): wand_boolean + wand_not +
+# wand_range (3x green r03-r05 — wand_facet_query evaluates AND / NOT
+# / docvalues-range subtrees in the SAME packed kernel every round),
+# wand_facet (3x green r03-r05 — the ordinal-docvalues machinery runs
+# in-window via wand_stats_facet), wand_phrase (3x green r03-r05 —
+# the positional sub-stream + phrase kernel run in-window via
+# wand_phrase_slop, whose slop=0 equivalence to the exact path is
+# pytest-pinned), bm25_mm2 (5x green r01-r05 — the minShouldMatch
+# filter stays pinned by tests/test_scoring + sf0.01 oracle parity
+# every pytest run).
 _WINDOW_ORDER = [
-    # core flat-path queries (driver-green r01+r02, keep certified)
-    "bm25_mm2",
     # packed-path gates — never driver-checked before r03
     "cursor_page",
-    "wand_phrase",
     "wand_payload",
-    "wand_boolean",
-    "wand_not",
     "wand_field",
-    "wand_range",
-    "wand_facet",
     "collapse_field",
     "wand_collapse",
     "rerank",
@@ -505,6 +513,14 @@ _WINDOW_ORDER = [
     "wand_spellcheck",
     "wand_suggest",
     "mlt_text",
+    # r06: facet.query / stats.facet / sloppy-phrase serving
+    # components (flat + packed first-timers)
+    "facet_query",
+    "wand_facet_query",
+    "stats_facet",
+    "wand_stats_facet",
+    "phrase_slop",
+    "wand_phrase_slop",
     "wand_feedback",
     "wand_delete",
     "wand_update",
@@ -532,11 +548,21 @@ _WINDOW_ORDER = [
     # r06 rotation: spellcheck / wand_mlt / emb_near_dup /
     # dedup_clusters (all >=2x driver-green; see policy comment above)
     # made room for wand_terms_enum / wand_spellcheck / wand_suggest /
-    # mlt_text
+    # mlt_text; wand_boolean / wand_not / wand_range / wand_facet /
+    # wand_phrase / bm25_mm2 (kernel shapes certified in-window by the
+    # new gates, see policy comment) made room for facet_query /
+    # wand_facet_query / stats_facet / wand_stats_facet / phrase_slop
+    # / wand_phrase_slop
     "spellcheck",
     "wand_mlt",
     "emb_near_dup",
     "dedup_clusters",
+    "bm25_mm2",
+    "wand_boolean",
+    "wand_not",
+    "wand_range",
+    "wand_facet",
+    "wand_phrase",
     # rotated out (>=2x driver-green; still oracle+pytest covered)
     # r05 late rotation: flat twins of in-window packed gates + 3x-
     # green suggest/analytics shapes (see policy comment above);

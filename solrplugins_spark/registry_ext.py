@@ -2032,6 +2032,170 @@ FROM j
 """
 
 
+def q_facet_query(spark, sf_dir):
+    """Solr facet.query (SimpleFacets.getFacetQueryCounts): named
+    subquery counts over the 'dup or batch' docset — a term subquery,
+    a NOT subquery, and a stored-column range subquery. Flat path:
+    main docset compiles once, one bounded semi-join count per name."""
+    from .query.components import facet_query_search
+
+    return facet_query_search(
+        _index(spark, sf_dir),
+        "dup or batch",
+        {
+            "windowed": "window",
+            "not_scan": "not scan",
+            "short": "n_chars:[0 TO 250]",
+        },
+    )
+
+
+def q_wand_facet_query(spark, sf_dir):
+    """The same facet.query on the PACKED path: every subquery's terms
+    share the main tree's ONE pruned postings fetch, the kernel
+    evaluates main + each subquery per segment over the same decoded
+    postings (range subqueries read the n_chars docvalues stream), and
+    |facet_queries| count rows per segment merge in one bounded sum.
+    Same oracle as facet_query. Also the in-window certification of
+    the packed AND/NOT/range kernel shapes (their dedicated gates
+    rotated out in r06)."""
+    from .index.segments import wand_facet_query_search
+
+    return wand_facet_query_search(
+        spark,
+        _dv_segments(spark, sf_dir),
+        "dup or batch",
+        {
+            "windowed": "window",
+            "not_scan": "not scan",
+            "short": "n_chars:[0 TO 250]",
+        },
+    )
+
+
+SQL_FACET_QUERY = f"""
+WITH {TOK_SQL},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup', 'batch')),
+w AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'window'),
+s AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'scan')
+SELECT 'not_scan' AS name, CAST(count(*) AS BIGINT) AS cnt
+FROM m WHERE doc_id NOT IN (SELECT doc_id FROM s)
+UNION ALL
+SELECT 'short', CAST(count(*) AS BIGINT)
+FROM m JOIN documents d USING (doc_id)
+WHERE d.n_chars >= 0 AND d.n_chars <= 250
+UNION ALL
+SELECT 'windowed', CAST(count(*) AS BIGINT) FROM m JOIN w USING (doc_id)
+ORDER BY name
+"""
+
+
+def q_stats_facet(spark, sf_dir):
+    """Solr stats.facet (StatsComponent per-bucket stats): the
+    field_stats aggregate of n_chars computed per lang bucket over
+    docs matching 'dup or batch'. Flat path: matched docset joins the
+    two columns, ONE groupBy(lang) — |lang vocab| rows out."""
+    from .query.components import stats_facet_search
+
+    return stats_facet_search(
+        _index(spark, sf_dir),
+        "dup or batch",
+        _docs(spark, sf_dir).select("doc_id", "n_chars", "lang"),
+        "n_chars",
+        "lang",
+    )
+
+
+def q_wand_stats_facet(spark, sf_dir):
+    """The same stats.facet on the PACKED path: each segment emits one
+    mergeable moment row PER lang ordinal (vocab-bounded, never the
+    match set); moments merge by (generation, ordinal), join the
+    broadcast ordinal dictionary, merge by value, and mean/stddev
+    derive exactly. Same oracle as stats_facet. Also the in-window
+    certification of the ordinal-docvalues kernel shape (wand_facet
+    rotated out in r06)."""
+    from .index.segments import wand_stats_facet_search
+
+    return wand_stats_facet_search(
+        spark, _dv_segments(spark, sf_dir), "dup or batch", "n_chars", "lang"
+    )
+
+
+SQL_STATS_FACET = f"""
+WITH {TOK_SQL},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup', 'batch')),
+j AS (
+  SELECT d.lang, d.n_chars AS v FROM m JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       round(avg(v), 5) AS mean_v,
+       round(stddev_samp(v), 5) AS stddev_v
+FROM j GROUP BY lang ORDER BY lang
+"""
+
+
+def q_phrase_slop(spark, sf_dir):
+    """Sloppy phrase `"table hash"~2` (ordered SpanNearQuery
+    semantics — in-order occurrences, window holds at most 2 extra
+    positions) over the flat positional index, scored by member-term
+    BM25. Exercises the parser's ~n suffix + the greedy-chain
+    higher-order-array plan (sloppy_phrase_match_docs)."""
+    from .query.compiler import execute_query
+
+    return execute_query(_pos_index(spark, sf_dir), '"table hash"~2', k=10)
+
+
+def q_wand_phrase_slop(spark, sf_dir):
+    """The same sloppy phrase over the PACKED v3 index: doc-level
+    candidate narrowing keeps the rarest-first block-skip decode, then
+    the vectorized in-order chain window test runs per segment. Same
+    oracle as phrase_slop; also the in-window certification of the
+    positional postings sub-stream (wand_phrase rotated out in r06)."""
+    from .index.segments import wand_phrase_search
+
+    return wand_phrase_search(
+        spark, _pos_segments(spark, sf_dir), ["table", "hash"], k=10, slop=2
+    )
+
+
+SQL_PHRASE_SLOP = f"""
+WITH {TOK_SQL}, {BM25_PARTIAL_SQL},
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents
+),
+pa AS (
+  SELECT doc_id,
+         unnest([i for i in range(1, len(toks)+1) if toks[i] = 'table']) AS p
+  FROM base
+),
+pb AS (
+  SELECT doc_id,
+         unnest([i for i in range(1, len(toks)+1) if toks[i] = 'hash']) AS p
+  FROM base
+),
+-- ordered span-near, slop=2: in-order pair with at most 2 extra
+-- positions between the terms (gap p_b - p_a - 1 <= 2)
+hits AS (
+  SELECT DISTINCT pa.doc_id
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+  WHERE pb.p > pa.p AND pb.p - pa.p <= 3
+),
+scores AS (
+  SELECT doc_id, sum(partial) AS s FROM partials
+  WHERE term IN ('table', 'hash') GROUP BY doc_id
+)
+SELECT h.doc_id, round(coalesce(s.s, 0.0), 5) AS score
+FROM hits h LEFT JOIN scores s USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_terms_enum(spark, sf_dir):
     """Solr TermsComponent (/terms?terms.prefix=s&terms.mincount=2&
     terms.sort=count): dictionary terms under prefix 's' with df >= 2,
@@ -3180,6 +3344,12 @@ EXT_QUERIES = {
     "wand_facet_range": q_wand_facet_range,
     "field_stats": q_field_stats,
     "wand_stats": q_wand_stats,
+    "facet_query": q_facet_query,
+    "wand_facet_query": q_wand_facet_query,
+    "stats_facet": q_stats_facet,
+    "wand_stats_facet": q_wand_stats_facet,
+    "phrase_slop": q_phrase_slop,
+    "wand_phrase_slop": q_wand_phrase_slop,
     "highlight": q_highlight,
     "terms_enum": q_terms_enum,
     "elevation": q_elevation,
@@ -3309,6 +3479,12 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_facet_range": SQL_FACET_RANGE,
         "field_stats": SQL_FIELD_STATS,
         "wand_stats": SQL_FIELD_STATS,
+        "facet_query": SQL_FACET_QUERY,
+        "wand_facet_query": SQL_FACET_QUERY,
+        "stats_facet": SQL_STATS_FACET,
+        "wand_stats_facet": SQL_STATS_FACET,
+        "phrase_slop": SQL_PHRASE_SLOP,
+        "wand_phrase_slop": SQL_PHRASE_SLOP,
         "highlight": SQL_HIGHLIGHT,
         "terms_enum": SQL_TERMS_ENUM,
         "elevation": SQL_ELEVATION,

@@ -200,3 +200,151 @@ def test_stats_stddev_cancellation_clamped(spark, tmp_path):
     assert len(packed) == 1
     assert packed.iloc[0]["stddev_v"] == 0.0  # not NaN
     pd.testing.assert_frame_equal(packed, flat)
+
+
+# ---- facet.query + stats.facet ----------------------------------------
+
+from solrplugins_spark.index.segments import (
+    wand_facet_query_search,
+    wand_stats_facet_search,
+)
+from solrplugins_spark.query.components import (
+    facet_query_search,
+    stats_facet_search,
+)
+
+
+@pytest.fixture(scope="module")
+def sf_segments(tiny_index, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stats_facet") / "idx"
+    return build_segments(
+        tiny_index, str(out), seg_size=128, groups=2,
+        value_cols=["turn_idx"], string_cols=["role"],
+    )
+
+
+@pytest.fixture(scope="module")
+def rare_term(tiny_index):
+    return (
+        tiny_index.terms.filter(F.col("df") == 1)
+        .orderBy("term").limit(1).collect()[0]["term"]
+    )
+
+
+def test_facet_query_flat_matches_brute(
+    tiny_index, tiny_corpus_pd, hot_term, rare_term
+):
+    fqs = {
+        "has_rare": rare_term,
+        "not_self": f"not {hot_term}",
+        "early": "turn_idx:[0 TO 4]",
+        "nothing": "zzznosuchterm",
+    }
+    got = facet_query_search(tiny_index, hot_term, fqs).toPandas()
+    main = set(
+        execute_query(tiny_index, hot_term, k=10**6).toPandas()["doc_id"]
+    )
+    pdf = tiny_corpus_pd
+
+    def docs_of(term):
+        from solrplugins_spark.analysis.tokenizer import tokenize_pandas
+        import pandas as _pd
+
+        return {
+            d
+            for d, text in zip(pdf["doc_id"], pdf["text"])
+            if term in list(tokenize_pandas(_pd.Series([text]))[0])
+        }
+
+    want = {
+        "early": len(
+            main & set(pdf[pdf["turn_idx"] <= 4]["doc_id"])
+        ),
+        "has_rare": len(main & docs_of(rare_term)),
+        "not_self": 0,
+        "nothing": 0,
+    }
+    assert list(got["name"]) == sorted(fqs)
+    assert {n: c for n, c in zip(got["name"], got["cnt"])} == want
+
+
+def test_facet_query_packed_matches_flat(
+    spark, tiny_index, sf_segments, hot_term, rare_term
+):
+    fqs = {
+        "has_rare": rare_term,
+        "not_self": f"not {hot_term}",
+        "early": "turn_idx:[0 TO 4]",
+        "nothing": "zzznosuchterm",
+    }
+    flat = facet_query_search(tiny_index, hot_term, fqs).toPandas()
+    packed = wand_facet_query_search(
+        spark, sf_segments, hot_term, fqs
+    ).toPandas()
+    pd.testing.assert_frame_equal(flat, packed)
+
+
+def test_facet_query_rejects_phrase_and_empty(spark, tiny_index, sf_segments):
+    with pytest.raises(ValueError, match="at least one"):
+        facet_query_search(tiny_index, "w0000", {})
+    with pytest.raises(ValueError, match="phrase"):
+        wand_facet_query_search(
+            spark, sf_segments, "w0000", {"p": '"w0000 w0001"'}
+        )
+
+
+def test_stats_facet_flat_matches_brute(
+    tiny_index, tiny_corpus, tiny_corpus_pd, hot_term
+):
+    got = stats_facet_search(
+        tiny_index, hot_term,
+        tiny_corpus.select("doc_id", "turn_idx", "role"),
+        "turn_idx", "role",
+    ).toPandas()
+    main = execute_query(tiny_index, hot_term, k=10**6).toPandas()["doc_id"]
+    j = tiny_corpus_pd.set_index("doc_id").loc[main, ["turn_idx", "role"]]
+    want = (
+        j.groupby("role")["turn_idx"]
+        .agg(["count", "min", "max", "sum", "mean", "std"])
+        .sort_index()
+    )
+    assert list(got["role"]) == list(want.index)
+    assert list(got["cnt"]) == list(want["count"])
+    assert list(got["min_v"]) == list(want["min"])
+    assert list(got["max_v"]) == list(want["max"])
+    assert list(got["sum_v"]) == list(want["sum"])
+    np.testing.assert_allclose(got["mean_v"], want["mean"], atol=1e-5)
+    np.testing.assert_allclose(got["stddev_v"], want["std"], atol=1e-5)
+
+
+def test_stats_facet_packed_matches_flat(
+    spark, tiny_index, tiny_corpus, sf_segments, hot_term
+):
+    for q in [hot_term, f"{hot_term} or w0001", f"not {hot_term}"]:
+        flat = stats_facet_search(
+            tiny_index, q,
+            tiny_corpus.select("doc_id", "turn_idx", "role"),
+            "turn_idx", "role",
+        ).toPandas()
+        packed = wand_stats_facet_search(
+            spark, sf_segments, q, "turn_idx", "role"
+        ).toPandas()
+        pd.testing.assert_frame_equal(flat, packed, check_dtype=False)
+
+
+def test_stats_facet_single_doc_bucket_null_stddev(
+    spark, tiny_index, tiny_corpus, sf_segments, rare_term
+):
+    """A 1-match bucket serves stddev NULL (not NaN) on BOTH tiers —
+    the corrected sample formula is undefined at n=1."""
+    flat = stats_facet_search(
+        tiny_index, rare_term,
+        tiny_corpus.select("doc_id", "turn_idx", "role"),
+        "turn_idx", "role",
+    ).toPandas()
+    packed = wand_stats_facet_search(
+        spark, sf_segments, rare_term, "turn_idx", "role"
+    ).toPandas()
+    assert len(flat) == 1 and flat["cnt"].iloc[0] == 1
+    assert pd.isna(flat["stddev_v"].iloc[0])
+    pd.testing.assert_frame_equal(flat, packed, check_dtype=False)

@@ -57,6 +57,13 @@ R06_FIRST_TIMERS = {
     "wand_spellcheck",
     "wand_suggest",
     "mlt_text",
+    # facet.query / stats.facet / sloppy-phrase serving components
+    "facet_query",
+    "wand_facet_query",
+    "stats_facet",
+    "wand_stats_facet",
+    "phrase_slop",
+    "wand_phrase_slop",
 }
 
 

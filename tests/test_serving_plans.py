@@ -110,3 +110,82 @@ def test_packed_elevation_bounded_jobs(spark, plan_segments, hot_query):
     # organic fan-out + allowlist scores + the broadcast builds of the
     # two tiny local frames (pins, ranked page) — all k/|pins|-bounded
     assert n <= 4, f"packed elevation exceeded the bounded-crossing budget: {n}"
+
+
+# ---- r06 components: facet.query / stats.facet / sloppy phrase --------
+
+from solrplugins_spark.index.segments import (
+    wand_facet_query_search,
+    wand_phrase_search,
+    wand_stats_facet_search,
+)
+
+
+@pytest.fixture(scope="module")
+def sfp_segments(tiny_index, tmp_path_factory):
+    out = tmp_path_factory.mktemp("servplans_sf") / "idx"
+    return build_segments(
+        tiny_index, str(out), seg_size=128, groups=2,
+        string_cols=["role"], value_cols=["turn_idx"],
+    )
+
+
+def test_packed_facet_query_one_job(spark, sfp_segments, hot_query):
+    """All facet.query subqueries evaluate inside the main tree's ONE
+    per-segment pass — one postings fetch, one Spark job."""
+    n = _count_jobs(
+        spark,
+        "fq_jobs",
+        lambda: wand_facet_query_search(
+            spark, sfp_segments, hot_query,
+            {"a": hot_query.split(" or ")[0], "r": "turn_idx:[0 TO 5]"},
+        ).collect(),
+    )
+    assert n == 1, f"packed facet.query took {n} jobs, expected 1"
+
+
+def test_packed_stats_facet_one_job_and_broadcast(spark, sfp_segments, hot_query):
+    df = wand_stats_facet_search(
+        spark, sfp_segments, hot_query, "turn_idx", "role"
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    n = _count_jobs(spark, "sfq_jobs", lambda: df.collect())
+    assert n <= 2, f"packed stats.facet took {n} jobs"
+
+
+@pytest.fixture(scope="module")
+def posplan_index(tiny_corpus):
+    from solrplugins_spark.index.builder import build_index
+
+    return build_index(tiny_corpus, positions=True).persist()
+
+
+@pytest.fixture(scope="module")
+def posplan_segments(posplan_index, tmp_path_factory):
+    out = tmp_path_factory.mktemp("servplans_pos") / "idx"
+    return build_segments(posplan_index, str(out), seg_size=128, groups=2)
+
+
+def test_flat_sloppy_phrase_no_python_udf(posplan_index):
+    """The greedy-chain evaluation is JVM higher-order expressions —
+    no Python UDF, no cartesian product in the executed plan."""
+    from solrplugins_spark.query.compiler import execute_query
+
+    df = execute_query(posplan_index, '"w0000 w0001"~2', k=10)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_packed_sloppy_phrase_one_job(spark, posplan_segments):
+    n = _count_jobs(
+        spark,
+        "slop_jobs",
+        lambda: wand_phrase_search(
+            spark, posplan_segments, ["w0000", "w0001"], k=10, slop=2
+        ).collect(),
+    )
+    assert n == 1, f"packed sloppy phrase took {n} jobs, expected 1"
