@@ -459,6 +459,29 @@ def main() -> None:
             )
         ),
     }
+    # r06 components: facet.query (all subqueries inside the main
+    # tree's one per-segment pass), stats.facet (per-ordinal moment
+    # rows), sloppy phrase (ordered span-near chain)
+    from solrplugins_spark.index.segments import (
+        wand_facet_query_search,
+        wand_stats_facet_search,
+    )
+
+    components["wand_facet_query_secs"] = time_query(
+        lambda: wand_facet_query_search(
+            spark, seg, "zephyrblade or w0003",
+            {"w3": "w0003", "early": "turn_idx:[0 TO 5]",
+             "nz": "not zephyrblade"},
+        )
+    )
+    components["wand_stats_facet_secs"] = time_query(
+        lambda: wand_stats_facet_search(
+            spark, seg, "zephyrblade or w0003", "turn_idx", "role"
+        )
+    )
+    components["wand_phrase_slop_secs"] = time_query(
+        lambda: wand_phrase_search(spark, seg, phrase, k=10, slop=2)
+    )
 
     # packed /mlt + /uf serving lines (VERDICT r03 item #1 "Done"):
     # latency + SPARK JOB COUNT vs the flat handlers — parity means the
