@@ -46,6 +46,14 @@ def main() -> None:
     ap.add_argument("--seeds", default=None, help="mlt mode: comma-separated doc ids")
     ap.add_argument("--facet", action="append", default=[],
                     help="select mode: facet field (repeatable)")
+    ap.add_argument("--facet-query", action="append", default=[],
+                    help="select mode: name=subquery facet.query (repeatable)")
+    ap.add_argument("--stats-field", action="append", default=[],
+                    help="select mode: stats.field numeric docvalues column "
+                         "(repeatable)")
+    ap.add_argument("--stats-facet", action="append", default=[],
+                    help="select mode: stats_col=facet_col per-bucket stats "
+                         "(repeatable)")
     ap.add_argument("--stored", action="store_true",
                     help="select mode: attach stored fields to the result page")
     ap.add_argument("--k", type=int, default=10)
@@ -90,14 +98,21 @@ def main() -> None:
     elif args.mode == "select":
         if not args.query:
             ap.error("--query required for select mode")
+        fqs = dict(s.split("=", 1) for s in args.facet_query) or None
+        sfacet = dict(s.split("=", 1) for s in args.stats_facet) or None
         resp = packed_select_handler(
             spark, seg, args.query, k=args.k, k1=args.k1, b=args.b,
-            facet_fields=args.facet or None, with_stored=args.stored,
+            facet_fields=args.facet or None, facet_queries=fqs,
+            stats_fields=args.stats_field or None, stats_facet=sfacet,
+            with_stored=args.stored,
         )
         out["query"] = args.query
         out["docs"] = [r.asDict() for r in resp["docs"].collect()]
         for f in args.facet:
             out[f"facet_{f}"] = [r.asDict() for r in resp[f"facet_{f}"].collect()]
+        for key, df in resp.items():
+            if key.startswith(("facet_queries", "stats_")):
+                out[key] = [r.asDict() for r in df.collect()]
     elif args.mode == "mlt":
         if not args.seeds:
             ap.error("--seeds required for mlt mode")

@@ -187,6 +187,9 @@ def packed_select_handler(
     query: str,
     k: int = 10,
     facet_fields: list[str] | None = None,
+    facet_queries: dict[str, str] | None = None,
+    stats_fields: list[str] | None = None,
+    stats_facet: dict[str, str] | None = None,
     with_stored: bool = True,
     field_segments=None,
     field_sims=None,
@@ -207,13 +210,24 @@ def packed_select_handler(
     per-generation ordinal counts by value — responses equal the
     compacted index's, so serving never waits for compaction.
 
+    ``facet_queries`` (Solr facet.query: {name: subquery}) adds a
+    "facet_queries" (name, cnt) section; ``stats_fields`` (Solr
+    stats.field) adds one "stats_<col>" moment-derived section per
+    numeric docvalues column; ``stats_facet`` ({stats_col: facet_col},
+    Solr stats.facet) adds "stats_<col>_by_<facet>" per-bucket
+    sections. Each section is its own bounded Spark job over the
+    segment files — the corpus is never read.
+
     Returns {"docs": (doc_id, score [, stored cols...]),
              "facet_<field>": (value, cnt), ...}.
     """
     from ..index.segments import (
         fetch_docs_local,
         wand_boolean_search,
+        wand_facet_query_search,
         wand_facet_search,
+        wand_stats_facet_search,
+        wand_stats_search,
     )
 
     first = seg_index[0] if isinstance(seg_index, (list, tuple)) else seg_index
@@ -257,6 +271,21 @@ def packed_select_handler(
     for field in facet_fields or []:
         out[f"facet_{field}"] = wand_facet_search(
             spark, seg_index, query, field, k1=k1, b=b,
+            field_segments=field_segments, field_sims=field_sims,
+        )
+    if facet_queries:
+        out["facet_queries"] = wand_facet_query_search(
+            spark, seg_index, query, facet_queries, k1=k1, b=b,
+            field_segments=field_segments, field_sims=field_sims,
+        )
+    for col in stats_fields or []:
+        out[f"stats_{col}"] = wand_stats_search(
+            spark, seg_index, query, col, k1=k1, b=b,
+            field_segments=field_segments, field_sims=field_sims,
+        )
+    for col, facet in (stats_facet or {}).items():
+        out[f"stats_{col}_by_{facet}"] = wand_stats_facet_search(
+            spark, seg_index, query, col, facet, k1=k1, b=b,
             field_segments=field_segments, field_sims=field_sims,
         )
     return out

@@ -644,6 +644,9 @@ _WINDOW_ORDER = [
     "fingerprint",
     "quality",
     "lang_id",
+    # r06: registered past the window (rotation candidate for r07) —
+    # BPE tokenizer-training pair statistics (text/bpe.py)
+    "bpe_pairs",
 ]
 
 

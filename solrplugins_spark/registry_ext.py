@@ -2196,6 +2196,37 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Round-0 BPE tokenizer-training statistics (Sennrich et al.
+    2016): occurrence-weighted adjacent character-pair counts, top 20
+    by (cnt desc, l, r). Scale shape: the corpus collapses to the
+    distinct-word frame FIRST (one map-side-combined shuffle), then
+    pair stats are a vocabulary-bounded JVM projection + hash agg —
+    registered past the r06 driver window, rotation candidate for
+    r07."""
+    from .text.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), limit=20)
+
+
+SQL_BPE_PAIRS = """
+WITH tokw AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> len(x) >= 1 AND len(x) <= 64)) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*)::BIGINT AS cnt FROM tokw GROUP BY word),
+pairs AS (
+  SELECT substring(word, CAST(i AS INT), 1) AS l,
+         substring(word, CAST(i AS INT) + 1, 1) AS r, cnt
+  FROM wc, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT l, r, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM pairs GROUP BY l, r ORDER BY cnt DESC, l ASC, r ASC LIMIT 20
+"""
+
+
 def q_terms_enum(spark, sf_dir):
     """Solr TermsComponent (/terms?terms.prefix=s&terms.mincount=2&
     terms.sort=count): dictionary terms under prefix 's' with df >= 2,
@@ -3350,6 +3381,7 @@ EXT_QUERIES = {
     "wand_stats_facet": q_wand_stats_facet,
     "phrase_slop": q_phrase_slop,
     "wand_phrase_slop": q_wand_phrase_slop,
+    "bpe_pairs": q_bpe_pairs,
     "highlight": q_highlight,
     "terms_enum": q_terms_enum,
     "elevation": q_elevation,
@@ -3485,6 +3517,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_stats_facet": SQL_STATS_FACET,
         "phrase_slop": SQL_PHRASE_SLOP,
         "wand_phrase_slop": SQL_PHRASE_SLOP,
+        "bpe_pairs": SQL_BPE_PAIRS,
         "highlight": SQL_HIGHLIGHT,
         "terms_enum": SQL_TERMS_ENUM,
         "elevation": SQL_ELEVATION,

@@ -1,0 +1,221 @@
+"""Distributed BPE tokenizer-training statistics (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units").
+
+A training-data pipeline that ships transcripts into an LLM needs the
+tokenizer-training side too: count adjacent symbol pairs over the
+corpus, repeatedly merge the most frequent pair, emit the merge table.
+The reference engine has no tokenizer training — this extends the
+text/ pipeline family (lm.py, analysis.py) with the canonical
+subword-vocabulary construction.
+
+Scale shape (the part that matters at 100 TB): the corpus collapses to
+the DISTINCT-WORD frame first — one `explode(tokens) -> groupBy(word)
+.count()` shuffle with map-side combine, after which every BPE
+statistic is weighted by word frequency over a vocabulary-bounded
+frame (natural-language word vocabularies are millions of rows, not
+corpus-sized; the corpus itself is read exactly once). Pair counting
+is a JVM higher-order projection + one hash agg; the iterative trainer
+re-uses the persisted word frame every round, so `n_merges` rounds
+cost n vocabulary-bounded jobs, never another corpus scan. The argmax
+pair broadcasts implicitly as a plan literal (two strings), and the
+merge application is a vectorized Arrow pass over the symbol arrays.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import tokens_col
+
+
+def word_counts(docs: DataFrame, text_col: str = "text", **tok_kwargs) -> DataFrame:
+    """(word, cnt) distinct-word frame — the corpus-collapsing first
+    shuffle every BPE statistic runs on. Engine tokenizer grammar."""
+    return (
+        docs.select(F.explode(tokens_col(text_col, **tok_kwargs)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _char_pairs(col: str = "word"):
+    """array<struct<l,r>> of adjacent character pairs — JVM-side."""
+    return F.expr(
+        f"transform(sequence(1, length({col}) - 1), "
+        f"i -> struct(substring({col}, i, 1) as l, "
+        f"substring({col}, i + 1, 1) as r))"
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", limit: int = 20, **tok_kwargs
+) -> DataFrame:
+    """Round-0 BPE pair statistics: occurrence-weighted counts of
+    adjacent CHARACTER pairs over the corpus, deterministic order
+    (cnt desc, l asc, r asc), top ``limit``.
+
+    Single-character words contribute nothing (no pairs); every pair
+    occurrence inside a word counts once per corpus occurrence of the
+    word (`sum(word_cnt)` over the word's pair multiset — exactly the
+    statistics the first BPE merge maximizes)."""
+    wc = word_counts(docs, text_col=text_col, **tok_kwargs)
+    return (
+        wc.filter(F.length("word") >= 2)
+        .select("cnt", F.explode(_char_pairs()).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(limit)
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+    **tok_kwargs,
+) -> list[tuple[str, str]]:
+    """The merge table: ``n_merges`` (left, right) pairs in merge
+    order — argmax pair count each round, ties broken (l asc, r asc)
+    for run-to-run determinism (reference BPE breaks ties by dict
+    order too).
+
+    Each round is one vocabulary-bounded job over the persisted
+    distinct-word frame: count pairs of the CURRENT symbol arrays,
+    collect the single argmax row, apply the merge with a vectorized
+    Arrow pass. Lineage is truncated by re-persisting (and
+    checkpoint-by-materialization every ``checkpoint_every`` rounds)
+    so round N's plan never replays rounds 0..N-1."""
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col=text_col, **tok_kwargs)
+    words = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            # explicit per-position substring: split(word, '') emits a
+            # trailing empty element on some Spark versions
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "cnt",
+        )
+        .persist()
+    )
+    words.count()
+    merges: list[tuple[str, str]] = []
+    prev = words
+    for round_no in range(n_merges):
+        top = (
+            # guard size>=2: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+            # so an unguarded fully-merged single-symbol word would
+            # fabricate a (sym, null) pair instead of contributing none
+            prev.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] as l, syms[i] as r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r = top[0]["l"], top[0]["r"]
+        merges.append((l, r))
+        merged = l + r
+
+        def apply_merge(pdf_iter, _l=l, _r=r, _m=merged):
+            for pdf in pdf_iter:
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    i = 0
+                    res = []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            res.append(_m)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame(
+                    {"syms": out, "cnt": pdf["cnt"].to_numpy()}
+                )
+
+        nxt = prev.mapInPandas(
+            apply_merge, schema="syms array<string>, cnt long"
+        ).persist()
+        # materialize BEFORE unpersisting the parent: truncates the
+        # per-round lineage chain (same spot-node-safe pattern as
+        # dedup clustering); periodic local checkpoint hard-cuts it
+        if (round_no + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt.count()
+        if prev is not words:
+            prev.unpersist()
+        prev = nxt
+    if prev is not words:
+        prev.unpersist()
+    words.unpersist()
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    **tok_kwargs,
+) -> DataFrame:
+    """Segment every doc's words with a trained merge table — the
+    deterministic greedy-by-merge-rank encoder (each merge applied in
+    table order, the standard BPE encode). One Arrow pass over the
+    corpus; the merge table broadcasts inside the closure."""
+    table = list(merges)
+
+    def encode(pdf_iter):
+        for pdf in pdf_iter:
+            toks_out = []
+            for toks in pdf["_toks"]:
+                enc: list[str] = []
+                for w in toks:
+                    s = list(w)
+                    for l, r in table:
+                        m = l + r
+                        i = 0
+                        res = []
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                                res.append(m)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        s = res
+                    enc.extend(s)
+                toks_out.append(enc)
+            out = pdf.drop(columns=["_toks"])
+            out[out_col] = toks_out
+            yield out
+
+    with_toks = docs.withColumn(
+        "_toks", tokens_col(text_col, **tok_kwargs)
+    )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    return with_toks.mapInPandas(
+        encode, schema=f"{fields}, {out_col} array<string>"
+    )

@@ -314,3 +314,50 @@ def test_packed_handlers_boost_fn_matches_flat(spark, tiny_corpus, tmp_path):
     )["docs"].toPandas()
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["score"]) == pytest.approx(list(want["score"]), abs=1e-4)
+
+
+def test_packed_select_handler_facet_query_and_stats_sections(
+    spark, tiny_corpus, tiny_index, tmp_path
+):
+    """/select with facet.query + stats.field + stats.facet params:
+    each section serves from segment files and matches the flat
+    component run on the same query."""
+    from solrplugins_spark.index.segments import build_segments
+    from solrplugins_spark.query.components import (
+        facet_query_search,
+        stats_facet_search,
+        stats_search,
+    )
+    from solrplugins_spark.query.handlers import packed_select_handler
+
+    seg = build_segments(
+        tiny_index, str(tmp_path / "selsf"), seg_size=64, groups=2,
+        string_cols=["role"], value_cols=["turn_idx"], store_cols=["text"],
+    )
+    fqs = {"w2": "w0002", "late": "turn_idx:[10 TO 19]"}
+    out = packed_select_handler(
+        spark, seg, "w0001", k=5,
+        facet_queries=fqs, stats_fields=["turn_idx"],
+        stats_facet={"turn_idx": "role"},
+    )
+    assert {"docs", "facet_queries", "stats_turn_idx",
+            "stats_turn_idx_by_role"} <= set(out)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out["facet_queries"].toPandas(),
+        facet_query_search(tiny_index, "w0001", fqs).toPandas(),
+    )
+    vals = tiny_corpus.select("doc_id", "turn_idx", "role")
+    pd.testing.assert_frame_equal(
+        out["stats_turn_idx"].toPandas(),
+        stats_search(tiny_index, "w0001", vals, "turn_idx").toPandas(),
+        check_dtype=False,
+    )
+    pd.testing.assert_frame_equal(
+        out["stats_turn_idx_by_role"].toPandas(),
+        stats_facet_search(
+            tiny_index, "w0001", vals, "turn_idx", "role"
+        ).toPandas(),
+        check_dtype=False,
+    )
