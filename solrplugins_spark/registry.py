@@ -644,9 +644,11 @@ _WINDOW_ORDER = [
     "fingerprint",
     "quality",
     "lang_id",
-    # r06: registered past the window (rotation candidate for r07) —
-    # BPE tokenizer-training pair statistics (text/bpe.py)
+    # r06: registered past the window (rotation candidates for r07) —
+    # BPE tokenizer-training pair statistics (text/bpe.py) and DSIR
+    # importance-resampling weights (text/dsir.py)
     "bpe_pairs",
+    "dsir_weights",
 ]
 
 

@@ -2227,6 +2227,61 @@ FROM pairs GROUP BY l, r ORDER BY cnt DESC, l ASC, r ASC LIMIT 20
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): per-doc log importance
+    ratio of add-1-smoothed hashed-n-gram bucket models, target = the
+    lang='en' slice, raw = the whole pool — the scoring pass of
+    importance resampling. Top 20 most-target-like docs. Scale shape:
+    two n_buckets-row aggs + one broadcast-join keyed sum; the
+    md5-prefix feature hash is reproduced bit-for-bit by the DuckDB
+    oracle. Registered past the r06 driver window (r07 rotation
+    candidate)."""
+    from .text.dsir import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"), n_buckets=1024)
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(20)
+
+
+SQL_DSIR_WEIGHTS = """
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM documents
+),
+nz AS (SELECT * FROM base WHERE len(toks) > 0),
+uni AS (SELECT doc_id, unnest(toks) AS f FROM nz),
+big AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS f
+  FROM nz WHERE len(toks) >= 2
+),
+feats AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+tfeats AS (
+  SELECT f.bucket FROM feats f JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+),
+rc AS (SELECT bucket, count(*)::DOUBLE AS c FROM feats GROUP BY bucket),
+tc AS (SELECT bucket, count(*)::DOUBLE AS c FROM tfeats GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM feats)::DOUBLE AS r,
+               (SELECT count(*) FROM tfeats)::DOUBLE AS t),
+lat AS (SELECT generate_series AS bucket FROM generate_series(0, 1023)),
+ratio AS (
+  SELECT lat.bucket,
+         ln((coalesce(tc.c, 0) + 1) / (tot.t + 1024))
+           - ln((coalesce(rc.c, 0) + 1) / (tot.r + 1024)) AS lr
+  FROM lat LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+  CROSS JOIN tot
+)
+SELECT f.doc_id, round(sum(r.lr), 5) AS weight
+FROM feats f JOIN ratio r USING (bucket)
+GROUP BY f.doc_id ORDER BY weight DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_terms_enum(spark, sf_dir):
     """Solr TermsComponent (/terms?terms.prefix=s&terms.mincount=2&
     terms.sort=count): dictionary terms under prefix 's' with df >= 2,
@@ -3382,6 +3437,7 @@ EXT_QUERIES = {
     "phrase_slop": q_phrase_slop,
     "wand_phrase_slop": q_wand_phrase_slop,
     "bpe_pairs": q_bpe_pairs,
+    "dsir_weights": q_dsir_weights,
     "highlight": q_highlight,
     "terms_enum": q_terms_enum,
     "elevation": q_elevation,
@@ -3518,6 +3574,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "phrase_slop": SQL_PHRASE_SLOP,
         "wand_phrase_slop": SQL_PHRASE_SLOP,
         "bpe_pairs": SQL_BPE_PAIRS,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
         "highlight": SQL_HIGHLIGHT,
         "terms_enum": SQL_TERMS_ENUM,
         "elevation": SQL_ELEVATION,
