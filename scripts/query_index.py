@@ -62,6 +62,21 @@ def main() -> None:
     ap.add_argument("--max-seed-docs", type=int, default=5)
     args = ap.parse_args()
 
+    def kv_pairs(values: list[str], flag: str) -> dict | None:
+        out_kv: dict[str, str] = {}
+        for s in values:
+            if "=" not in s:
+                ap.error(f"{flag} takes name=value, got {s!r}")
+            k, v = s.split("=", 1)
+            if k in out_kv:
+                ap.error(f"{flag}: duplicate name {k!r}")
+            out_kv[k] = v
+        return out_kv or None
+
+    # arg-shape errors surface BEFORE the session/index spin-up
+    fqs = kv_pairs(args.facet_query, "--facet-query")
+    sfacet = kv_pairs(args.stats_facet, "--stats-facet")
+
     from solrplugins_spark.analysis.payloads import parse_payload_tokens
     from solrplugins_spark.index.segments import SegmentIndex, wand_search, wand_search_multi
     from solrplugins_spark.query.handlers import (
@@ -98,8 +113,6 @@ def main() -> None:
     elif args.mode == "select":
         if not args.query:
             ap.error("--query required for select mode")
-        fqs = dict(s.split("=", 1) for s in args.facet_query) or None
-        sfacet = dict(s.split("=", 1) for s in args.stats_facet) or None
         resp = packed_select_handler(
             spark, seg, args.query, k=args.k, k1=args.k1, b=args.b,
             facet_fields=args.facet or None, facet_queries=fqs,
@@ -111,7 +124,7 @@ def main() -> None:
         for f in args.facet:
             out[f"facet_{f}"] = [r.asDict() for r in resp[f"facet_{f}"].collect()]
         for key, df in resp.items():
-            if key.startswith(("facet_queries", "stats_")):
+            if key == "facet_queries" or key.startswith("stats_"):
                 out[key] = [r.asDict() for r in df.collect()]
     elif args.mode == "mlt":
         if not args.seeds:

@@ -122,27 +122,37 @@ def facet_query_search(
     query and that subquery. Zero counts are served (Solr returns
     every requested facet.query). Returns (name, cnt) ordered by name.
 
-    Plan: the main docset compiles once; each facet query contributes
-    one semi-join + count-agg — a 1-row frame — and the results union.
-    Each aggregate is bounded regardless of match count, so the output
-    is |facet_queries| rows at any corpus size."""
+    Plan: ONE job — the subquery docsets union with a name tag and
+    join the main docset a single time, so the main query's plan
+    evaluates once no matter how many facet queries ride on it; the
+    groupBy(name) count is |facet_queries|-bounded, and a names
+    lattice left-join restores the zero counts Solr serves."""
     if not facet_queries:
         raise ValueError("facet.query needs at least one named subquery")
     tree, _errors = parse_query(query)
     main = compile_ast(index, tree).select("doc_id")
-    frames = []
+    tagged = None
     for name, fq in facet_queries.items():
         fq_tree, _e = parse_query(fq)
-        fq_docs = compile_ast(index, fq_tree).select("doc_id")
-        frames.append(
-            main.join(fq_docs, "doc_id", "left_semi")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(name).alias("name"), "cnt")
+        f = (
+            compile_ast(index, fq_tree)
+            .select("doc_id")
+            .withColumn("name", F.lit(name))
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.orderBy("name")
+        tagged = f if tagged is None else tagged.unionByName(f)
+    counts = (
+        main.join(tagged, "doc_id")
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lattice = main.sparkSession.createDataFrame(
+        [(n,) for n in facet_queries], "name string"
+    )
+    return (
+        lattice.join(counts, "name", "left")
+        .select("name", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .orderBy("name")
+    )
 
 
 def stats_facet_search(

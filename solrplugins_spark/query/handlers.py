@@ -274,6 +274,13 @@ def packed_select_handler(
             field_segments=field_segments, field_sims=field_sims,
         )
     if facet_queries:
+        # a facet FIELD literally named "queries" would already own
+        # this response key — refuse rather than silently overwrite
+        if "facet_queries" in out:
+            raise ValueError(
+                "facet_fields=['queries'] collides with the "
+                "facet.query response section — rename the field"
+            )
         out["facet_queries"] = wand_facet_query_search(
             spark, seg_index, query, facet_queries, k1=k1, b=b,
             field_segments=field_segments, field_sims=field_sims,

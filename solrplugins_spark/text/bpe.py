@@ -40,6 +40,23 @@ def word_counts(docs: DataFrame, text_col: str = "text", **tok_kwargs) -> DataFr
     )
 
 
+def _merge_pair(s: list[str], l: str, r: str) -> list[str]:
+    """One left-to-right non-overlapping merge pass — shared by the
+    trainer and the encoder so the statistics a table was trained on
+    and the segmentation it produces can never drift apart."""
+    m = l + r
+    res: list[str] = []
+    i = 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+            res.append(m)
+            i += 2
+        else:
+            res.append(s[i])
+            i += 1
+    return res
+
+
 def _char_pairs(col: str = "word"):
     """array<struct<l,r>> of adjacent character pairs — JVM-side."""
     return F.expr(
@@ -134,34 +151,29 @@ def train_bpe(
         merges.append((l, r))
         merged = l + r
 
-        def apply_merge(pdf_iter, _l=l, _r=r, _m=merged):
+        def apply_merge(pdf_iter, _l=l, _r=r):
             for pdf in pdf_iter:
-                out = []
-                for syms in pdf["syms"]:
-                    s = list(syms)
-                    i = 0
-                    res = []
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
-                            res.append(_m)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    out.append(res)
                 yield pd.DataFrame(
-                    {"syms": out, "cnt": pdf["cnt"].to_numpy()}
+                    {
+                        "syms": [
+                            _merge_pair(list(s), _l, _r) for s in pdf["syms"]
+                        ],
+                        "cnt": pdf["cnt"].to_numpy(),
+                    }
                 )
 
         nxt = prev.mapInPandas(
             apply_merge, schema="syms array<string>, cnt long"
-        ).persist()
+        )
         # materialize BEFORE unpersisting the parent: truncates the
         # per-round lineage chain (same spot-node-safe pattern as
-        # dedup clustering); periodic local checkpoint hard-cuts it
+        # dedup clustering). Checkpoint rounds materialize through
+        # localCheckpoint ALONE — persisting first would pin a second
+        # copy of the pre-checkpoint frame that nothing ever releases
         if (round_no + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
+            nxt = nxt.persist()
             nxt.count()
         if prev is not words:
             prev.unpersist()
@@ -188,23 +200,16 @@ def apply_bpe(
     def encode(pdf_iter):
         for pdf in pdf_iter:
             toks_out = []
+            word_cache: dict[str, list[str]] = {}
             for toks in pdf["_toks"]:
                 enc: list[str] = []
                 for w in toks:
-                    s = list(w)
-                    for l, r in table:
-                        m = l + r
-                        i = 0
-                        res = []
-                        while i < len(s):
-                            if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
-                                res.append(m)
-                                i += 2
-                            else:
-                                res.append(s[i])
-                                i += 1
-                        s = res
-                    enc.extend(s)
+                    if w not in word_cache:
+                        s = list(w)
+                        for l, r in table:
+                            s = _merge_pair(s, l, r)
+                        word_cache[w] = s
+                    enc.extend(word_cache[w])
                 toks_out.append(enc)
             out = pdf.drop(columns=["_toks"])
             out[out_col] = toks_out

@@ -93,26 +93,29 @@ def dsir_weights(
     tgt_f = doc_features(
         target, n_buckets=n_buckets, text_col=text_col, **tok_kwargs
     )
-    raw_c = _bucket_counts(raw_f)
-    tgt_c = _bucket_counts(tgt_f)
-    # totals are single scalars; computing them via the bucket tables
-    # keeps this at zero extra corpus passes
+    # the two bucket models COLLECT (n_buckets rows — thousands) and
+    # the log-ratio table re-enters the plan as a LOCAL frame: the
+    # scoring job below carries no count lineage, so raw is featurized
+    # exactly twice (counts + scoring) and the target once — the
+    # documented pass count, with no persisted state to leak and no
+    # recompute-on-action surprises
+    import math
+
     spark = raw.sparkSession
-    lattice = spark.range(n_buckets).select(F.col("id").alias("bucket"))
-    model = (
-        lattice.join(raw_c.withColumnRenamed("cnt", "rc"), "bucket", "left")
-        .join(tgt_c.withColumnRenamed("cnt", "tc"), "bucket", "left")
-        .fillna({"rc": 0, "tc": 0})
+    rc = {r["bucket"]: r["cnt"] for r in _bucket_counts(raw_f).collect()}
+    tc = {r["bucket"]: r["cnt"] for r in _bucket_counts(tgt_f).collect()}
+    R, T = sum(rc.values()), sum(tc.values())
+    ratios = spark.createDataFrame(
+        [
+            (
+                b,
+                math.log((tc.get(b, 0) + 1.0) / (T + n_buckets))
+                - math.log((rc.get(b, 0) + 1.0) / (R + n_buckets)),
+            )
+            for b in range(n_buckets)
+        ],
+        "bucket long, lr double",
     )
-    totals = model.agg(
-        F.sum("rc").alias("R"), F.sum("tc").alias("T")
-    ).first()
-    R, T = int(totals["R"]), int(totals["T"])
-    log_ratio = (
-        F.log((F.col("tc") + 1.0) / F.lit(float(T + n_buckets)))
-        - F.log((F.col("rc") + 1.0) / F.lit(float(R + n_buckets)))
-    ).alias("lr")
-    ratios = model.select("bucket", log_ratio)
     return (
         raw_f.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
