@@ -645,10 +645,12 @@ _WINDOW_ORDER = [
     "quality",
     "lang_id",
     # r06: registered past the window (rotation candidates for r07) —
-    # BPE tokenizer-training pair statistics (text/bpe.py) and DSIR
-    # importance-resampling weights (text/dsir.py)
+    # BPE tokenizer-training pair statistics (text/bpe.py), DSIR
+    # importance-resampling weights (text/dsir.py), and the composed
+    # CCNet pipeline (text/ccnet.py)
     "bpe_pairs",
     "dsir_weights",
+    "ccnet_pipeline",
 ]
 
 

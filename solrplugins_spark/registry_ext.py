@@ -2282,6 +2282,170 @@ GROUP BY f.doc_id ORDER BY weight DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_ccnet_pipeline(spark, sf_dir):
+    """The CCNet pipeline (Wenzek et al. 2020) composed END-TO-END:
+    paragraph dedup -> language id -> per-language LM perplexity
+    buckets, one call (text/ccnet.py). Each stage is already
+    individually oracle-gated (dedup_lines, lang_id, lm_quality,
+    ppl_buckets); this gate certifies their COMPOSITION — the oracle
+    chains all four stages' SQL over the deduped rebuild, so a drift
+    in any stage's interaction (e.g. the LM training on pre-dedup
+    text) breaks the hash. Self-trained LM for determinism.
+
+    The corpus is decorated with a shared boilerplate PARAGRAPH on
+    every third doc (the token-soup corpus has no newlines), so the
+    paragraph-dedup stage visibly fires — one canonical copy survives
+    — while document bodies stay intact and the perplexity terciles
+    stay non-degenerate. Registered past the r06 driver window (r07
+    rotation candidate)."""
+    from .text.ccnet import ccnet_pipeline
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nshared boilerplate paragraph legal disclaimer"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ccnet_pipeline(
+        docs, vocab_size=200, min_chars=3, sep="\n"
+    ).select("doc_id", "n_kept", "lang_pred", "n_bigrams", "lm_logp", "bucket")
+
+
+def _sql_ccnet_pipeline() -> str:
+    from .text.analysis import STOPWORDS
+
+    lang_rows = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        lang_rows.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> x IN ({words}))) AS hits FROM base"
+        )
+    union = " UNION ALL ".join(lang_rows)
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) ||
+                           'shared boilerplate paragraph legal disclaimer'
+                      ELSE '' END AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(string_split(coalesce(text, ''), chr(10))) - 1))
+           AS pos,
+         unnest(string_split(coalesce(text, ''), chr(10))) AS ln
+  FROM src
+),
+marked AS (
+  SELECT doc_id, pos, ln,
+         CASE WHEN length(ln) < 3 THEN TRUE
+              ELSE row_number() OVER (PARTITION BY ln
+                                      ORDER BY doc_id, pos) = 1
+         END AS keep
+  FROM e
+),
+rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(ln, chr(10) ORDER BY pos) AS text
+  FROM marked WHERE keep GROUP BY doc_id
+),
+docs2 AS (
+  SELECT d.doc_id, coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+         coalesce(r.text, '') AS text
+  FROM (SELECT DISTINCT doc_id FROM src) d
+  LEFT JOIN rebuilt r USING (doc_id)
+),
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) >= 1 AND len(x) <= 64) AS toks
+  FROM docs2
+),
+hits AS ({union}),
+ranked AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+  FROM ranked WHERE rn = 1
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM docs2
+),
+ref_terms AS (SELECT unnest(toks) AS term FROM tk),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM ref_terms GROUP BY term
+    ORDER BY c DESC, term ASC LIMIT 200
+  )
+),
+bg_all AS (
+  SELECT doc_id,
+         unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                 for i in range(1, len(toks))]) AS p
+  FROM tk WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN p.w1 IN (SELECT term FROM vocab) THEN p.w1
+              ELSE '<unk>' END AS w1,
+         CASE WHEN p.w2 IN (SELECT term FROM vocab) THEN p.w2
+              ELSE '<unk>' END AS w2
+  FROM bg_all
+),
+c2 AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+nv AS (SELECT count(*) + 1 AS v FROM vocab),
+lp AS (
+  SELECT b.doc_id,
+         ln((coalesce(c2.c2, 0.0) + 0.5)
+            / (coalesce(c1.c1, 0.0) + 0.5 * nv.v)) AS lp
+  FROM bg b CROSS JOIN nv
+  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  LEFT JOIN c1 ON b.w1 = c1.w1
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(avg(lp), 5) AS lm_logp
+  FROM lp GROUP BY doc_id
+),
+sl AS (
+  SELECT s.doc_id, p.lang_pred, s.n_bigrams, s.lm_logp
+  FROM scored s JOIN pred p USING (doc_id)
+),
+th AS (
+  SELECT lang_pred,
+         (list(lm_logp ORDER BY lm_logp))
+           [ceil(count(*) * (1.0/3.0))::INT] AS t0,
+         (list(lm_logp ORDER BY lm_logp))
+           [ceil(count(*) * (2.0/3.0))::INT] AS t1
+  FROM sl GROUP BY lang_pred
+)
+SELECT d2.doc_id, d2.n_kept, p.lang_pred, sl.n_bigrams, sl.lm_logp,
+       CASE WHEN sl.lm_logp IS NULL THEN NULL
+            WHEN sl.lm_logp <= th.t0 THEN 0
+            WHEN sl.lm_logp <= th.t1 THEN 1
+            ELSE 2 END AS bucket
+FROM docs2 d2
+JOIN pred p USING (doc_id)
+LEFT JOIN sl USING (doc_id)
+LEFT JOIN th ON sl.lang_pred = th.lang_pred
+ORDER BY d2.doc_id
+"""
+
+
 def q_terms_enum(spark, sf_dir):
     """Solr TermsComponent (/terms?terms.prefix=s&terms.mincount=2&
     terms.sort=count): dictionary terms under prefix 's' with df >= 2,
@@ -3438,6 +3602,7 @@ EXT_QUERIES = {
     "wand_phrase_slop": q_wand_phrase_slop,
     "bpe_pairs": q_bpe_pairs,
     "dsir_weights": q_dsir_weights,
+    "ccnet_pipeline": q_ccnet_pipeline,
     "highlight": q_highlight,
     "terms_enum": q_terms_enum,
     "elevation": q_elevation,
@@ -3575,6 +3740,7 @@ def ext_oracle_sql() -> dict[str, str]:
         "wand_phrase_slop": SQL_PHRASE_SLOP,
         "bpe_pairs": SQL_BPE_PAIRS,
         "dsir_weights": SQL_DSIR_WEIGHTS,
+        "ccnet_pipeline": _sql_ccnet_pipeline(),
         "highlight": SQL_HIGHLIGHT,
         "terms_enum": SQL_TERMS_ENUM,
         "elevation": SQL_ELEVATION,
