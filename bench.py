@@ -127,7 +127,7 @@ def contract_job_secs(cores: int, trials: int = 2) -> list[float]:
     return times
 
 
-def contract_scaling(n_cores: int = 1, rounds: int = 5) -> dict:
+def contract_scaling(n_cores: int = 1, rounds: int = 7) -> dict:
     """Interleaved N / 4N contract-job runs -> scaling efficiency.
 
     Headline pair N=1 -> 4N=4 cores (both far below this host's
@@ -148,11 +148,15 @@ def contract_scaling(n_cores: int = 1, rounds: int = 5) -> dict:
         capacity sample; r04's miss came from one steal burst landing
         on a single 4-core trial and dragging that round's
         median-of-2 (= mean-of-2) ratio to 0.692.
-      * headline = MEDIAN over ``rounds`` (default 5, up from r04's
-        3) per-round ratios. Outlier rule: the median itself — with 5
-        rounds, up to 2 pathological rounds (steal bursts on either
-        level) are discarded with no tuning knobs and no post-hoc
-        judgement; every round ratio is reported raw alongside.
+      * headline = MEDIAN over ``rounds`` (default 7 as of r06 —
+        r04: 3, r05: 5) per-round ratios. Outlier rule: the median
+        itself — with 7 rounds, up to 3 pathological rounds (steal
+        bursts on either level) are discarded with no tuning knobs
+        and no post-hoc judgement; every round ratio is reported raw
+        alongside. The r06 bump follows three same-binary runs whose
+        medians spanned 0.794-0.913 purely on ambient steal
+        (BENCH/BASELINE.md r06 sections): a 7-round median needs 4
+        contended rounds to flip, not 3.
       * rounds interleave N then 4N back-to-back so slow host drift
         (steal level changing over minutes — observed 25%+ swings)
         cancels instead of biasing one level.
