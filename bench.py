@@ -578,6 +578,11 @@ def main() -> None:
         "cluster_levels", "cluster_round_ratios", "contract_job",
         "scaling_estimator", "cluster_mode",
         "scaling_round_ratios_median_paired",
+        # r06: the raw per-round array moved to the full record when
+        # rounds grew 5 -> 7 — the compact line keeps the
+        # min/median/max scalars, and the 1900-char tail budget keeps
+        # its safety margin
+        "scaling_round_ratios",
     }
     compact = {k: v for k, v in out.items() if k not in drop}
     line = json.dumps(compact, separators=(",", ":"))
