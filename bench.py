@@ -319,7 +319,7 @@ def main() -> None:
     # steal-burst rounds with no tuning knobs — r05 trial run saw a
     # 0.535 round land mid-sequence while the other four sat at
     # 0.93-0.98, exactly the pathology the wider window absorbs
-    scaling = contract_scaling(n_cores=1, rounds=5)
+    scaling = contract_scaling(n_cores=1, rounds=7)
     supp_2_8 = contract_scaling(n_cores=2, rounds=1)
     try:
         cluster = cluster_scaling(rounds=2, trials=2)
