@@ -1513,6 +1513,7 @@ def _segment_boolean_topk(
     collapse_limit: int = 1,
     count_trees: list | None = None,
     stats_facet_spec: tuple | None = None,
+    hist_col: str | None = None,
 ) -> pd.DataFrame:
     """Per-segment boolean-tree evaluation over decoded postings.
 
@@ -1542,7 +1543,11 @@ def _segment_boolean_topk(
         dls_by_field[f] = _decode_doclens(r["data"])
         doc_lo_by_field[f] = int(r["doc_lo"])
     if "" not in dls_by_field:
-        if facet_ord_col is not None or facet_range_spec is not None:
+        if (
+            facet_ord_col is not None
+            or facet_range_spec is not None
+            or hist_col is not None
+        ):
             return _empty_facet()
         if collapse_ord_col is not None:
             return _empty_collapse()
@@ -1890,6 +1895,23 @@ def _segment_boolean_topk(
                 "mn": np.array([vals.min()], np.float64),
                 "mx": np.array([vals.max()], np.float64),
             }
+        )
+    if hist_col is not None:
+        # exact value histogram of the matched docset — (value, cnt)
+        # rows bounded by the segment's distinct-value count, the
+        # mergeable basis for exact percentiles (stats.percentiles)
+        if len(docs) == 0 or hist_col not in dvs:
+            return _empty_facet()
+        arr = dvs[hist_col]
+        ids = docs - dv_lo[hist_col]
+        valid = (ids >= 0) & (ids < len(arr))
+        raw = arr[ids[valid]]
+        raw = raw[raw != TOMBSTONE]
+        if len(raw) == 0:
+            return _empty_facet()
+        uniq, cnts = np.unique(raw, return_counts=True)
+        return pd.DataFrame(
+            {"ord": uniq.astype(np.int64), "cnt": cnts.astype(np.int64)}
         )
     if stats_facet_spec is not None:
         # stats.facet: the stats moment row computed PER facet
@@ -2906,6 +2928,60 @@ def wand_stats_facet_search(
         .filter(F.col("cnt") > 0)
         .orderBy(facet_col)
     )
+
+
+def wand_stats_percentiles_search(
+    spark: SparkSession,
+    seg_index: SegmentIndex,
+    query: str,
+    stats_col: str,
+    percentiles: list[float],
+    k1: float = 1.2,
+    b: float = 0.75,
+    field_segments: dict[str, SegmentIndex] | None = None,
+    field_sims: dict | None = None,
+) -> DataFrame:
+    """Solr StatsComponent ``percentiles`` on the packed path, served
+    EXACTLY: each segment emits the (value, cnt) histogram of its
+    matched docs from the numeric docvalues stream — bounded by the
+    segment's distinct-value count, never the match set — histograms
+    merge in one sum, and the k-th-smallest rule (k = ceil(p*n))
+    derives each percentile from the bounded cumulative frame
+    (components.percentiles_from_hist; flat twin
+    stats_percentiles_search). Solr itself approximates with t-digest;
+    for bounded-cardinality docvalues the exact histogram is smaller
+    than a digest — swap a mergeable digest into the kernel for
+    genuinely unbounded columns, the derivation is unchanged."""
+    from ..query.components import percentiles_from_hist
+
+    gens = _as_gens(seg_index)
+    for _, si in gens:
+        if stats_col not in si.value_cols:
+            raise ValueError(
+                f"packed percentiles over {stats_col!r} needs a numeric "
+                "docvalues stream — rebuild with build_segments(..., "
+                f"value_cols=[{stats_col!r}])"
+            )
+    tree, field_ctx, unified = _prepare_boolean(
+        spark, seg_index, query, field_segments, field_sims,
+        extra_dv_cols=(stats_col,),
+    )
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_boolean_topk(
+            pdf, tree, field_ctx, 0, k1, b, hist_col=stats_col
+        )
+
+    partials = _apply_per_segment(
+        unified, per_segment, "ord long, cnt long",
+        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+    )
+    hist = (
+        partials.groupBy("ord")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.col("ord").alias("value"), "cnt")
+    )
+    return percentiles_from_hist(hist, percentiles)
 
 
 def wand_group_search(

@@ -200,6 +200,60 @@ def stats_facet_search(
     )
 
 
+def percentiles_from_hist(hist: DataFrame, percentiles: list[float]) -> DataFrame:
+    """(pct, value) exact percentiles from a (value, cnt) histogram —
+    the k-th-SMALLEST rule with k = ceil(p * n) (an actual data value,
+    never interpolated; the same deterministic rule text/lm.py's
+    ppl_bucket thresholds use, so the DuckDB oracle mirrors it via
+    list ordering). One bounded cumulative pass: the histogram is
+    |distinct values| rows, orders of magnitude below the match set;
+    the single-partition window is over that bounded frame only."""
+    from pyspark.sql import Window
+
+    for p in percentiles:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"percentiles must be in (0, 1], got {p}")
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    n_df = hist.agg(F.sum("cnt").alias("n"))
+    cum = hist.select(
+        "value", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(n_df))
+    rows = []
+    for p in sorted(set(percentiles)):
+        rows.append(
+            cum.filter(F.col("cum") >= F.ceil(F.col("n") * F.lit(float(p))))
+            .agg(F.min("value").alias("value"))
+            .select(F.lit(float(p)).alias("pct"), "value")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("pct")
+
+
+def stats_percentiles_search(
+    index: InvertedIndex,
+    query: str,
+    values_df: DataFrame,
+    stats_col: str,
+    percentiles: list[float],
+) -> DataFrame:
+    """Solr StatsComponent ``percentiles`` over the matched docset —
+    served EXACTLY (Solr approximates with t-digest; this engine's
+    docvalues columns are bounded-cardinality ints, so an exact
+    (value, cnt) histogram is smaller than a digest would be). One
+    groupBy(value) histogram agg + the bounded cumulative pass.
+    Returns (pct, value) ordered by pct. For a genuinely
+    unbounded-cardinality column, swap the histogram agg for a
+    mergeable digest — the percentile derivation stays the same."""
+    j = _matched_values(index, query, values_df, stats_col)
+    hist = (
+        j.groupBy(F.col(stats_col).cast("long").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return percentiles_from_hist(hist, percentiles)
+
+
 def stats_search(
     index: InvertedIndex,
     query: str,

@@ -651,6 +651,10 @@ _WINDOW_ORDER = [
     "bpe_pairs",
     "dsir_weights",
     "ccnet_pipeline",
+    # r06: Solr stats.percentiles served exactly (histogram +
+    # k-th-smallest), flat + packed — r07 rotation candidates
+    "stats_percentiles",
+    "wand_stats_percentiles",
 ]
 
 

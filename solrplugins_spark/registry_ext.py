@@ -2446,6 +2446,45 @@ ORDER BY d2.doc_id
 """
 
 
+def q_stats_percentiles(spark, sf_dir):
+    """Solr StatsComponent percentiles over the 'dup or batch' docset
+    — served EXACTLY via a (value, cnt) histogram + the k-th-smallest
+    rule (k = ceil(p*n); Solr approximates with t-digest). Flat path:
+    one histogram agg + a cumulative pass over the bounded histogram."""
+    from .query.components import stats_percentiles_search
+
+    return stats_percentiles_search(
+        _index(spark, sf_dir), "dup or batch",
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "n_chars",
+        [0.25, 0.5, 0.75, 0.9],
+    )
+
+
+def q_wand_stats_percentiles(spark, sf_dir):
+    """The same percentiles on the PACKED path: each segment emits its
+    matched docs' value histogram from the numeric docvalues stream
+    (bounded by distinct values, never the match set); histograms
+    merge by sum and the identical k-th-smallest derivation runs on
+    the bounded merged frame. Same oracle as stats_percentiles."""
+    from .index.segments import wand_stats_percentiles_search
+
+    return wand_stats_percentiles_search(
+        spark, _dv_segments(spark, sf_dir), "dup or batch", "n_chars",
+        [0.25, 0.5, 0.75, 0.9],
+    )
+
+
+SQL_STATS_PERCENTILES = f"""
+WITH {TOK_SQL},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup', 'batch')),
+v AS (SELECT d.n_chars AS value FROM m JOIN documents d USING (doc_id)),
+s AS (SELECT list(value ORDER BY value) AS vs, count(*) AS n FROM v)
+SELECT p.pct, CAST(s.vs[CAST(ceil(s.n * p.pct) AS INT)] AS BIGINT) AS value
+FROM s, (VALUES (0.25), (0.5), (0.75), (0.9)) AS p(pct)
+ORDER BY p.pct
+"""
+
+
 def q_terms_enum(spark, sf_dir):
     """Solr TermsComponent (/terms?terms.prefix=s&terms.mincount=2&
     terms.sort=count): dictionary terms under prefix 's' with df >= 2,
@@ -3603,6 +3642,8 @@ EXT_QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "dsir_weights": q_dsir_weights,
     "ccnet_pipeline": q_ccnet_pipeline,
+    "stats_percentiles": q_stats_percentiles,
+    "wand_stats_percentiles": q_wand_stats_percentiles,
     "highlight": q_highlight,
     "terms_enum": q_terms_enum,
     "elevation": q_elevation,
@@ -3741,6 +3782,8 @@ def ext_oracle_sql() -> dict[str, str]:
         "bpe_pairs": SQL_BPE_PAIRS,
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "ccnet_pipeline": _sql_ccnet_pipeline(),
+        "stats_percentiles": SQL_STATS_PERCENTILES,
+        "wand_stats_percentiles": SQL_STATS_PERCENTILES,
         "highlight": SQL_HIGHLIGHT,
         "terms_enum": SQL_TERMS_ENUM,
         "elevation": SQL_ELEVATION,

@@ -348,3 +348,55 @@ def test_stats_facet_single_doc_bucket_null_stddev(
     assert len(flat) == 1 and flat["cnt"].iloc[0] == 1
     assert pd.isna(flat["stddev_v"].iloc[0])
     pd.testing.assert_frame_equal(flat, packed, check_dtype=False)
+
+
+# ---- stats.percentiles ------------------------------------------------
+
+from solrplugins_spark.index.segments import wand_stats_percentiles_search
+from solrplugins_spark.query.components import stats_percentiles_search
+
+
+def test_percentiles_flat_matches_brute(
+    tiny_index, tiny_corpus, tiny_corpus_pd, hot_term
+):
+    import math
+
+    pcts = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = stats_percentiles_search(
+        tiny_index, hot_term,
+        tiny_corpus.select("doc_id", "turn_idx"), "turn_idx", pcts,
+    ).toPandas()
+    vals = sorted(_matched_vals(tiny_index, tiny_corpus_pd, hot_term))
+    want = {p: vals[math.ceil(p * len(vals)) - 1] for p in pcts}
+    assert list(got["pct"]) == sorted(pcts)
+    assert {p: v for p, v in zip(got["pct"], got["value"])} == want
+    # p=1.0 is the max by the k-th-smallest rule
+    assert got[got["pct"] == 1.0]["value"].iloc[0] == max(vals)
+
+
+def test_percentiles_packed_matches_flat(
+    spark, tiny_index, tiny_corpus, comp_segments, hot_term
+):
+    for q in [hot_term, f"{hot_term} or w0001", f"not {hot_term}"]:
+        flat = stats_percentiles_search(
+            tiny_index, q,
+            tiny_corpus.select("doc_id", "turn_idx"), "turn_idx",
+            [0.25, 0.5, 0.75],
+        ).toPandas()
+        packed = wand_stats_percentiles_search(
+            spark, comp_segments, q, "turn_idx", [0.25, 0.5, 0.75]
+        ).toPandas()
+        pd.testing.assert_frame_equal(flat, packed, check_dtype=False)
+
+
+def test_percentiles_validate_range(tiny_index, tiny_corpus, hot_term):
+    with pytest.raises(ValueError, match="percentiles must be"):
+        stats_percentiles_search(
+            tiny_index, hot_term,
+            tiny_corpus.select("doc_id", "turn_idx"), "turn_idx", [0.0],
+        )
+    with pytest.raises(ValueError, match="percentiles must be"):
+        stats_percentiles_search(
+            tiny_index, hot_term,
+            tiny_corpus.select("doc_id", "turn_idx"), "turn_idx", [1.5],
+        )
