@@ -54,6 +54,9 @@ def main() -> None:
     ap.add_argument("--stats-facet", action="append", default=[],
                     help="select mode: stats_col=facet_col per-bucket stats "
                          "(repeatable)")
+    ap.add_argument("--percentiles", action="append", default=[],
+                    help="select mode: col=p1,p2,... exact stats "
+                         "percentiles (repeatable)")
     ap.add_argument("--stored", action="store_true",
                     help="select mode: attach stored fields to the result page")
     ap.add_argument("--k", type=int, default=10)
@@ -76,6 +79,15 @@ def main() -> None:
     # arg-shape errors surface BEFORE the session/index spin-up
     fqs = kv_pairs(args.facet_query, "--facet-query")
     sfacet = kv_pairs(args.stats_facet, "--stats-facet")
+    pcts = None
+    if args.percentiles:
+        try:
+            pcts = {
+                k: [float(x) for x in v.split(",")]
+                for k, v in kv_pairs(args.percentiles, "--percentiles").items()
+            }
+        except ValueError:
+            ap.error("--percentiles takes col=p1,p2,... with numeric p")
 
     from solrplugins_spark.analysis.payloads import parse_payload_tokens
     from solrplugins_spark.index.segments import SegmentIndex, wand_search, wand_search_multi
@@ -117,14 +129,16 @@ def main() -> None:
             spark, seg, args.query, k=args.k, k1=args.k1, b=args.b,
             facet_fields=args.facet or None, facet_queries=fqs,
             stats_fields=args.stats_field or None, stats_facet=sfacet,
-            with_stored=args.stored,
+            stats_percentiles=pcts, with_stored=args.stored,
         )
         out["query"] = args.query
         out["docs"] = [r.asDict() for r in resp["docs"].collect()]
         for f in args.facet:
             out[f"facet_{f}"] = [r.asDict() for r in resp[f"facet_{f}"].collect()]
         for key, df in resp.items():
-            if key == "facet_queries" or key.startswith("stats_"):
+            if key == "facet_queries" or key.startswith(
+                ("stats_", "percentiles_")
+            ):
                 out[key] = [r.asDict() for r in df.collect()]
     elif args.mode == "mlt":
         if not args.seeds:

@@ -190,6 +190,7 @@ def packed_select_handler(
     facet_queries: dict[str, str] | None = None,
     stats_fields: list[str] | None = None,
     stats_facet: dict[str, str] | None = None,
+    stats_percentiles: dict[str, list[float]] | None = None,
     with_stored: bool = True,
     field_segments=None,
     field_sims=None,
@@ -215,8 +216,9 @@ def packed_select_handler(
     stats.field) adds one "stats_<col>" moment-derived section per
     numeric docvalues column; ``stats_facet`` ({stats_col: facet_col},
     Solr stats.facet) adds "stats_<col>_by_<facet>" per-bucket
-    sections. Each section is its own bounded Spark job over the
-    segment files — the corpus is never read.
+    sections; ``stats_percentiles`` ({col: [p, ...]}) adds exact
+    "percentiles_<col>" sections. Each section is its own bounded
+    Spark job over the segment files — the corpus is never read.
 
     Returns {"docs": (doc_id, score [, stored cols...]),
              "facet_<field>": (value, cnt), ...}.
@@ -293,6 +295,13 @@ def packed_select_handler(
     for col, facet in (stats_facet or {}).items():
         out[f"stats_{col}_by_{facet}"] = wand_stats_facet_search(
             spark, seg_index, query, col, facet, k1=k1, b=b,
+            field_segments=field_segments, field_sims=field_sims,
+        )
+    for col, pcts in (stats_percentiles or {}).items():
+        from ..index.segments import wand_stats_percentiles_search
+
+        out[f"percentiles_{col}"] = wand_stats_percentiles_search(
+            spark, seg_index, query, col, pcts, k1=k1, b=b,
             field_segments=field_segments, field_sims=field_sims,
         )
     return out

@@ -339,9 +339,10 @@ def test_packed_select_handler_facet_query_and_stats_sections(
         spark, seg, "w0001", k=5,
         facet_queries=fqs, stats_fields=["turn_idx"],
         stats_facet={"turn_idx": "role"},
+        stats_percentiles={"turn_idx": [0.5, 0.9]},
     )
     assert {"docs", "facet_queries", "stats_turn_idx",
-            "stats_turn_idx_by_role"} <= set(out)
+            "stats_turn_idx_by_role", "percentiles_turn_idx"} <= set(out)
     import pandas as pd
 
     pd.testing.assert_frame_equal(
@@ -358,6 +359,15 @@ def test_packed_select_handler_facet_query_and_stats_sections(
         out["stats_turn_idx_by_role"].toPandas(),
         stats_facet_search(
             tiny_index, "w0001", vals, "turn_idx", "role"
+        ).toPandas(),
+        check_dtype=False,
+    )
+    from solrplugins_spark.query.components import stats_percentiles_search
+
+    pd.testing.assert_frame_equal(
+        out["percentiles_turn_idx"].toPandas(),
+        stats_percentiles_search(
+            tiny_index, "w0001", vals, "turn_idx", [0.5, 0.9]
         ).toPandas(),
         check_dtype=False,
     )
