@@ -366,26 +366,39 @@ def build_segments(
             continue
         t0 = time.time()
         segs_in_group = [s for s in range(n_segments) if s % groups == g]
-        pg = with_seg.filter(F.col("seg") % groups == g)
-        # hash-repartition on seg (a segment never splits across tasks
-        # -> one parquet file per seg dir), sort by (seg, term, doc_id)
-        # so the single-pass encoder sees contiguous groups AND parquet
-        # row-group stats enable term-predicate pushdown at query time
-        packed = (
-            pg.repartition("seg")
-            .sortWithinPartitions("seg", "term", "doc_id")
-            .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
-        )
-        packed.write.mode("overwrite").partitionBy("seg").parquet(
-            os.path.join(out_path, "postings", f"group={g}")
-        )
 
-        dg = dl_with_seg.filter(F.col("seg") % groups == g)
-        dg.groupBy("seg").applyInPandas(
-            encode_doclens, schema=DOCLEN_SCHEMA
-        ).write.mode("overwrite").partitionBy("seg").parquet(
-            os.path.join(out_path, "doclens", f"group={g}")
-        )
+        # The per-group streams (postings, doclens, docvalues, docstore,
+        # ordinals) are INDEPENDENT writes over different projections of
+        # the same inputs, and each alone under-fills the cluster (a
+        # group holds n_segments/groups segments, so repartition('seg')
+        # stages run that many tasks). Submitting them from a small
+        # thread pool overlaps their tails (guide-standard concurrent
+        # independent jobs; Spark's FIFO scheduler back-fills freed
+        # cores), while the GROUP loop stays sequential — the group is
+        # the resume/commit unit, and the manifest entry is appended
+        # only after every stream's write has joined.
+        def _write_postings(g=g):
+            pg = with_seg.filter(F.col("seg") % groups == g)
+            # hash-repartition on seg (a segment never splits across
+            # tasks -> one parquet file per seg dir), sort by
+            # (seg, term, doc_id) so the single-pass encoder sees
+            # contiguous groups AND parquet row-group stats enable
+            # term-predicate pushdown at query time
+            (
+                pg.repartition("seg")
+                .sortWithinPartitions("seg", "term", "doc_id")
+                .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+                .write.mode("overwrite").partitionBy("seg")
+                .parquet(os.path.join(out_path, "postings", f"group={g}"))
+            )
+
+        def _write_doclens(g=g):
+            dg = dl_with_seg.filter(F.col("seg") % groups == g)
+            dg.groupBy("seg").applyInPandas(
+                encode_doclens, schema=DOCLEN_SCHEMA
+            ).write.mode("overwrite").partitionBy("seg").parquet(
+                os.path.join(out_path, "doclens", f"group={g}")
+            )
 
         def _make_encode_values(_col: str):
             # factory, NOT a default arg: applyInPandas dispatches on
@@ -417,8 +430,7 @@ def build_segments(
 
             return encode_values
 
-        for vc in value_cols:
-
+        def _write_values(vc, g=g):
             (
                 index.docs.select("doc_id", vc)
                 .withColumn("seg", seg_col)
@@ -430,7 +442,7 @@ def build_segments(
                 .parquet(os.path.join(out_path, "docvalues", vc, f"group={g}"))
             )
 
-        if store_cols:
+        def _write_store(g=g):
             # repartition('seg') + in-partition doc_id sort: one file
             # per seg with monotone doc_ids, so fetch_docs' doc_id-isin
             # predicate prunes row groups instead of scanning every
@@ -447,7 +459,7 @@ def build_segments(
                 .parquet(os.path.join(out_path, "docstore", f"group={g}"))
             )
 
-        for sc in string_cols:
+        def _write_ordinals(sc, g=g):
             dict_df = spark.read.parquet(
                 os.path.join(out_path, "docvalues_str", sc, "dict")
             )
@@ -467,6 +479,27 @@ def build_segments(
                     )
                 )
             )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [_write_postings, _write_doclens]
+        jobs += [lambda vc=vc: _write_values(vc) for vc in value_cols]
+        if store_cols:
+            jobs.append(_write_store)
+        jobs += [lambda sc=sc: _write_ordinals(sc) for sc in string_cols]
+        # stream-write concurrency (env-tunable: this sandbox serializes
+        # syscalls globally, so concurrent shuffles can contend — the
+        # default is picked by A/B on the bench shape; a real cluster
+        # would raise it)
+        workers = int(os.environ.get("SOLRPLUGINS_BUILD_STREAM_WORKERS", "2"))
+        if len(jobs) == 1 or workers <= 1:
+            for j in jobs:
+                j()
+        else:
+            with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as pool:
+                futures = [pool.submit(j) for j in jobs]
+                for f in futures:
+                    f.result()  # re-raise the first failure
 
         elapsed = time.time() - t0
         n_rows = group_rows.get(g, 0)
@@ -541,6 +574,257 @@ def _as_gens(seg_index) -> list:
 # frame fits one task and the saved shuffle+stage round-trip dominates
 SINGLE_STAGE_MAX_SEGMENTS = 64
 
+# ---------------------------------------------------------------------------
+# driver-local serving tier (r07): when the bytes a query must touch are
+# provably bounded (estimated DRIVER-SIDE from the termstats sidecar and
+# stream-directory sizes, before anything is read), the pruned postings/
+# doclen rows are read with pyarrow and the SAME per-segment kernels run
+# in-process — the Lucene/Solr shard-serving shape, where a bounded top-k
+# never launches a distributed job. Above the byte budget (head terms at
+# 10^12 docs, large indexes) every surface falls back to the unchanged
+# Spark fan-out, so the 100-TB plan shape is untouched. Same kernels +
+# same inputs = bit-identical scores (tests/test_local_tier.py pins
+# local == exchange-path equality across surfaces).
+# ---------------------------------------------------------------------------
+
+# Driver byte budget for the local tier. ~64 MB decodes in well under a
+# serving latency budget on one core; anything bigger belongs on the
+# cluster. 0 disables the local tier (pure distributed, for A/B and for
+# deployments that want the driver doing strictly no data work).
+LOCAL_TIER_MAX_BYTES = int(
+    os.environ.get("SOLRPLUGINS_LOCAL_TIER_MAX_BYTES", str(64 << 20))
+)
+
+# conservative per-posting byte costs for the sidecar-based estimate
+# (delta-varint doc + tf is ~2-3 B/posting; block metadata adds
+# ~24 B / 128 postings): 4 B/posting overshoots on purpose.
+_EST_BYTES_PER_POSTING = 4
+# positions sub-stream: ~2-3 B/occurrence varint + 8 B/posting pos_off
+_EST_BYTES_PER_OCCURRENCE = 3
+_EST_BYTES_POS_OFF = 10
+
+
+def _dir_bytes(path: str) -> int:
+    """Total on-disk bytes under ``path`` (0 if absent) — driver-side
+    stat walk over O(n_segments) files, no Spark job."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def _local_tier_budget() -> int:
+    """Re-read the env override at call time so tests/ops can flip the
+    tier without re-importing; falls back to the module default."""
+    v = os.environ.get("SOLRPLUGINS_LOCAL_TIER_MAX_BYTES")
+    return int(v) if v is not None else LOCAL_TIER_MAX_BYTES
+
+
+def _local_estimate(
+    pairs: list[tuple["SegmentIndex", list[str]]],
+    with_subs: bool,
+    extra_dirs: list[str] = (),
+) -> int | None:
+    """Upper-bound estimate of the bytes a local-tier execution would
+    read: per-term postings (df/cf from the termstats sidecar — the
+    same driver-side pyarrow read every query already does for idf) +
+    the full doclens / deletes streams + any docvalues/ordinal stream
+    directories the caller needs. None = no sidecar (pre-sidecar
+    index) -> distributed path."""
+    total = 0
+    for si, terms in pairs:
+        stats = _sidecar_stats(si.path, terms)
+        if stats is None:
+            return None
+        for df_t, cf_t in stats.values():
+            total += int(df_t) * _EST_BYTES_PER_POSTING
+            if with_subs:
+                total += (
+                    int(df_t) * _EST_BYTES_POS_OFF
+                    + int(cf_t) * _EST_BYTES_PER_OCCURRENCE
+                )
+        total += _dir_bytes(os.path.join(si.path, "doclens"))
+        total += _dir_bytes(_deletes_dir(si.path))
+    for d in extra_dirs:
+        total += _dir_bytes(d)
+    return total
+
+
+def _local_ok(
+    pairs: list[tuple["SegmentIndex", list[str]]],
+    with_subs: bool,
+    extra_dirs: list[str] = (),
+) -> bool:
+    budget = _local_tier_budget()
+    if budget <= 0:
+        return False
+    est = _local_estimate(pairs, with_subs, extra_dirs)
+    return est is not None and est <= budget
+
+
+_UNIFIED_COLS = [
+    "seg", "_kind", "fld", "term", "df",
+    "block_last", "block_max", "block_off", "doc_lo", "data",
+]
+_SUB_COLS = ["pos_off", "pos_data", "pay_data"]
+
+
+def _unified_part(
+    n: int,
+    seg: np.ndarray,
+    kind: str,
+    field: str,
+    with_subs: bool,
+    **cols,
+) -> pd.DataFrame:
+    """One _kind slice of the local unified frame, with every column of
+    the Spark twin present (None-filled where that kind has no data) so
+    the kernels see the exact applyInPandas shape."""
+    out = pd.DataFrame({"seg": seg.astype(np.int64)})
+    out["_kind"] = kind
+    out["fld"] = field
+    for c in _UNIFIED_COLS[3:] + (_SUB_COLS if with_subs else []):
+        if c in cols:
+            out[c] = cols[c]
+        else:
+            out[c] = pd.Series([None] * n, dtype="object")
+    return out
+
+
+def _unified_pdf(
+    gens: list[tuple[int, "SegmentIndex"]],
+    term_list: list[str],
+    with_subs: bool = False,
+    field: str = "",
+) -> pd.DataFrame:
+    """Local-tier twin of _unified_frame: the SAME rows (term-pruned
+    postings + doclens + tombstones, per-generation seg namespacing,
+    identical column set and within-segment row order — postings files
+    are (seg, term)-sorted) assembled driver-side with pyarrow."""
+    import pyarrow.dataset as ds
+
+    parts: list[pd.DataFrame] = []
+    post_cols = [
+        "seg", "term", "df", "block_last", "block_max", "block_off", "data",
+    ] + (_SUB_COLS if with_subs else [])
+    for gen_id, si in gens:
+        tbl = ds.dataset(
+            os.path.join(si.path, "postings"),
+            format="parquet",
+            partitioning="hive",
+        ).to_table(columns=post_cols, filter=ds.field("term").isin(term_list))
+        pdf = tbl.to_pandas()
+        kw = {
+            "term": pdf["term"].astype(object),
+            "df": pdf["df"].to_numpy(np.int64),
+            "block_last": pdf["block_last"].astype(object),
+            "block_max": pdf["block_max"].astype(object),
+            "block_off": pdf["block_off"].astype(object),
+            "data": pdf["data"].astype(object),
+        }
+        if with_subs:
+            kw.update(
+                pos_off=pdf["pos_off"].astype(object),
+                pos_data=pdf["pos_data"].astype(object),
+                pay_data=pdf["pay_data"].astype(object),
+            )
+        parts.append(
+            _unified_part(
+                len(pdf),
+                pdf["seg"].to_numpy(np.int64) + gen_id * 1_000_000,
+                "post", field, with_subs, **kw,
+            )
+        )
+    for gen_id, si in gens:
+        tbl = ds.dataset(
+            os.path.join(si.path, "doclens"),
+            format="parquet",
+            partitioning="hive",
+        ).to_table(columns=["seg", "doc_lo", "dl_data"])
+        pdf = tbl.to_pandas()
+        parts.append(
+            _unified_part(
+                len(pdf),
+                pdf["seg"].to_numpy(np.int64) + gen_id * 1_000_000,
+                "dl", field, with_subs,
+                doc_lo=pdf["doc_lo"].to_numpy(np.int64),
+                data=pdf["dl_data"].astype(object),
+            )
+        )
+    for gen_id, si in gens:
+        ddir = _deletes_dir(si.path)
+        if os.path.isdir(ddir):
+            tbl = ds.dataset(ddir, format="parquet").to_table(
+                columns=["seg", "doc_lo", "dl_data"]
+            )
+            pdf = tbl.to_pandas()
+            parts.append(
+                _unified_part(
+                    len(pdf),
+                    pdf["seg"].to_numpy(np.int64) + gen_id * 1_000_000,
+                    "del", field, with_subs,
+                    doc_lo=pdf["doc_lo"].to_numpy(np.int64),
+                    data=pdf["dl_data"].astype(object),
+                )
+            )
+    return pd.concat(parts, ignore_index=True)
+
+
+def _dv_pdf(
+    si: "SegmentIndex",
+    col: str,
+    with_subs: bool,
+    subdir: str = "docvalues",
+    seg_offset: int = 0,
+) -> pd.DataFrame:
+    """Local-tier twin of _dv_frame (one numeric/ordinal docvalues
+    stream shaped as _kind='dv' rows)."""
+    import pyarrow.dataset as ds
+
+    base = (
+        os.path.join(si.path, subdir, col)
+        if subdir == "docvalues"
+        else os.path.join(si.path, subdir, col, "streams")
+    )
+    tbl = ds.dataset(base, format="parquet", partitioning="hive").to_table(
+        columns=["seg", "doc_lo", "dl_data"]
+    )
+    pdf = tbl.to_pandas()
+    return _unified_part(
+        len(pdf),
+        pdf["seg"].to_numpy(np.int64) + seg_offset,
+        "dv", "", with_subs,
+        term=pd.Series([col] * len(pdf), dtype="object"),
+        doc_lo=pdf["doc_lo"].to_numpy(np.int64),
+        data=pdf["dl_data"].astype(object),
+    )
+
+
+def _stack(a, b):
+    """Union two unified frames of the same tier (Spark DataFrame or
+    local pandas frame)."""
+    if a is None:
+        return b
+    if isinstance(a, pd.DataFrame):
+        return pd.concat([a, b], ignore_index=True)
+    return a.unionByName(b)
+
+
+def _local_dict_frame(spark: SparkSession, path: str, gen_id: int) -> DataFrame:
+    """Ordinal dictionary as a local relation (facet vocabularies are
+    bounded by construction — build_segments string_cols): pyarrow
+    read -> createDataFrame, so local-tier facet/collapse/group joins
+    stay free of parquet-scan stages."""
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(path).to_pandas()
+    pdf["gen"] = np.int64(gen_id)
+    return spark.createDataFrame(pdf, schema="value string, ord long, gen long")
+
 
 def _n_segments_hint(*seg_objs) -> int:
     """Total segment count across SegmentIndexes / generation lists /
@@ -556,25 +840,48 @@ def _n_segments_hint(*seg_objs) -> int:
 
 
 def _apply_per_segment(
-    unified: DataFrame,
+    unified,
     per_segment,
     schema: str,
     n_segments_hint: int | None,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """Run a per-segment Arrow kernel over the unified frame — one
-    semantics, two physical strategies:
+    semantics, three physical strategies:
 
+    - local tier (serving latency, r07): ``unified`` is a pandas frame
+      (the byte-bounded pyarrow read, see _local_ok) — the same
+      kernels run in-process per segment and the bounded result
+      becomes a local relation; no scan stage, no exchange, no
+      per-query Arrow worker round-trip.
     - exchange path (the 10^12-doc default): groupBy(seg).applyInPandas
       scores segments in parallel across executors; the shuffle moves
       only the term-pruned rows.
-    - single-stage path (serving latency): when the index holds few
-      segments (known driver-side from the manifests), coalesce(1) +
-      mapInPandas groups in-process — the same kernels, no exchange,
-      one scheduling wave instead of two. coalesce(1) and never
-      coalesce(n): a segment's postings and doclen rows live in
-      different FILES, so any n > 1 could split a segment across
-      partitions and score it on partial inputs.
+    - single-stage path: when the index holds few segments (known
+      driver-side from the manifests) but the query is over the local
+      tier's byte budget, coalesce(1) + mapInPandas groups in-process
+      — the same kernels, no exchange, one scheduling wave instead of
+      two. coalesce(1) and never coalesce(n): a segment's postings and
+      doclen rows live in different FILES, so any n > 1 could split a
+      segment across partitions and score it on partial inputs.
     """
+    if isinstance(unified, pd.DataFrame):
+        outs = []
+        if len(unified):
+            for _, g in unified.groupby("seg", sort=False):
+                out = per_segment(g.reset_index(drop=True))
+                if len(out):
+                    outs.append(out)
+        spark = spark or SparkSession.getActiveSession()
+        if not outs:
+            return spark.createDataFrame([], schema)
+        # coalesce(1): createDataFrame slices even a 40-row local
+        # relation across defaultParallelism partitions, turning the
+        # downstream orderBy/limit into a 32-task job; one partition
+        # makes the tail a single-task job (~3x faster, measured)
+        return spark.createDataFrame(
+            pd.concat(outs, ignore_index=True), schema=schema
+        ).coalesce(1)
     if (
         n_segments_hint is not None
         and 0 < n_segments_hint <= SINGLE_STAGE_MAX_SEGMENTS
@@ -783,7 +1090,7 @@ def delete_by_query(
 
     matches = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(si, *(field_segments or {}).values()),
+        _n_segments_hint(si, *(field_segments or {}).values()), spark=spark,
     )
     rows = matches.select("doc_id").limit(max_ids + 1).collect()
     if len(rows) > max_ids:
@@ -1476,7 +1783,10 @@ def wand_phrase_search(
         raise ValueError("phrase search needs the termstats sidecar (codec v3)")
     if any(dfs.get(t, 0) == 0 for t in term_list):
         return spark.createDataFrame([], "doc_id long, score double")
-    unified = _unified_frame(spark, [(0, seg_index)], term_list, with_subs=True)
+    unified = _unified_frame(
+        spark, [(0, seg_index)], term_list, with_subs=True,
+        local=_local_ok([(seg_index, term_list)], with_subs=True),
+    )
     n, avgdl = seg_index.n_docs, seg_index.avgdl
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1486,7 +1796,7 @@ def wand_phrase_search(
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(seg_index),
+        _n_segments_hint(seg_index), spark=spark,
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -2146,6 +2456,25 @@ def _prepare_boolean(
                 "or use the flat path (doc_id ranges are intrinsic)"
             )
 
+    # local-tier decision covers EVERYTHING this query will touch:
+    # every field's term-pruned postings + doclens/deletes, plus the
+    # docvalues / ordinal stream directories the tree or caller needs
+    local_pairs = [
+        (si, sorted(by_field.get(fname, set())))
+        for fname, fsi in [("", seg_index)] + sorted(field_segments.items())
+        for _, si in (gens if fname == "" else [(0, fsi)])
+    ]
+    local_dirs = [
+        os.path.join(si.path, "docvalues", col)
+        for col in dv_needed
+        for _, si in gens
+    ] + [
+        os.path.join(si.path, "docvalues_str", col, "streams")
+        for col in str_cols
+        for _, si in gens
+    ]
+    local = _local_ok(local_pairs, with_subs, local_dirs)
+
     field_ctx: dict[str, dict] = {}
     unified = None
     for fname, fsi in [("", seg_index)] + sorted(field_segments.items()):
@@ -2187,21 +2516,26 @@ def _prepare_boolean(
             field_ctx[fname]["b"] = float(fsim.b)
         frame = _unified_frame(
             spark, f_gens, terms or ["\x00none"],
-            with_subs=with_subs, field=fname,
+            with_subs=with_subs, field=fname, local=local,
         )
-        unified = frame if unified is None else unified.unionByName(frame)
+        unified = _stack(unified, frame)
     for col in dv_needed:
         for gen_id, si in gens:
-            unified = unified.unionByName(
-                _dv_frame(spark, si, col, with_subs, seg_offset=gen_id * 1_000_000)
+            unified = _stack(
+                unified,
+                _dv_frame(
+                    spark, si, col, with_subs,
+                    seg_offset=gen_id * 1_000_000, local=local,
+                ),
             )
     for col in str_cols:
         for gen_id, si in gens:
-            unified = unified.unionByName(
+            unified = _stack(
+                unified,
                 _dv_frame(
                     spark, si, col, with_subs, subdir="docvalues_str",
-                    seg_offset=gen_id * 1_000_000,
-                )
+                    seg_offset=gen_id * 1_000_000, local=local,
+                ),
             )
 
     return tree, field_ctx, unified
@@ -2257,7 +2591,7 @@ def wand_boolean_search(
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -2300,7 +2634,7 @@ def wand_boolean_boosted_search(
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -2508,13 +2842,19 @@ def wand_facet_search(
 
     partials = _apply_per_segment(
         unified, per_segment, "gen long, ord long, cnt long",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
+    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
-        d = spark.read.parquet(
-            os.path.join(si.path, "docvalues_str", facet_col, "dict")
-        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dpath = os.path.join(si.path, "docvalues_str", facet_col, "dict")
+        d = (
+            _local_dict_frame(spark, dpath, gen_id)
+            if local
+            else spark.read.parquet(dpath).withColumn(
+                "gen", F.lit(gen_id).cast("long")
+            )
+        )
         dicts = d if dicts is None else dicts.unionByName(d)
     return (
         partials.groupBy("gen", "ord")
@@ -2582,13 +2922,19 @@ def wand_collapse_search(
 
     partials = _apply_per_segment(
         unified, per_segment, "gen long, ord long, doc_id long, score double",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
+    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
-        d = spark.read.parquet(
-            os.path.join(si.path, "docvalues_str", collapse_col, "dict")
-        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dpath = os.path.join(si.path, "docvalues_str", collapse_col, "dict")
+        d = (
+            _local_dict_frame(spark, dpath, gen_id)
+            if local
+            else spark.read.parquet(dpath).withColumn(
+                "gen", F.lit(gen_id).cast("long")
+            )
+        )
         dicts = d if dicts is None else dicts.unionByName(d)
     # (gen, ord) -> value, then ONE max_by per value: the winner
     # comparator (score, -doc_id) reproduces (score desc, doc_id asc)
@@ -2660,7 +3006,7 @@ def wand_facet_range_search(
 
     partials = _apply_per_segment(
         unified, per_segment, "ord long, cnt long",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
     lattice = spark.range(n_buckets).select(F.col("id").alias("ord"))
     return (
@@ -2716,7 +3062,7 @@ def wand_stats_search(
     partials = _apply_per_segment(
         unified, per_segment,
         "cnt long, s double, ss double, mn double, mx double",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
     n = F.sum("cnt")
     s = F.sum("s")
@@ -2821,7 +3167,7 @@ def wand_facet_query_search(
 
     partials = _apply_per_segment(
         unified, per_segment, "name string, cnt long",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
     return (
         partials.groupBy("name").agg(F.sum("cnt").alias("cnt")).orderBy("name")
@@ -2885,13 +3231,19 @@ def wand_stats_facet_search(
         unified, per_segment,
         "gen long, ord long, cnt long, s double, ss double, "
         "mn double, mx double",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
+    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
-        d = spark.read.parquet(
-            os.path.join(si.path, "docvalues_str", facet_col, "dict")
-        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dpath = os.path.join(si.path, "docvalues_str", facet_col, "dict")
+        d = (
+            _local_dict_frame(spark, dpath, gen_id)
+            if local
+            else spark.read.parquet(dpath).withColumn(
+                "gen", F.lit(gen_id).cast("long")
+            )
+        )
         dicts = d if dicts is None else dicts.unionByName(d)
     merged = (
         partials.join(F.broadcast(dicts), ["gen", "ord"], "left")
@@ -2974,7 +3326,7 @@ def wand_stats_percentiles_search(
 
     partials = _apply_per_segment(
         unified, per_segment, "ord long, cnt long",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
     hist = (
         partials.groupBy("ord")
@@ -3036,13 +3388,19 @@ def wand_group_search(
 
     partials = _apply_per_segment(
         unified, per_segment, "gen long, ord long, doc_id long, score double",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
+    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
-        d = spark.read.parquet(
-            os.path.join(si.path, "docvalues_str", group_col, "dict")
-        ).withColumn("gen", F.lit(gen_id).cast("long"))
+        dpath = os.path.join(si.path, "docvalues_str", group_col, "dict")
+        d = (
+            _local_dict_frame(spark, dpath, gen_id)
+            if local
+            else spark.read.parquet(dpath).withColumn(
+                "gen", F.lit(gen_id).cast("long")
+            )
+        )
         dicts = d if dicts is None else dicts.unionByName(d)
     # sort_array ascending over (ns=-score, doc_id) == (score desc,
     # doc_id asc); slice keeps the group's true top-n because every
@@ -3120,7 +3478,7 @@ def wand_scores_for_ids(
 
     return _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(seg_index, *(field_segments or {}).values()),
+        _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     ).select("doc_id", F.round("score", round_to).alias("score"))
 
 
@@ -3803,7 +4161,10 @@ def wand_phrase_search_multi(
     total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
     avgdl = total_tokens / n if n else 0.0
     unified = _unified_frame(
-        spark, list(enumerate(seg_indexes)), term_list, with_subs=True
+        spark, list(enumerate(seg_indexes)), term_list, with_subs=True,
+        local=_local_ok(
+            [(s, term_list) for s in seg_indexes], with_subs=True
+        ),
     )
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -3813,7 +4174,7 @@ def wand_phrase_search_multi(
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(seg_indexes),
+        _n_segments_hint(seg_indexes), spark=spark,
     )
     return (
         seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
@@ -3924,19 +4285,36 @@ def wand_search(
     )
 
 
-def _sidecar_dfs(path: str, term_list: list[str]) -> dict[str, int] | None:
-    """term->df from the build-time termstats sidecar, read driver-side
-    with pyarrow (row-group pruning on the sorted term column) — no
-    Spark job. None if the index predates the sidecar."""
+def _sidecar_stats(
+    path: str, term_list: list[str]
+) -> dict[str, tuple[int, int]] | None:
+    """term -> (df, cf) from the build-time termstats sidecar, read
+    driver-side with pyarrow (row-group pruning on the sorted term
+    column) — no Spark job. None if the index predates the sidecar."""
     p = os.path.join(path, "termstats")
     if not path or not os.path.isdir(p):
         return None
     import pyarrow.dataset as ds
 
     tbl = ds.dataset(p, format="parquet").to_table(
-        columns=["term", "df"], filter=ds.field("term").isin(term_list)
+        columns=["term", "df", "cf"], filter=ds.field("term").isin(term_list)
     )
-    return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+    return {
+        t: (int(d), int(c))
+        for t, d, c in zip(
+            tbl["term"].to_pylist(),
+            tbl["df"].to_pylist(),
+            tbl["cf"].to_pylist(),
+        )
+    }
+
+
+def _sidecar_dfs(path: str, term_list: list[str]) -> dict[str, int] | None:
+    """term->df from the termstats sidecar (see _sidecar_stats)."""
+    st = _sidecar_stats(path, term_list)
+    if st is None:
+        return None
+    return {t: d for t, (d, _c) in st.items()}
 
 
 def _unified_frame(
@@ -3945,7 +4323,8 @@ def _unified_frame(
     term_list: list[str],
     with_subs: bool = False,
     field: str = "",
-) -> DataFrame:
+    local: bool = False,
+):
     """Postings (term-pruned scan) + doclen rows stacked into one frame
     keyed by seg, for a single groupBy(seg).applyInPandas stage.
     ``with_subs`` adds the v3 positions/payload sub-stream columns
@@ -3953,7 +4332,12 @@ def _unified_frame(
     those bytes). ``field`` tags every row (fld column) so per-field
     packed indexes over the SAME doc space can stack into one frame —
     same seg covers the same doc range, so field routing stays
-    segment-local (wand_boolean_search field_segments)."""
+    segment-local (wand_boolean_search field_segments).
+
+    ``local=True`` (byte budget pre-checked via _local_ok) returns the
+    pandas twin assembled driver-side — the local serving tier."""
+    if local:
+        return _unified_pdf(gens, term_list, with_subs=with_subs, field=field)
     posts = None
     dls = None
     dels = None
@@ -4054,11 +4438,17 @@ def _dv_frame(
     with_subs: bool,
     subdir: str = "docvalues",
     seg_offset: int = 0,
-) -> DataFrame:
+    local: bool = False,
+):
     """Docvalues rows for one numeric/ordinal column, shaped like the
     unified frame (_kind='dv', term=column name, data=varint dense
     stream). ``seg_offset`` namespaces seg ids per generation, matching
-    _unified_frame's gen_id*1e6 scheme."""
+    _unified_frame's gen_id*1e6 scheme. ``local=True`` returns the
+    pandas twin (local serving tier)."""
+    if local:
+        return _dv_pdf(
+            si, col, with_subs, subdir=subdir, seg_offset=seg_offset
+        )
     base = (
         os.path.join(si.path, subdir, col)
         if subdir == "docvalues"
@@ -4153,7 +4543,17 @@ def _wand_search_frames(
     # similarity) — parquet column pruning skips pos/pay bytes for
     # classic/toggle sims and the mm>1 BM25 path
     with_subs = sim is not None and sim.use_payload
-    unified = _unified_frame(spark, gens, term_list, with_subs=with_subs)
+    dv_dirs = [
+        os.path.join(si.path, "docvalues", boost_fn[0])
+        for _, si in gens
+        if boost_fn is not None and boost_fn[0] != "doc_id"
+    ]
+    local = _local_ok(
+        [(si, term_list) for _, si in gens], with_subs, dv_dirs
+    )
+    unified = _unified_frame(
+        spark, gens, term_list, with_subs=with_subs, local=local
+    )
     if boost_fn is not None and boost_fn[0] != "doc_id":
         value_col = boost_fn[0]
         for gen_id, si in gens:
@@ -4163,11 +4563,12 @@ def _wand_search_frames(
                     "stream — rebuild with build_segments(..., "
                     f"value_cols=[{value_col!r}]) (doc_id is intrinsic)"
                 )
-            unified = unified.unionByName(
+            unified = _stack(
+                unified,
                 _dv_frame(
                     spark, si, value_col, with_subs,
-                    seg_offset=gen_id * 1_000_000,
-                )
+                    seg_offset=gen_id * 1_000_000, local=local,
+                ),
             )
 
     dfs = _gen_dfs(
@@ -4214,7 +4615,7 @@ def _wand_search_frames(
 
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
-        _n_segments_hint(*(si for _, si in gens)),
+        _n_segments_hint(*(si for _, si in gens)), spark=spark,
     )
     out = seg_tops.select("doc_id", F.round("score", round_to).alias("score"))
     if after is not None:
