@@ -707,6 +707,8 @@ def _unified_pdf(
     are (seg, term)-sorted) assembled driver-side with pyarrow."""
     import pyarrow.dataset as ds
 
+    if not term_list:
+        term_list = ["\x00none"]  # empty isin crashes pyarrow's set bind
     parts: list[pd.DataFrame] = []
     post_cols = [
         "seg", "term", "df", "block_last", "block_max", "block_off", "data",
@@ -821,8 +823,11 @@ def _local_dict_frame(spark: SparkSession, path: str, gen_id: int) -> DataFrame:
     stay free of parquet-scan stages."""
     import pyarrow.parquet as pq
 
-    pdf = pq.read_table(path).to_pandas()
+    pdf = pq.read_table(path, columns=["value", "ord"]).to_pandas()
     pdf["gen"] = np.int64(gen_id)
+    # createDataFrame(pandas, schema-str) maps POSITIONALLY — pin the
+    # column order to the schema (dict files can store ord first)
+    pdf = pdf[["value", "ord", "gen"]]
     return spark.createDataFrame(pdf, schema="value string, ord long, gen long")
 
 
@@ -4294,6 +4299,8 @@ def _sidecar_stats(
     p = os.path.join(path, "termstats")
     if not path or not os.path.isdir(p):
         return None
+    if not term_list:
+        return {}
     import pyarrow.dataset as ds
 
     tbl = ds.dataset(p, format="parquet").to_table(

@@ -218,17 +218,22 @@ def percentiles_from_hist(hist: DataFrame, percentiles: list[float]) -> DataFram
     cum = hist.select(
         "value", F.sum("cnt").over(w).alias("cum")
     ).crossJoin(F.broadcast(n_df))
-    rows = []
-    for p in sorted(set(percentiles)):
-        rows.append(
-            cum.filter(F.col("cum") >= F.ceil(F.col("n") * F.lit(float(p))))
-            .agg(F.min("value").alias("value"))
-            .select(F.lit(float(p)).alias("pct"), "value")
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("pct")
+    # ONE pass for every requested percentile (r07; was one filter+agg
+    # job per p): join the bounded cumulative frame against the tiny
+    # percentile lattice (broadcast nested-loop on the >= condition)
+    # and take min(value) per pct — identical k-th-smallest semantics,
+    # p jobs -> 1.
+    spark = hist.sparkSession
+    lattice = spark.createDataFrame(
+        [(float(p),) for p in sorted(set(percentiles))], "pct double"
+    )
+    return (
+        F.broadcast(lattice)
+        .join(cum, F.col("cum") >= F.ceil(F.col("n") * F.col("pct")))
+        .groupBy("pct")
+        .agg(F.min("value").alias("value"))
+        .orderBy("pct")
+    )
 
 
 def stats_percentiles_search(

@@ -2310,9 +2310,13 @@ def q_ccnet_pipeline(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return ccnet_pipeline(
-        docs, vocab_size=200, min_chars=3, sep="\n"
-    ).select("doc_id", "n_kept", "lang_pred", "n_bigrams", "lm_logp", "bucket")
+    # ordering lives HERE (bounded gate output), not in the library —
+    # ccnet_pipeline no longer carries a corpus-wide cosmetic sort
+    return (
+        ccnet_pipeline(docs, vocab_size=200, min_chars=3, sep="\n")
+        .select("doc_id", "n_kept", "lang_pred", "n_bigrams", "lm_logp", "bucket")
+        .orderBy("doc_id")
+    )
 
 
 def _sql_ccnet_pipeline() -> str:

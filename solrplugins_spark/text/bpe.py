@@ -93,19 +93,46 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    batch_max: int = 64,
+    stats: dict | None = None,
     **tok_kwargs,
 ) -> list[tuple[str, str]]:
     """The merge table: ``n_merges`` (left, right) pairs in merge
-    order — argmax pair count each round, ties broken (l asc, r asc)
-    for run-to-run determinism (reference BPE breaks ties by dict
-    order too).
+    order — argmax pair count, ties broken (l asc, r asc) for
+    run-to-run determinism (reference BPE breaks ties by dict order
+    too).
 
-    Each round is one vocabulary-bounded job over the persisted
-    distinct-word frame: count pairs of the CURRENT symbol arrays,
-    collect the single argmax row, apply the merge with a vectorized
-    Arrow pass. Lineage is truncated by re-persisting (and
-    checkpoint-by-materialization every ``checkpoint_every`` rounds)
-    so round N's plan never replays rounds 0..N-1."""
+    BATCHED rounds (r07): the one-merge-per-round loop cost one
+    driver round-trip job PER MERGE — a production 32k-merge
+    vocabulary is tens of thousands of sequential jobs. Each round now
+    applies the longest PREFIX of the (count desc, l, r)-sorted pair
+    list that is provably sequential-identical, so the merge table is
+    bit-identical to the one-at-a-time trainer (pinned in
+    tests/test_bpe.py) while the round count drops by the average
+    prefix length. A sorted prefix p_1..p_m is safe when, for every
+    accepted i > 1:
+
+    * p_i shares no symbol with an earlier accepted pair — the merges
+      then commute, no accepted pair's occurrences are created or
+      destroyed by the others, and old-pair counts never increase
+      (merging only removes adjacencies between old symbols);
+    * no earlier product string x_j = l_j + r_j already exists as a
+      symbol (single chars are length-1 and every multi-char symbol is
+      a previous product, so a driver-side set test suffices) — else
+      merge j would ADD occurrences to existing pairs;
+    * c_i strictly exceeds every earlier merge's possible new-pair
+      mass: a new pair bred by merge j is (a, x_j) or (x_j, b), and
+      each of its occurrences consumed one pre-batch (a, l_j) /
+      (r_j, b) occurrence AND one (l_j, r_j) occurrence, so its count
+      is <= min(c_j, U_j) with U_j = max count over pairs whose right
+      element is l_j or whose left element is r_j — both read from
+      the SAME round's pair table.
+
+    The prefix stops at the first violation (skipping a conflicting
+    pair would change what the sequential argmax sees). Each round is
+    a bounded set of vocabulary-bounded jobs: one pair count + top-K
+    collect, two candidate-symbol max lookups, one Arrow merge pass.
+    """
     spark = docs.sparkSession
     wc = word_counts(docs, text_col=text_col, **tok_kwargs)
     words = (
@@ -123,12 +150,14 @@ def train_bpe(
     )
     words.count()
     merges: list[tuple[str, str]] = []
+    products: set[str] = set()
     prev = words
-    for round_no in range(n_merges):
-        top = (
-            # guard size>=2: Spark's sequence(1, 0) DESCENDS ([1, 0]),
-            # so an unguarded fully-merged single-symbol word would
-            # fabricate a (sym, null) pair instead of contributing none
+    round_no = 0
+    while len(merges) < n_merges:
+        # guard size>=2: Spark's sequence(1, 0) DESCENDS ([1, 0]), so
+        # an unguarded fully-merged single-symbol word would fabricate
+        # a (sym, null) pair instead of contributing none
+        pairs = (
             prev.filter(F.size("syms") >= 2)
             .select(
                 "cnt",
@@ -141,46 +170,99 @@ def train_bpe(
             )
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
+        ).persist()
+        cap = min(int(batch_max), n_merges - len(merges))
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(max(cap, 2))
             .collect()
         )
         if not top:
+            pairs.unpersist()
             break
-        l, r = top[0]["l"], top[0]["r"]
-        merges.append((l, r))
-        merged = l + r
+        if len(top) > 1 and cap > 1:
+            cand_ls = sorted({row["l"] for row in top})
+            cand_rs = sorted({row["r"] for row in top})
+            lmax = {
+                row["r"]: int(row["m"])
+                for row in pairs.filter(F.col("r").isin(cand_ls))
+                .groupBy("r").agg(F.max("c").alias("m")).collect()
+            }
+            rmax = {
+                row["l"]: int(row["m"])
+                for row in pairs.filter(F.col("l").isin(cand_rs))
+                .groupBy("l").agg(F.max("c").alias("m")).collect()
+            }
+        else:
+            lmax = rmax = {}
+        pairs.unpersist()
 
-        def apply_merge(pdf_iter, _l=l, _r=r):
+        used: set[str] = set()
+        accepted: list[tuple[str, str]] = []
+        new_pair_bound = 0
+        for row in top:
+            if len(accepted) >= cap:
+                break
+            l, r, c = row["l"], row["r"], int(row["c"])
+            if accepted:
+                if l in used or r in used or c <= new_pair_bound:
+                    break
+            if l + r in products or any(
+                l + r == al + ar for al, ar in accepted
+            ):
+                if accepted:
+                    break
+                # degenerate: re-merging an existing product string as
+                # the TOP pair is still a plain sequential step
+            accepted.append((l, r))
+            used.update((l, r))
+            u = max(lmax.get(l, 0), rmax.get(r, 0))
+            new_pair_bound = max(new_pair_bound, min(c, u))
+            if l + r in products:
+                break  # product collision: nothing may batch after it
+        merges.extend(accepted)
+        products.update(al + ar for al, ar in accepted)
+        batch = list(accepted)
+
+        def apply_merges(pdf_iter, _batch=batch):
             for pdf in pdf_iter:
+                out = []
+                for s in pdf["syms"]:
+                    cur = list(s)
+                    for _l, _r in _batch:
+                        cur = _merge_pair(cur, _l, _r)
+                    out.append(cur)
                 yield pd.DataFrame(
-                    {
-                        "syms": [
-                            _merge_pair(list(s), _l, _r) for s in pdf["syms"]
-                        ],
-                        "cnt": pdf["cnt"].to_numpy(),
-                    }
+                    {"syms": out, "cnt": pdf["cnt"].to_numpy()}
                 )
 
         nxt = prev.mapInPandas(
-            apply_merge, schema="syms array<string>, cnt long"
+            apply_merges, schema="syms array<string>, cnt long"
         )
         # materialize BEFORE unpersisting the parent: truncates the
         # per-round lineage chain (same spot-node-safe pattern as
         # dedup clustering). Checkpoint rounds materialize through
         # localCheckpoint ALONE — persisting first would pin a second
         # copy of the pre-checkpoint frame that nothing ever releases
-        if (round_no + 1) % checkpoint_every == 0:
+        round_no += 1
+        if round_no % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.persist()
             nxt.count()
         if prev is not words:
             prev.unpersist()
+        else:
+            # ADVICE r06: only round 0 reads the raw word frame — drop
+            # its cache as soon as the first merged frame materializes
+            words.unpersist()
         prev = nxt
     if prev is not words:
         prev.unpersist()
-    words.unpersist()
+    else:
+        words.unpersist()
+    if stats is not None:
+        stats["rounds"] = round_no
     return merges
 
 

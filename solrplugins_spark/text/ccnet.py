@@ -57,20 +57,21 @@ def ccnet_pipeline(
         by="lang_pred",
         sample_cap=sample_cap,
     )
-    return (
-        tagged.join(
-            buckets.select("doc_id", "n_bigrams", "lm_logp", "bucket"),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            text_col,
-            "n_kept",
-            "lang_pred",
-            "n_bigrams",
-            "lm_logp",
-            "bucket",
-        )
-        .orderBy("doc_id")
+    # UNORDERED on purpose (r07): the trailing .orderBy("doc_id") this
+    # returned through r06 imposed a full-corpus global sort on every
+    # caller for presentation only — at 100 TB that is a corpus-wide
+    # range exchange buying nothing. Callers that need an order (the
+    # oracle gate does) sort their own bounded output.
+    return tagged.join(
+        buckets.select("doc_id", "n_bigrams", "lm_logp", "bucket"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        text_col,
+        "n_kept",
+        "lang_pred",
+        "n_bigrams",
+        "lm_logp",
+        "bucket",
     )
