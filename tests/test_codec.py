@@ -175,3 +175,77 @@ def test_decode_block_positions_matches_full():
             ]
         )
         assert np.array_equal(got, want), need
+
+
+def test_encode_bytes_identical_to_per_block_reference():
+    """r07 vectorized encode_postings must be byte-identical to the
+    original per-block loop (the on-disk format is frozen: resumable
+    builds diff bytes), and the range-based block decode must match
+    full decode on every block subset shape."""
+    import numpy as np
+
+    from solrplugins_spark.index.codec import (
+        BLOCK,
+        decode_blocks,
+        decode_postings,
+        encode_postings,
+        varint_encode,
+    )
+
+    def encode_ref(doc_ids, tfs):
+        doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+        tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+        n = doc_ids.size
+        deltas = np.empty(n, np.uint64)
+        if n:
+            deltas[0] = np.uint64(doc_ids[0])
+            deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+        nblocks = (n + BLOCK - 1) // BLOCK
+        header = varint_encode(np.array([n], np.uint64))
+        parts = [header]
+        bl = np.empty(nblocks, np.int64)
+        bm = np.empty(nblocks, np.int32)
+        bo = np.empty(nblocks, np.int64)
+        pos = header.size
+        for i in range(nblocks):
+            lo, hi = i * BLOCK, min((i + 1) * BLOCK, n)
+            bl[i] = doc_ids[hi - 1]
+            bm[i] = tfs[lo:hi].max()
+            bo[i] = pos
+            ed = varint_encode(deltas[lo:hi])
+            et = varint_encode(tfs[lo:hi].astype(np.uint64))
+            parts.append(ed)
+            parts.append(et)
+            pos += ed.size + et.size
+        return np.concatenate(parts).tobytes(), bl, bm, bo
+
+    rng = np.random.default_rng(7)
+    for n in (1, 127, 128, 129, 1000, 20000):
+        docs = np.sort(
+            rng.choice(5_000_000, size=n, replace=False)
+        ).astype(np.int64)
+        tfs = rng.integers(1, 300, size=n).astype(np.int64)
+        d_new, bl_n, bm_n, bo_n = encode_postings(docs, tfs)
+        d_old, bl_o, bm_o, bo_o = encode_ref(docs, tfs)
+        assert d_new == d_old, n
+        assert np.array_equal(bl_n, bl_o)
+        assert np.array_equal(bm_n, bm_o)
+        assert np.array_equal(bo_n, bo_o)
+        dd, tt = decode_postings(d_new)
+        assert np.array_equal(dd, docs) and np.array_equal(tt, tfs)
+        nb = len(bl_n)
+        for ids in (
+            np.array([0]),
+            np.array([nb - 1]),
+            np.arange(nb),
+            np.unique(rng.integers(0, nb, size=min(nb, 5))),
+        ):
+            got_d, got_t = decode_blocks(d_new, ids, bo_n, bl_n, n)
+            exp_d = np.concatenate(
+                [docs[i * BLOCK:(i + 1) * BLOCK] for i in ids]
+            )
+            exp_t = np.concatenate(
+                [tfs[i * BLOCK:(i + 1) * BLOCK] for i in ids]
+            )
+            assert np.array_equal(got_d, exp_d), (n, ids)
+            assert np.array_equal(got_t, exp_t), (n, ids)

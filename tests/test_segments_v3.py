@@ -800,17 +800,28 @@ def test_describe_index(spark, tiny_corpus, tmp_path):
 def test_single_stage_strategy_parity_and_plan(
     spark, pos_index, pos_segments, tiny_corpus_pd, monkeypatch
 ):
-    """_apply_per_segment picks one of two physical strategies for the
-    SAME per-segment kernels: coalesce(1)+mapInPandas (no exchange —
-    serving latency on small indexes) vs groupBy(seg).applyInPandas
-    (the 10^12-doc default). Results must be identical and the
-    single-stage plan must actually be exchange-free."""
+    """_apply_per_segment picks one of THREE physical strategies for
+    the SAME per-segment kernels (r07): the driver-local tier
+    (byte-budgeted pyarrow read, LocalTableScan plan), coalesce(1)+
+    mapInPandas (no exchange — serving latency on small indexes over
+    the local budget) and groupBy(seg).applyInPandas (the 10^12-doc
+    default). Results must be identical across all three; the local
+    plan must be scan-free and the single-stage plan exchange-free
+    with the term filter pushed to parquet."""
     from solrplugins_spark.index import segments as segmod
     from solrplugins_spark.index.segments import wand_search
 
     terms = [(t, 1.0) for t in _corpus_terms(tiny_corpus_pd, n=2)]
 
-    # small index -> single-stage path (hint <= threshold)
+    # small index under the byte budget -> driver-local tier
+    df_local = wand_search(spark, pos_segments, terms, k=10)
+    plan = df_local._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    local = df_local.toPandas()
+
+    # budget 0 + small index -> single-stage path (hint <= threshold)
+    monkeypatch.setenv("SOLRPLUGINS_LOCAL_TIER_MAX_BYTES", "0")
     assert pos_segments.n_segments <= segmod.SINGLE_STAGE_MAX_SEGMENTS
     df_single = wand_search(spark, pos_segments, terms, k=10)
     plan = df_single._jdf.queryExecution().executedPlan().toString()
@@ -825,7 +836,9 @@ def test_single_stage_strategy_parity_and_plan(
     exchanged = wand_search(spark, pos_segments, terms, k=10).toPandas()
 
     assert list(single["doc_id"]) == list(exchanged["doc_id"])
+    assert list(local["doc_id"]) == list(exchanged["doc_id"])
     assert np.allclose(single["score"], exchanged["score"], atol=1e-12)
+    assert np.allclose(local["score"], exchanged["score"], atol=1e-12)
 
 
 def test_single_stage_facets_and_boolean_parity(
