@@ -628,16 +628,24 @@ def _local_estimate(
     pairs: list[tuple["SegmentIndex", list[str]]],
     with_subs: bool,
     extra_dirs: list[str] = (),
+    stats_list: list | None = None,
 ) -> int | None:
     """Upper-bound estimate of the bytes a local-tier execution would
     read: per-term postings (df/cf from the termstats sidecar — the
     same driver-side pyarrow read every query already does for idf) +
     the full doclens / deletes streams + any docvalues/ordinal stream
     directories the caller needs. None = no sidecar (pre-sidecar
-    index) -> distributed path."""
+    index) -> distributed path. ``stats_list`` (aligned with
+    ``pairs``) lets callers that already fetched the sidecar stats
+    for idf skip a second read — dataset discovery alone costs
+    ~10-20 ms per read."""
     total = 0
-    for si, terms in pairs:
-        stats = _sidecar_stats(si.path, terms)
+    for i, (si, terms) in enumerate(pairs):
+        stats = (
+            stats_list[i]
+            if stats_list is not None
+            else _sidecar_stats(si.path, terms)
+        )
         if stats is None:
             return None
         for df_t, cf_t in stats.values():
@@ -658,11 +666,12 @@ def _local_ok(
     pairs: list[tuple["SegmentIndex", list[str]]],
     with_subs: bool,
     extra_dirs: list[str] = (),
+    stats_list: list | None = None,
 ) -> bool:
     budget = _local_tier_budget()
     if budget <= 0:
         return False
-    est = _local_estimate(pairs, with_subs, extra_dirs)
+    est = _local_estimate(pairs, with_subs, extra_dirs, stats_list)
     return est is not None and est <= budget
 
 
@@ -1783,14 +1792,17 @@ def wand_phrase_search(
     the in-order chain window test runs on the survivors
     (_sloppy_chain_docs)."""
     term_list = sorted(set(phrase_terms))
-    dfs = _sidecar_dfs(seg_index.path, term_list)
-    if dfs is None:
+    stats = _sidecar_stats(seg_index.path, term_list)
+    if stats is None:
         raise ValueError("phrase search needs the termstats sidecar (codec v3)")
+    dfs = {t: d for t, (d, _c) in stats.items()}
     if any(dfs.get(t, 0) == 0 for t in term_list):
         return spark.createDataFrame([], "doc_id long, score double")
     unified = _unified_frame(
         spark, [(0, seg_index)], term_list, with_subs=True,
-        local=_local_ok([(seg_index, term_list)], with_subs=True),
+        local=_local_ok(
+            [(seg_index, term_list)], with_subs=True, stats_list=[stats]
+        ),
     )
     n, avgdl = seg_index.n_docs, seg_index.avgdl
 
@@ -2463,12 +2475,19 @@ def _prepare_boolean(
 
     # local-tier decision covers EVERYTHING this query will touch:
     # every field's term-pruned postings + doclens/deletes, plus the
-    # docvalues / ordinal stream directories the tree or caller needs
-    local_pairs = [
-        (si, sorted(by_field.get(fname, set())))
-        for fname, fsi in [("", seg_index)] + sorted(field_segments.items())
-        for _, si in (gens if fname == "" else [(0, fsi)])
-    ]
+    # docvalues / ordinal stream directories the tree or caller needs.
+    # ONE sidecar read per (field, generation) feeds both the byte
+    # estimate and the idf context below.
+    local_pairs: list = []
+    pair_stats: list = []
+    stats_by: dict = {}
+    for fname, fsi in [("", seg_index)] + sorted(field_segments.items()):
+        f_terms = sorted(by_field.get(fname, set()))
+        for gid, si in (gens if fname == "" else [(0, fsi)]):
+            st = _sidecar_stats(si.path, f_terms)
+            local_pairs.append((si, f_terms))
+            pair_stats.append(st)
+            stats_by[(fname, gid)] = st
     local_dirs = [
         os.path.join(si.path, "docvalues", col)
         for col in dv_needed
@@ -2478,7 +2497,7 @@ def _prepare_boolean(
         for col in str_cols
         for _, si in gens
     ]
-    local = _local_ok(local_pairs, with_subs, local_dirs)
+    local = _local_ok(local_pairs, with_subs, local_dirs, stats_list=pair_stats)
 
     field_ctx: dict[str, dict] = {}
     unified = None
@@ -2486,14 +2505,14 @@ def _prepare_boolean(
         f_gens = gens if fname == "" else [(0, fsi)]
         terms = sorted(by_field.get(fname, set()))
         dfs: dict[str, int] = {}
-        for _, si in f_gens:
-            d = _sidecar_dfs(si.path, terms) if terms else {}
+        for gid, _si in f_gens:
+            d = stats_by[(fname, gid)] if terms else {}
             if d is None:
                 raise ValueError(
                     f"boolean packed search needs the termstats sidecar "
                     f"(field {fname or 'default'!r})"
                 )
-            for t, v in d.items():
+            for t, (v, _c) in d.items():
                 dfs[t] = dfs.get(t, 0) + int(v)
         n = sum(si.n_docs for _, si in f_gens)
         total_tokens = sum(si.avgdl * si.n_docs for _, si in f_gens)
@@ -3534,30 +3553,28 @@ def wand_rerank_search(
     ).collect()  # bounded: rerank_docs rows
     if not base_rows:
         return spark.createDataFrame([], "doc_id long, score double")
-    rr = wand_scores_for_ids(
+    rr_rows = wand_scores_for_ids(
         spark, seg_index, rerank_query,
         [int(r["doc_id"]) for r in base_rows],
         k1=k1, b=b, round_to=round_to,
         field_segments=field_segments, field_sims=field_sims,
-    ).withColumnRenamed("score", "rr_score")
+    ).collect()  # bounded: at most |base_rows| rows
 
-    base = spark.createDataFrame(
-        [(int(r["doc_id"]), float(r["score"])) for r in base_rows],
-        "doc_id long, score double",
-    )
-    return (
-        base.join(rr, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(
-                F.col("score")
-                + F.lit(float(weight)) * F.coalesce("rr_score", F.lit(0.0)),
-                round_to,
-            ).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    # both sides are bounded driver-side rows, so the combine is pure
+    # arithmetic over <= rerank_docs entries — r07: the former
+    # createDataFrame + left-join + TakeOrdered plan scheduled a third
+    # Spark job (~0.4 s at the 2M-turn bench shape) to add <=30
+    # numbers. Rounding via _spark_round == F.round (exact HALF_UP),
+    # ordering via the same (score desc, doc_id asc) lexsort the
+    # packed kernels use, so results are identical to the join plan.
+    rr = {int(r["doc_id"]): float(r["score"]) for r in rr_rows}
+    ids = np.array([int(r["doc_id"]) for r in base_rows], np.int64)
+    base = np.array([float(r["score"]) for r in base_rows], np.float64)
+    boost = np.array([rr.get(int(d), 0.0) for d in ids], np.float64)
+    total = _spark_round(base + float(weight) * boost, round_to)
+    order = np.lexsort((ids, -total))[: min(k, len(ids))]
+    out = pd.DataFrame({"doc_id": ids[order], "score": total[order]})
+    return spark.createDataFrame(out, schema="doc_id long, score double")
 
 
 def compact_packed(
@@ -4153,12 +4170,12 @@ def wand_phrase_search_multi(
     the k-rows-per-segment partials merge globally. Identical to
     querying the compacted index (tests)."""
     term_list = sorted(set(phrase_terms))
+    all_stats = [_sidecar_stats(si.path, term_list) for si in seg_indexes]
     dfs: dict[str, int] = {}
-    for si in seg_indexes:
-        d = _sidecar_dfs(si.path, term_list)
-        if d is None:
+    for st in all_stats:
+        if st is None:
             raise ValueError("phrase search needs the termstats sidecar")
-        for t, v in d.items():
+        for t, (v, _c) in st.items():
             dfs[t] = dfs.get(t, 0) + int(v)
     if any(dfs.get(t, 0) == 0 for t in term_list):
         return spark.createDataFrame([], "doc_id long, score double")
@@ -4168,7 +4185,8 @@ def wand_phrase_search_multi(
     unified = _unified_frame(
         spark, list(enumerate(seg_indexes)), term_list, with_subs=True,
         local=_local_ok(
-            [(s, term_list) for s in seg_indexes], with_subs=True
+            [(s, term_list) for s in seg_indexes], with_subs=True,
+            stats_list=all_stats,
         ),
     )
 
@@ -4555,8 +4573,13 @@ def _wand_search_frames(
         for _, si in gens
         if boost_fn is not None and boost_fn[0] != "doc_id"
     ]
+    # ONE sidecar read feeds both the local-tier byte estimate and the
+    # idf stats below (r07: the duplicate reads cost ~2x dataset
+    # discovery per query)
+    gen_stats = [_sidecar_stats(si.path, term_list) for _, si in gens]
     local = _local_ok(
-        [(si, term_list) for _, si in gens], with_subs, dv_dirs
+        [(si, term_list) for _, si in gens], with_subs, dv_dirs,
+        stats_list=gen_stats,
     )
     unified = _unified_frame(
         spark, gens, term_list, with_subs=with_subs, local=local
@@ -4578,10 +4601,18 @@ def _wand_search_frames(
                 ),
             )
 
-    dfs = _gen_dfs(
-        gens, term_list,
-        lambda: _unified_frame(spark, gens, term_list).filter(F.col("_kind") == "post"),
-    )
+    if all(st is not None for st in gen_stats):
+        dfs = {}
+        for st in gen_stats:
+            for t, (d, _c) in st.items():
+                dfs[t] = dfs.get(t, 0) + int(d)
+    else:
+        dfs = _gen_dfs(
+            gens, term_list,
+            lambda: _unified_frame(spark, gens, term_list).filter(
+                F.col("_kind") == "post"
+            ),
+        )
     dfs = {t: d for t, d in dfs.items() if d > 0}
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double")
