@@ -853,6 +853,53 @@ def _n_segments_hint(*seg_objs) -> int:
     return tot
 
 
+def _kernel_pdf(unified_pdf: pd.DataFrame, per_segment) -> pd.DataFrame | None:
+    """Run the per-segment kernel over a local-tier unified frame —
+    the driver-side twin of groupBy(seg).applyInPandas. None when no
+    segment produced rows."""
+    outs = []
+    if len(unified_pdf):
+        for _, g in unified_pdf.groupby("seg", sort=False):
+            out = per_segment(g.reset_index(drop=True))
+            if len(out):
+                outs.append(out)
+    if not outs:
+        return None
+    return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+
+def _local_topk_frame(
+    spark: SparkSession,
+    res: pd.DataFrame | None,
+    k: int,
+    round_to: int,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Driver-side finalization of a local-tier top-k: the Spark tail
+    (round -> cursor re-check -> orderBy -> limit) over a bounded
+    local relation still scheduled one mini job (~70-100 ms on this
+    host); the identical semantics are pure arithmetic here —
+    _spark_round IS F.round (exact HALF_UP) and the (score desc,
+    doc_id asc) lexsort IS the orderBy — so a local-tier top-k query
+    runs ZERO Spark jobs (the returned pre-computed local relation
+    collects via executeCollect on the driver)."""
+    if res is None or not len(res):
+        return spark.createDataFrame([], "doc_id long, score double")
+    ids = res["doc_id"].to_numpy(np.int64)
+    scores = _spark_round(res["score"].to_numpy(np.float64), round_to)
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        keep = (scores < s_a) | ((scores == s_a) & (ids > d_a))
+        ids, scores = ids[keep], scores[keep]
+        if not len(ids):
+            return spark.createDataFrame([], "doc_id long, score double")
+    order = np.lexsort((ids, -scores))[: min(k, len(ids))]
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids[order], "score": scores[order]}),
+        schema="doc_id long, score double",
+    )
+
+
 def _apply_per_segment(
     unified,
     per_segment,
@@ -880,22 +927,15 @@ def _apply_per_segment(
       segment across partitions and score it on partial inputs.
     """
     if isinstance(unified, pd.DataFrame):
-        outs = []
-        if len(unified):
-            for _, g in unified.groupby("seg", sort=False):
-                out = per_segment(g.reset_index(drop=True))
-                if len(out):
-                    outs.append(out)
+        res = _kernel_pdf(unified, per_segment)
         spark = spark or SparkSession.getActiveSession()
-        if not outs:
+        if res is None:
             return spark.createDataFrame([], schema)
         # coalesce(1): createDataFrame slices even a 40-row local
         # relation across defaultParallelism partitions, turning the
         # downstream orderBy/limit into a 32-task job; one partition
         # makes the tail a single-task job (~3x faster, measured)
-        return spark.createDataFrame(
-            pd.concat(outs, ignore_index=True), schema=schema
-        ).coalesce(1)
+        return spark.createDataFrame(res, schema=schema).coalesce(1)
     if (
         n_segments_hint is not None
         and 0 < n_segments_hint <= SINGLE_STAGE_MAX_SEGMENTS
@@ -1811,6 +1851,10 @@ def wand_phrase_search(
             pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl, slop=slop
         )
 
+    if isinstance(unified, pd.DataFrame):
+        return _local_topk_frame(
+            spark, _kernel_pdf(unified, per_segment), k, round_to
+        )
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
         _n_segments_hint(seg_index), spark=spark,
@@ -2613,6 +2657,10 @@ def wand_boolean_search(
             pdf, tree, field_ctx, k, k1, b, boost_fn_spec=boost_fn
         )
 
+    if isinstance(unified, pd.DataFrame):
+        return _local_topk_frame(
+            spark, _kernel_pdf(unified, per_segment), k, round_to
+        )
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
@@ -2656,6 +2704,10 @@ def wand_boolean_boosted_search(
             boost_fn_spec=boost_fn,
         )
 
+    if isinstance(unified, pd.DataFrame):
+        return _local_topk_frame(
+            spark, _kernel_pdf(unified, per_segment), k, round_to
+        )
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
@@ -3500,6 +3552,21 @@ def wand_scores_for_ids(
             pdf, tree, field_ctx, 0, k1, b, only_doc_ids=allow
         )
 
+    if isinstance(unified, pd.DataFrame):
+        res = _kernel_pdf(unified, per_segment)
+        if res is None:
+            return spark.createDataFrame([], "doc_id long, score double")
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": res["doc_id"].to_numpy(np.int64),
+                    "score": _spark_round(
+                        res["score"].to_numpy(np.float64), round_to
+                    ),
+                }
+            ),
+            schema="doc_id long, score double",
+        )
     return _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
@@ -4195,6 +4262,10 @@ def wand_phrase_search_multi(
             pdf, list(phrase_terms), dfs, k, k1, b, n, avgdl
         )
 
+    if isinstance(unified, pd.DataFrame):
+        return _local_topk_frame(
+            spark, _kernel_pdf(unified, per_segment), k, round_to
+        )
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
         _n_segments_hint(seg_indexes), spark=spark,
@@ -4651,6 +4722,13 @@ def _wand_search_frames(
                 after=cursor,
             )
 
+    if isinstance(unified, pd.DataFrame):
+        # local tier: finalize driver-side (zero Spark jobs) — the
+        # after re-check stays idempotent on the same exact rounding
+        return _local_topk_frame(
+            spark, _kernel_pdf(unified, per_segment), k, round_to,
+            after=after,
+        )
     seg_tops = _apply_per_segment(
         unified, per_segment, "doc_id long, score double",
         _n_segments_hint(*(si for _, si in gens)), spark=spark,

@@ -188,4 +188,6 @@ def test_packed_sloppy_phrase_one_job(spark, posplan_segments):
             spark, posplan_segments, ["w0000", "w0001"], k=10, slop=2
         ).collect(),
     )
-    assert n == 1, f"packed sloppy phrase took {n} jobs, expected 1"
+    # r07 local tier: a byte-bounded sloppy phrase finalizes driver-side
+    # and schedules ZERO jobs; the distributed fallback stays one job
+    assert n <= 1, f"packed sloppy phrase took {n} jobs, expected <=1"
