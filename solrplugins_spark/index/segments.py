@@ -574,6 +574,15 @@ def _as_gens(seg_index) -> list:
 # frame fits one task and the saved shuffle+stage round-trip dominates
 SINGLE_STAGE_MAX_SEGMENTS = 64
 
+# ... but segment COUNT is the wrong criterion when the pruned bytes
+# are large: a 61-segment index still passes the count check while a
+# head-term phrase decodes ~80 MB in that ONE task (measured 1.6 s at
+# a 4M-turn shape — the worst of all strategies). When the driver-side
+# byte estimate exceeds this, the exchange path parallelizes the
+# per-segment kernels instead; the saved stage round-trip no longer
+# dominates at that size.
+SINGLE_STAGE_MAX_BYTES = 64 << 20
+
 # ---------------------------------------------------------------------------
 # driver-local serving tier (r07): when the bytes a query must touch are
 # provably bounded (estimated DRIVER-SIDE from the termstats sidecar and
@@ -937,7 +946,8 @@ def _apply_per_segment(
         # makes the tail a single-task job (~3x faster, measured)
         return spark.createDataFrame(res, schema=schema).coalesce(1)
     if (
-        n_segments_hint is not None
+        not getattr(unified, "_spl_big_frame", False)
+        and n_segments_hint is not None
         and 0 < n_segments_hint <= SINGLE_STAGE_MAX_SEGMENTS
     ):
 
@@ -1838,12 +1848,16 @@ def wand_phrase_search(
     dfs = {t: d for t, (d, _c) in stats.items()}
     if any(dfs.get(t, 0) == 0 for t in term_list):
         return spark.createDataFrame([], "doc_id long, score double")
-    unified = _unified_frame(
-        spark, [(0, seg_index)], term_list, with_subs=True,
-        local=_local_ok(
-            [(seg_index, term_list)], with_subs=True, stats_list=[stats]
-        ),
+    est = _local_estimate(
+        [(seg_index, term_list)], with_subs=True, stats_list=[stats]
     )
+    budget = _local_tier_budget()
+    local = 0 < budget and est is not None and est <= budget
+    unified = _unified_frame(
+        spark, [(0, seg_index)], term_list, with_subs=True, local=local
+    )
+    if not local and est is not None and est > SINGLE_STAGE_MAX_BYTES:
+        unified._spl_big_frame = True
     n, avgdl = seg_index.n_docs, seg_index.avgdl
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2541,7 +2555,11 @@ def _prepare_boolean(
         for col in str_cols
         for _, si in gens
     ]
-    local = _local_ok(local_pairs, with_subs, local_dirs, stats_list=pair_stats)
+    est = _local_estimate(
+        local_pairs, with_subs, local_dirs, stats_list=pair_stats
+    )
+    budget = _local_tier_budget()
+    local = 0 < budget and est is not None and est <= budget
 
     field_ctx: dict[str, dict] = {}
     unified = None
@@ -2606,6 +2624,10 @@ def _prepare_boolean(
                 ),
             )
 
+    if not local and est is not None and est > SINGLE_STAGE_MAX_BYTES:
+        # big pruned frame: route _apply_per_segment to the exchange
+        # path (parallel kernels) instead of one coalesce(1) task
+        unified._spl_big_frame = True
     return tree, field_ctx, unified
 
 
@@ -4249,13 +4271,18 @@ def wand_phrase_search_multi(
     n = sum(s.n_docs for s in seg_indexes)
     total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
     avgdl = total_tokens / n if n else 0.0
+    est = _local_estimate(
+        [(s, term_list) for s in seg_indexes], with_subs=True,
+        stats_list=all_stats,
+    )
+    budget = _local_tier_budget()
+    local = 0 < budget and est is not None and est <= budget
     unified = _unified_frame(
         spark, list(enumerate(seg_indexes)), term_list, with_subs=True,
-        local=_local_ok(
-            [(s, term_list) for s in seg_indexes], with_subs=True,
-            stats_list=all_stats,
-        ),
+        local=local,
     )
+    if not local and est is not None and est > SINGLE_STAGE_MAX_BYTES:
+        unified._spl_big_frame = True
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_phrase_topk(
@@ -4648,10 +4675,12 @@ def _wand_search_frames(
     # idf stats below (r07: the duplicate reads cost ~2x dataset
     # discovery per query)
     gen_stats = [_sidecar_stats(si.path, term_list) for _, si in gens]
-    local = _local_ok(
+    est = _local_estimate(
         [(si, term_list) for _, si in gens], with_subs, dv_dirs,
         stats_list=gen_stats,
     )
+    budget = _local_tier_budget()
+    local = 0 < budget and est is not None and est <= budget
     unified = _unified_frame(
         spark, gens, term_list, with_subs=with_subs, local=local
     )
@@ -4689,6 +4718,11 @@ def _wand_search_frames(
         return spark.createDataFrame([], "doc_id long, score double")
     n = stats.n_docs
     avgdl = stats.avgdl
+
+    if not local and est is not None and est > SINGLE_STAGE_MAX_BYTES:
+        # big pruned frame: parallelize the kernels (exchange path)
+        # instead of one serial coalesce(1) task
+        unified._spl_big_frame = True
 
     if plain_bm25:
         if sim is not None:
