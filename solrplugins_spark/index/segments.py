@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import empty_df
 from .builder import InvertedIndex
 from .codec import (
     decode_blocks,
@@ -893,7 +894,7 @@ def _local_topk_frame(
     runs ZERO Spark jobs (the returned pre-computed local relation
     collects via executeCollect on the driver)."""
     if res is None or not len(res):
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     ids = res["doc_id"].to_numpy(np.int64)
     scores = _spark_round(res["score"].to_numpy(np.float64), round_to)
     if after is not None:
@@ -901,7 +902,7 @@ def _local_topk_frame(
         keep = (scores < s_a) | ((scores == s_a) & (ids > d_a))
         ids, scores = ids[keep], scores[keep]
         if not len(ids):
-            return spark.createDataFrame([], "doc_id long, score double")
+            return empty_df(spark, "doc_id long, score double")
     order = np.lexsort((ids, -scores))[: min(k, len(ids))]
     return spark.createDataFrame(
         pd.DataFrame({"doc_id": ids[order], "score": scores[order]}),
@@ -939,7 +940,7 @@ def _apply_per_segment(
         res = _kernel_pdf(unified, per_segment)
         spark = spark or SparkSession.getActiveSession()
         if res is None:
-            return spark.createDataFrame([], schema)
+            return empty_df(spark, schema)
         # coalesce(1): createDataFrame slices even a 40-row local
         # relation across defaultParallelism partitions, turning the
         # downstream orderBy/limit into a 32-task job; one partition
@@ -1847,7 +1848,7 @@ def wand_phrase_search(
         raise ValueError("phrase search needs the termstats sidecar (codec v3)")
     dfs = {t: d for t, (d, _c) in stats.items()}
     if any(dfs.get(t, 0) == 0 for t in term_list):
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     est = _local_estimate(
         [(seg_index, term_list)], with_subs=True, stats_list=[stats]
     )
@@ -2806,7 +2807,7 @@ def fetch_docs(
             si0.store_schema
             or ("doc_id bigint, " + ", ".join(f"{c} string" for c in si0.store_cols))
         )
-        return spark.createDataFrame([], schema)
+        return empty_df(spark, schema)
     return out
 
 
@@ -3577,7 +3578,7 @@ def wand_scores_for_ids(
     if isinstance(unified, pd.DataFrame):
         res = _kernel_pdf(unified, per_segment)
         if res is None:
-            return spark.createDataFrame([], "doc_id long, score double")
+            return empty_df(spark, "doc_id long, score double")
         return spark.createDataFrame(
             pd.DataFrame(
                 {
@@ -3641,7 +3642,7 @@ def wand_rerank_search(
         field_sims=field_sims,
     ).collect()  # bounded: rerank_docs rows
     if not base_rows:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     rr_rows = wand_scores_for_ids(
         spark, seg_index, rerank_query,
         [int(r["doc_id"]) for r in base_rows],
@@ -4267,7 +4268,7 @@ def wand_phrase_search_multi(
         for t, (v, _c) in st.items():
             dfs[t] = dfs.get(t, 0) + int(v)
     if any(dfs.get(t, 0) == 0 for t in term_list):
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     n = sum(s.n_docs for s in seg_indexes)
     total_tokens = sum(s.avgdl * s.n_docs for s in seg_indexes)
     avgdl = total_tokens / n if n else 0.0
@@ -4715,7 +4716,7 @@ def _wand_search_frames(
         )
     dfs = {t: d for t, d in dfs.items() if d > 0}
     if not dfs:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     n = stats.n_docs
     avgdl = stats.avgdl
 

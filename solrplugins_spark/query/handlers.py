@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import empty_df
 from ..index.builder import InvertedIndex
 from .feedback import unsupervised_feedback
 from .mlt import (
@@ -440,7 +441,7 @@ def packed_mlt_handler(
         terms = terms.select("term", "score")  # mlt.interestingTerms=list
     boosts = [(t, float(s)) for t, s in zip(queue["term"], queue["score"])]
     if not boosts:
-        docs = spark.createDataFrame([], "doc_id long, score double")
+        docs = empty_df(spark, "doc_id long, score double")
     else:
         mm = params.min_should_match
         # boost_fn rides into the wand execution (multiplied BEFORE
@@ -498,7 +499,7 @@ def packed_mlt_handler(
         for field in facet_fields:
             ddl = f"{field} {store_types.get(field, 'string')}, cnt long"
             if page is None:
-                out[f"facet_{field}"] = spark.createDataFrame([], ddl)
+                out[f"facet_{field}"] = empty_df(spark, ddl)
             else:
                 counts = (
                     page.groupby(field, dropna=False)

@@ -31,6 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import empty_df
 from ..index.builder import InvertedIndex
 from .scorer import BM25, Similarity, score_terms
 
@@ -155,11 +156,11 @@ def _interesting_terms_driver(
     ]
     counts = seed_term_counts(texts, index.tok_kwargs)
     if not counts:
-        return spark.createDataFrame([], out_schema)
+        return empty_df(spark, out_schema)
     df_map = resolve_df(index, sorted(counts))
     out = mlt_queue(counts, df_map, index.n_docs, params, round_to)
     if len(out) == 0:
-        return spark.createDataFrame([], out_schema)
+        return empty_df(spark, out_schema)
     return spark.createDataFrame(out, schema=out_schema)
 
 
@@ -305,13 +306,13 @@ def interesting_terms_text(
     texts = [like_text] if isinstance(like_text, str) else list(like_text)
     counts = seed_term_counts(texts, index.tok_kwargs)
     if not counts:
-        return spark.createDataFrame([], out_schema)
+        return empty_df(spark, out_schema)
     df_map = {
         t: d for t, d in resolve_df(index, sorted(counts)).items() if d > 0
     }
     out = mlt_queue(counts, df_map, index.n_docs, params, round_to)
     if len(out) == 0:
-        return spark.createDataFrame([], out_schema)
+        return empty_df(spark, out_schema)
     return spark.createDataFrame(out, schema=out_schema)
 
 
@@ -332,7 +333,7 @@ def more_like_text(
     boosts = [(r["term"], float(r["score"])) for r in rows]
     df_map = {r["term"]: int(r["df"]) for r in rows}
     if not boosts:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     partials = score_terms(index, boosts, sim=sim, df_map=df_map)
     scored = partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), 5).alias("score"),
@@ -373,7 +374,7 @@ def more_like_this(
     boosts = [(r["term"], float(r["score"])) for r in rows]
     df_map = {r["term"]: int(r["df"]) for r in rows}
     if not boosts:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     partials = score_terms(index, boosts, sim=sim, df_map=df_map)
     scored = partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), 5).alias("score"),

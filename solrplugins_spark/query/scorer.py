@@ -33,6 +33,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import empty_df
 from ..index.builder import InvertedIndex
 
 
@@ -473,7 +474,7 @@ def classic_coord_search(
     # lookups into the same codegen stage as the scan
     live = [(t, float(w)) for t, w in terms_boosts if t in df_map]
     if not live:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return empty_df(spark, "doc_id long, score double")
     boost_entries: list[Column] = []
     idf_entries: list[Column] = []
     for t, w in live:
