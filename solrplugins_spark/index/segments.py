@@ -910,6 +910,226 @@ def _local_topk_frame(
     )
 
 
+def _local_dict_map(gens, col: str) -> dict:
+    """(gen, ord) -> value from the per-generation ordinal
+    dictionaries — the driver-side twin of the broadcast dictionary
+    join (facet vocabularies are bounded by construction)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for gen_id, si in gens:
+        dpath = os.path.join(si.path, "docvalues_str", col, "dict")
+        tbl = pq.read_table(dpath, columns=["value", "ord"])
+        for v, o in zip(
+            tbl.column("value").to_pylist(), tbl.column("ord").to_pylist()
+        ):
+            out[(gen_id, int(o))] = v
+    return out
+
+
+def _null_first_sorted(keys) -> list:
+    """Sort facet values like Spark's ASC NULLS FIRST (UTF-8 binary
+    order == Python code-point order for str)."""
+    return sorted(keys, key=lambda v: (v is not None, v if v is not None else ""))
+
+
+def _local_facet_counts(spark, res, gens, facet_col: str) -> DataFrame:
+    """Driver-side tail of wand_facet_search on the local tier: the
+    (gen,ord) partial-sum -> dictionary join -> value sum chain over a
+    bounded local relation scheduled two mini Spark jobs of pure
+    scheduling; integer count sums are order-independent, so the same
+    merge is exact here. Output order is value-sorted (the surface has
+    no ordering contract — callers sort)."""
+    schema = f"{facet_col} string, cnt long"
+    if res is None:
+        return empty_df(spark, schema)
+    dmap = _local_dict_map(gens, facet_col)
+    agg: dict = {}
+    for g, o, c in zip(
+        res["gen"].to_numpy(), res["ord"].to_numpy(), res["cnt"].to_numpy()
+    ):
+        v = dmap.get((int(g), int(o)))
+        agg[v] = agg.get(v, 0) + int(c)
+    vals = _null_first_sorted(agg)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                facet_col: vals,
+                "cnt": np.array([agg[v] for v in vals], np.int64),
+            }
+        ),
+        schema=schema,
+    )
+
+
+def _local_collapse_topk(spark, res, gens, collapse_col: str, k: int) -> DataFrame:
+    """Driver-side tail of wand_collapse_search: per-value winner under
+    the (score, -doc_id) comparator (max_by's struct comparison IS
+    Python tuple comparison; scores are already kernel-rounded), then
+    the (score desc, doc_id asc) top-k lexsort."""
+    schema = f"{collapse_col} string, doc_id long, score double"
+    if res is None:
+        return empty_df(spark, schema)
+    dmap = _local_dict_map(gens, collapse_col)
+    best: dict = {}
+    for g, o, d, s in zip(
+        res["gen"].to_numpy(), res["ord"].to_numpy(),
+        res["doc_id"].to_numpy(), res["score"].to_numpy(),
+    ):
+        v = dmap.get((int(g), int(o)))
+        key = (float(s), -int(d))
+        cur = best.get(v)
+        if cur is None or key > cur[0]:
+            best[v] = (key, int(d), float(s))
+    vals = list(best)
+    ids = np.array([best[v][1] for v in vals], np.int64)
+    scores = np.array([best[v][2] for v in vals], np.float64)
+    order = np.lexsort((ids, -scores))[: min(k, len(ids))]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                collapse_col: [vals[i] for i in order],
+                "doc_id": ids[order],
+                "score": scores[order],
+            }
+        ),
+        schema=schema,
+    )
+
+
+def _local_facet_range(spark, res, start: int, gap: int, n_buckets: int) -> DataFrame:
+    """Driver-side tail of wand_facet_range_search: the full bucket
+    lattice with zero counts served (Solr returns every bucket), in
+    bucket order — integer sums, exact."""
+    cnts = np.zeros(n_buckets, np.int64)
+    if res is not None:
+        for o, c in zip(res["ord"].to_numpy(), res["cnt"].to_numpy()):
+            o = int(o)
+            if 0 <= o < n_buckets:
+                cnts[o] += int(c)
+    buckets = np.int64(start) + np.arange(n_buckets, dtype=np.int64) * np.int64(gap)
+    return spark.createDataFrame(
+        pd.DataFrame({"bucket": buckets, "cnt": cnts}),
+        schema="bucket long, cnt long",
+    )
+
+
+_STATS_SCHEMA = (
+    "cnt long, min_v long, max_v long, sum_v long, mean_v double, stddev_v double"
+)
+
+
+def _stats_row(n: int, s: float, ss: float, mn: float, mx: float, round_to: int):
+    """One merged-moments stats row — StatsValuesFactory's corrected
+    formula with the same n==1 NULL rule and cancellation clamp as the
+    Spark tail; double->long casts truncate toward zero exactly like
+    Spark's cast."""
+    mean = float(_spark_round(np.array([s / n]), round_to)[0])
+    if n > 1:
+        var = max(ss - s * s / n, 0.0) / (n - 1)
+        std = float(_spark_round(np.array([float(np.sqrt(var))]), round_to)[0])
+    else:
+        std = None
+    return (np.int64(n), np.int64(int(mn)), np.int64(int(mx)),
+            np.int64(int(s)), mean, std)
+
+
+def _local_stats(spark, res, round_to: int) -> DataFrame:
+    """Driver-side tail of wand_stats_search: sequential left-to-right
+    float accumulation in partials row order — bit-for-bit what
+    Spark's single-partition agg over the same local relation does."""
+    if res is None:
+        return empty_df(spark, _STATS_SCHEMA)
+    n = 0
+    s = ss = 0.0
+    mn = mx = None
+    for c, sv, ssv, mnv, mxv in zip(
+        res["cnt"].to_numpy(), res["s"].to_numpy(), res["ss"].to_numpy(),
+        res["mn"].to_numpy(), res["mx"].to_numpy(),
+    ):
+        n += int(c)
+        s += float(sv)
+        ss += float(ssv)
+        mn = float(mnv) if mn is None else min(mn, float(mnv))
+        mx = float(mxv) if mx is None else max(mx, float(mxv))
+    if n <= 0:
+        return empty_df(spark, _STATS_SCHEMA)
+    cnt, min_v, max_v, sum_v, mean, std = _stats_row(n, s, ss, mn, mx, round_to)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cnt": [cnt], "min_v": [min_v], "max_v": [max_v],
+                "sum_v": [sum_v], "mean_v": [mean],
+                "stddev_v": pd.array([std], dtype=object),
+            }
+        ),
+        schema=_STATS_SCHEMA,
+    )
+
+
+def _local_facet_query_counts(spark, res) -> DataFrame:
+    """Driver-side tail of wand_facet_query_search: per-name integer
+    count sums, name-ordered (the orderBy of the Spark tail)."""
+    schema = "name string, cnt long"
+    if res is None:
+        return empty_df(spark, schema)
+    agg: dict = {}
+    for nm, c in zip(res["name"], res["cnt"].to_numpy()):
+        agg[nm] = agg.get(nm, 0) + int(c)
+    names = sorted(agg)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"name": names, "cnt": np.array([agg[n] for n in names], np.int64)}
+        ),
+        schema=schema,
+    )
+
+
+def _local_stats_facet(spark, res, gens, facet_col: str, round_to: int) -> DataFrame:
+    """Driver-side tail of wand_stats_facet_search: moments merge per
+    facet value (sequential accumulation in partials row order, the
+    broadcast-join row order of the Spark tail), empty buckets absent,
+    value-ordered ASC NULLS FIRST."""
+    schema = f"{facet_col} string, " + _STATS_SCHEMA
+    if res is None:
+        return empty_df(spark, schema)
+    dmap = _local_dict_map(gens, facet_col)
+    acc: dict = {}
+    for g, o, c, sv, ssv, mnv, mxv in zip(
+        res["gen"].to_numpy(), res["ord"].to_numpy(), res["cnt"].to_numpy(),
+        res["s"].to_numpy(), res["ss"].to_numpy(),
+        res["mn"].to_numpy(), res["mx"].to_numpy(),
+    ):
+        v = dmap.get((int(g), int(o)))
+        a = acc.get(v)
+        if a is None:
+            acc[v] = [int(c), float(sv), float(ssv), float(mnv), float(mxv)]
+        else:
+            a[0] += int(c)
+            a[1] += float(sv)
+            a[2] += float(ssv)
+            a[3] = min(a[3], float(mnv))
+            a[4] = max(a[4], float(mxv))
+    vals = [v for v in _null_first_sorted(acc) if acc[v][0] > 0]
+    if not vals:
+        return empty_df(spark, schema)
+    rows = [_stats_row(*acc[v], round_to) for v in vals]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                facet_col: vals,
+                "cnt": [r[0] for r in rows],
+                "min_v": [r[1] for r in rows],
+                "max_v": [r[2] for r in rows],
+                "sum_v": [r[3] for r in rows],
+                "mean_v": [r[4] for r in rows],
+                "stddev_v": pd.array([r[5] for r in rows], dtype=object),
+            }
+        ),
+        schema=schema,
+    )
+
+
 def _apply_per_segment(
     unified,
     per_segment,
@@ -2939,20 +3159,22 @@ def wand_facet_search(
         out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
         return out
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: the partial-sum -> broadcast dict join -> value-sum tail
+        # over a bounded local relation scheduled two mini Spark jobs
+        # of pure scheduling; integer sums are exact driver-side
+        return _local_facet_counts(
+            spark, _kernel_pdf(unified, per_segment), gens, facet_col
+        )
     partials = _apply_per_segment(
         unified, per_segment, "gen long, ord long, cnt long",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
-    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
         dpath = os.path.join(si.path, "docvalues_str", facet_col, "dict")
-        d = (
-            _local_dict_frame(spark, dpath, gen_id)
-            if local
-            else spark.read.parquet(dpath).withColumn(
-                "gen", F.lit(gen_id).cast("long")
-            )
+        d = spark.read.parquet(dpath).withColumn(
+            "gen", F.lit(gen_id).cast("long")
         )
         dicts = d if dicts is None else dicts.unionByName(d)
     return (
@@ -3019,20 +3241,21 @@ def wand_collapse_search(
         out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
         return out
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: per-value winner + top-k finalize driver-side (same
+        # comparator, scores already kernel-rounded) — zero Spark jobs
+        return _local_collapse_topk(
+            spark, _kernel_pdf(unified, per_segment), gens, collapse_col, k
+        )
     partials = _apply_per_segment(
         unified, per_segment, "gen long, ord long, doc_id long, score double",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
-    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
         dpath = os.path.join(si.path, "docvalues_str", collapse_col, "dict")
-        d = (
-            _local_dict_frame(spark, dpath, gen_id)
-            if local
-            else spark.read.parquet(dpath).withColumn(
-                "gen", F.lit(gen_id).cast("long")
-            )
+        d = spark.read.parquet(dpath).withColumn(
+            "gen", F.lit(gen_id).cast("long")
         )
         dicts = d if dicts is None else dicts.unionByName(d)
     # (gen, ord) -> value, then ONE max_by per value: the winner
@@ -3103,6 +3326,14 @@ def wand_facet_range_search(
             pdf, tree, field_ctx, 0, k1, b, facet_range_spec=spec
         )
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: the lattice left-join + sum tail scheduled three mini
+        # jobs (range + agg + join) over bounded local relations;
+        # integer bucket sums are exact driver-side
+        return _local_facet_range(
+            spark, _kernel_pdf(unified, per_segment), int(start), int(gap),
+            n_buckets,
+        )
     partials = _apply_per_segment(
         unified, per_segment, "ord long, cnt long",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
@@ -3158,6 +3389,11 @@ def wand_stats_search(
             pdf, tree, field_ctx, 0, k1, b, stats_col=stats_col
         )
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: the one-row moment merge finalizes driver-side —
+        # sequential float accumulation in partials row order is
+        # bit-for-bit the single-partition Spark agg
+        return _local_stats(spark, _kernel_pdf(unified, per_segment), round_to)
     partials = _apply_per_segment(
         unified, per_segment,
         "cnt long, s double, ss double, mn double, mx double",
@@ -3264,6 +3500,11 @@ def wand_facet_query_search(
             pdf, tree, field_ctx, 0, k1, b, count_trees=fq_trees
         )
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: per-name integer sums finalize driver-side — zero jobs
+        return _local_facet_query_counts(
+            spark, _kernel_pdf(unified, per_segment)
+        )
     partials = _apply_per_segment(
         unified, per_segment, "name string, cnt long",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
@@ -3326,22 +3567,24 @@ def wand_stats_facet_search(
         out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
         return out
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: per-value moment merge finalizes driver-side (sequential
+        # accumulation in partials row order == the broadcast-join row
+        # order of the Spark tail) — zero Spark jobs
+        return _local_stats_facet(
+            spark, _kernel_pdf(unified, per_segment), gens, facet_col, round_to
+        )
     partials = _apply_per_segment(
         unified, per_segment,
         "gen long, ord long, cnt long, s double, ss double, "
         "mn double, mx double",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
-    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
         dpath = os.path.join(si.path, "docvalues_str", facet_col, "dict")
-        d = (
-            _local_dict_frame(spark, dpath, gen_id)
-            if local
-            else spark.read.parquet(dpath).withColumn(
-                "gen", F.lit(gen_id).cast("long")
-            )
+        d = spark.read.parquet(dpath).withColumn(
+            "gen", F.lit(gen_id).cast("long")
         )
         dicts = d if dicts is None else dicts.unionByName(d)
     merged = (

@@ -133,3 +133,17 @@ def test_local_tier_engages_on_small_index(spark, lt):
         assert not S._local_ok([(lt["seg"], ["w0003"])], False)
     finally:
         del os.environ["SOLRPLUGINS_LOCAL_TIER_MAX_BYTES"]
+
+
+def test_stats_single_doc_stddev_null_local_equals_distributed(spark, lt):
+    """r07 driver-side stats finalization: the n==1 corrected-variance
+    NULL rule must match the Spark tail exactly. zephyrblade is a
+    planted rare term; find a single-match query via a unique doc."""
+    one = S.wand_search(spark, lt["seg"], [("zephyrblade", 1.0)], k=1).collect()
+    did = int(one[0]["doc_id"])
+    q = f"zephyrblade and doc_id:[{did} TO {did}]"
+    local, dist = _both(
+        lambda: S.wand_stats_search(spark, lt["seg"], q, "turn_idx")
+    )
+    assert local == dist and local
+    assert local[0][0] == 1 and local[0][5] is None  # cnt == 1, stddev NULL

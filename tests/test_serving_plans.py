@@ -55,8 +55,34 @@ def _count_jobs(spark, name, fn) -> int:
     return len(sc.statusTracker().getJobIdsForGroup(name))
 
 
+def _tier_off():
+    """Force the distributed path (r07 local tier finalizes the
+    facet/collapse/stats tails driver-side, so plan-shape asserts on
+    the Spark tail need the tier disabled)."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def ctx():
+        os.environ["SOLRPLUGINS_LOCAL_TIER_MAX_BYTES"] = "0"
+        try:
+            yield
+        finally:
+            del os.environ["SOLRPLUGINS_LOCAL_TIER_MAX_BYTES"]
+
+    return ctx()
+
+
 def test_collapse_dict_join_is_broadcast(spark, plan_segments, hot_query):
-    plan = _plan(wand_collapse_search(spark, plan_segments, hot_query, "tool", k=10))
+    # local tier: the whole tail is driver-side — a bare local relation
+    local = _plan(
+        wand_collapse_search(spark, plan_segments, hot_query, "tool", k=10)
+    )
+    assert "LocalTableScan" in local and "Join" not in local
+    with _tier_off():
+        plan = _plan(
+            wand_collapse_search(spark, plan_segments, hot_query, "tool", k=10)
+        )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
@@ -132,27 +158,46 @@ def sfp_segments(tiny_index, tmp_path_factory):
 
 def test_packed_facet_query_one_job(spark, sfp_segments, hot_query):
     """All facet.query subqueries evaluate inside the main tree's ONE
-    per-segment pass — one postings fetch, one Spark job."""
+    per-segment pass — one postings fetch, one Spark job on the
+    distributed path; the local tier finalizes driver-side (r07),
+    zero jobs."""
+    fq = {"a": hot_query.split(" or ")[0], "r": "turn_idx:[0 TO 5]"}
     n = _count_jobs(
         spark,
-        "fq_jobs",
+        "fq_jobs_local",
         lambda: wand_facet_query_search(
-            spark, sfp_segments, hot_query,
-            {"a": hot_query.split(" or ")[0], "r": "turn_idx:[0 TO 5]"},
+            spark, sfp_segments, hot_query, fq
         ).collect(),
     )
+    assert n == 0, f"local-tier facet.query took {n} jobs, expected 0"
+    with _tier_off():
+        n = _count_jobs(
+            spark,
+            "fq_jobs",
+            lambda: wand_facet_query_search(
+                spark, sfp_segments, hot_query, fq
+            ).collect(),
+        )
     assert n == 1, f"packed facet.query took {n} jobs, expected 1"
 
 
 def test_packed_stats_facet_one_job_and_broadcast(spark, sfp_segments, hot_query):
-    df = wand_stats_facet_search(
+    # local tier: driver-side moment merge — local relation, no jobs
+    local_df = wand_stats_facet_search(
         spark, sfp_segments, hot_query, "turn_idx", "role"
     )
-    plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    n = _count_jobs(spark, "sfq_jobs", lambda: df.collect())
+    assert "LocalTableScan" in _plan(local_df) and "Join" not in _plan(local_df)
+    n = _count_jobs(spark, "sfq_jobs_local", lambda: local_df.collect())
+    assert n == 0, f"local-tier stats.facet took {n} jobs, expected 0"
+    with _tier_off():
+        df = wand_stats_facet_search(
+            spark, sfp_segments, hot_query, "turn_idx", "role"
+        )
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        n = _count_jobs(spark, "sfq_jobs", lambda: df.collect())
     assert n <= 2, f"packed stats.facet took {n} jobs"
 
 
