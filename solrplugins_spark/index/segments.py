@@ -835,21 +835,6 @@ def _stack(a, b):
     return a.unionByName(b)
 
 
-def _local_dict_frame(spark: SparkSession, path: str, gen_id: int) -> DataFrame:
-    """Ordinal dictionary as a local relation (facet vocabularies are
-    bounded by construction — build_segments string_cols): pyarrow
-    read -> createDataFrame, so local-tier facet/collapse/group joins
-    stay free of parquet-scan stages."""
-    import pyarrow.parquet as pq
-
-    pdf = pq.read_table(path, columns=["value", "ord"]).to_pandas()
-    pdf["gen"] = np.int64(gen_id)
-    # createDataFrame(pandas, schema-str) maps POSITIONALLY — pin the
-    # column order to the schema (dict files can store ord first)
-    pdf = pdf[["value", "ord", "gen"]]
-    return spark.createDataFrame(pdf, schema="value string, ord long, gen long")
-
-
 def _n_segments_hint(*seg_objs) -> int:
     """Total segment count across SegmentIndexes / generation lists /
     None — driver-side from manifests, no Spark job. Decides the
@@ -892,9 +877,14 @@ def _local_topk_frame(
     _spark_round IS F.round (exact HALF_UP) and the (score desc,
     doc_id asc) lexsort IS the orderBy — so a local-tier top-k query
     runs ZERO Spark jobs (the returned pre-computed local relation
-    collects via executeCollect on the driver)."""
+    collects via executeCollect on the driver). The returned frame is
+    tagged ``_spl_local`` so bounded handler tails (seed exclusion +
+    re-top-k) can finalize driver-side instead of scheduling a
+    filter/orderBy/limit job over a local relation."""
     if res is None or not len(res):
-        return empty_df(spark, "doc_id long, score double")
+        out = empty_df(spark, "doc_id long, score double")
+        out._spl_local = True
+        return out
     ids = res["doc_id"].to_numpy(np.int64)
     scores = _spark_round(res["score"].to_numpy(np.float64), round_to)
     if after is not None:
@@ -902,12 +892,16 @@ def _local_topk_frame(
         keep = (scores < s_a) | ((scores == s_a) & (ids > d_a))
         ids, scores = ids[keep], scores[keep]
         if not len(ids):
-            return empty_df(spark, "doc_id long, score double")
+            out = empty_df(spark, "doc_id long, score double")
+            out._spl_local = True
+            return out
     order = np.lexsort((ids, -scores))[: min(k, len(ids))]
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         pd.DataFrame({"doc_id": ids[order], "score": scores[order]}),
         schema="doc_id long, score double",
     )
+    out._spl_local = True
+    return out
 
 
 def _local_dict_map(gens, col: str) -> dict:
@@ -1128,6 +1122,84 @@ def _local_stats_facet(spark, res, gens, facet_col: str, round_to: int) -> DataF
         ),
         schema=schema,
     )
+
+
+def _local_percentiles(spark, res, percentiles: list[float]) -> DataFrame:
+    """Driver-side tail of wand_stats_percentiles_search: the same
+    k-th-smallest rule (k = ceil(p*n), float product and ceil exactly
+    as the Spark expressions compute them) over the bounded merged
+    histogram — integer sums, exact."""
+    for p in percentiles:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"percentiles must be in (0, 1], got {p}")
+    schema = "pct double, value long"
+    if res is None:
+        return empty_df(spark, schema)
+    hist: dict = {}
+    for o, c in zip(res["ord"].to_numpy(), res["cnt"].to_numpy()):
+        o = int(o)
+        hist[o] = hist.get(o, 0) + int(c)
+    if not hist:
+        return empty_df(spark, schema)
+    n = sum(hist.values())
+    values = sorted(hist)
+    cums = np.cumsum(np.array([hist[v] for v in values], np.int64))
+    import math
+
+    pcts = sorted(set(float(p) for p in percentiles))
+    out_p, out_v = [], []
+    for p in pcts:
+        kth = math.ceil(n * p)
+        idx = int(np.searchsorted(cums, kth, side="left"))
+        if idx < len(values):
+            out_p.append(p)
+            out_v.append(np.int64(values[idx]))
+    if not out_p:
+        return empty_df(spark, schema)
+    return spark.createDataFrame(
+        pd.DataFrame({"pct": np.array(out_p, np.float64), "value": out_v}),
+        schema=schema,
+    )
+
+
+def _local_group_topn(
+    spark, res, gens, group_col: str, k_groups: int, group_limit: int
+) -> DataFrame:
+    """Driver-side tail of wand_group_search: member lists sorted by
+    the (ns=-score, doc_id) struct order (Python tuple comparison IS
+    Spark's struct comparison; scores kernel-rounded), groups ranked
+    by head element, top k_groups exploded back to rows."""
+    schema = (
+        f"grp_rank int, {group_col} string, pos int, doc_id long, score double"
+    )
+    if res is None:
+        return empty_df(spark, schema)
+    dmap = _local_dict_map(gens, group_col)
+    groups: dict = {}
+    for g, o, d, s in zip(
+        res["gen"].to_numpy(), res["ord"].to_numpy(),
+        res["doc_id"].to_numpy(), res["score"].to_numpy(),
+    ):
+        v = dmap.get((int(g), int(o)))
+        groups.setdefault(v, []).append((-float(s), int(d), float(s)))
+    heads = []
+    for v, members in groups.items():
+        members.sort()
+        del members[group_limit:]
+        heads.append((members[0][0], members[0][1], v))
+    heads.sort(key=lambda h: (h[0], h[1]))
+    del heads[k_groups:]
+    rows = {
+        "grp_rank": [], group_col: [], "pos": [], "doc_id": [], "score": [],
+    }
+    for rank, (_, _, v) in enumerate(heads, start=1):
+        for pos, (_, d, s) in enumerate(groups[v], start=1):
+            rows["grp_rank"].append(np.int32(rank))
+            rows[group_col].append(v)
+            rows["pos"].append(np.int32(pos))
+            rows["doc_id"].append(np.int64(d))
+            rows["score"].append(s)
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
 
 
 def _apply_per_segment(
@@ -3666,6 +3738,11 @@ def wand_stats_percentiles_search(
             pdf, tree, field_ctx, 0, k1, b, hist_col=stats_col
         )
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: histogram merge + k-th-smallest derivation driver-side
+        return _local_percentiles(
+            spark, _kernel_pdf(unified, per_segment), percentiles
+        )
     partials = _apply_per_segment(
         unified, per_segment, "ord long, cnt long",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
@@ -3728,20 +3805,21 @@ def wand_group_search(
         out.insert(0, "gen", np.int64(int(pdf["seg"].iloc[0]) // 1_000_000))
         return out
 
+    if isinstance(unified, pd.DataFrame):
+        # r07: member-list sort/slice + group ranking driver-side
+        return _local_group_topn(
+            spark, _kernel_pdf(unified, per_segment), gens, group_col,
+            k_groups, group_limit,
+        )
     partials = _apply_per_segment(
         unified, per_segment, "gen long, ord long, doc_id long, score double",
         _n_segments_hint(seg_index, *(field_segments or {}).values()), spark=spark,
     )
-    local = isinstance(unified, pd.DataFrame)
     dicts = None
     for gen_id, si in gens:
         dpath = os.path.join(si.path, "docvalues_str", group_col, "dict")
-        d = (
-            _local_dict_frame(spark, dpath, gen_id)
-            if local
-            else spark.read.parquet(dpath).withColumn(
-                "gen", F.lit(gen_id).cast("long")
-            )
+        d = spark.read.parquet(dpath).withColumn(
+            "gen", F.lit(gen_id).cast("long")
         )
         dicts = d if dicts is None else dicts.unionByName(d)
     # sort_array ascending over (ns=-score, doc_id) == (score desc,

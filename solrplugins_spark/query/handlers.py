@@ -373,6 +373,25 @@ def _packed_interesting_terms(
     return mlt_queue(counts, df_map, n_docs, params, round_to)
 
 
+def _local_page(spark, rows) -> DataFrame:
+    """Bounded, already-ordered (score desc, doc_id asc) result rows
+    as a local relation — collects driver-side with zero jobs."""
+    if not rows:
+        return empty_df(spark, "doc_id long, score double")
+    import numpy as np
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([int(r["doc_id"]) for r in rows], np.int64),
+                "score": np.array([float(r["score"]) for r in rows], np.float64),
+            }
+        ),
+        schema="doc_id long, score double",
+    )
+
+
 def packed_mlt_handler(
     spark,
     seg_index,
@@ -459,11 +478,21 @@ def packed_mlt_handler(
                 min_should_match=mm, boost_fn=boost_fn,
             )
         )
-        docs = (
-            docs.filter(~F.col("doc_id").isin(seed_ids))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        if getattr(docs, "_spl_local", False):
+            # r07: the local-tier result is a pre-sorted (score desc,
+            # doc_id asc) local relation of <= k+|seeds| rows — the
+            # seed-exclusion + re-top-k tail is a list slice, not a
+            # Spark job (the filter/orderBy/limit over the local
+            # relation scheduled two, ~0.3 s of pure scheduling)
+            seeds = set(seed_ids)
+            rows = [r for r in docs.collect() if int(r["doc_id"]) not in seeds]
+            docs = _local_page(spark, rows[:k])
+        else:
+            docs = (
+                docs.filter(~F.col("doc_id").isin(seed_ids))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
     out: dict[str, DataFrame] = {"docs": docs, "interesting_terms": terms}
     if facet_fields:
         missing = [f for f in facet_fields if f not in first.store_cols]

@@ -147,3 +147,24 @@ def test_stats_single_doc_stddev_null_local_equals_distributed(spark, lt):
     )
     assert local == dist and local
     assert local[0][0] == 1 and local[0][5] is None  # cnt == 1, stddev NULL
+
+
+def test_packed_mlt_handler_local_zero_jobs(spark, lt):
+    """r07: the /mlt seed-exclusion + re-top-k tail finalizes
+    driver-side when the expansion search came from the local tier —
+    zero Spark jobs, rows identical to the Spark filter/orderBy/limit
+    tail of the distributed path."""
+    from solrplugins_spark.query.handlers import packed_mlt_handler
+    from solrplugins_spark.query.mlt import MLTParams
+
+    params = MLTParams(min_doc_freq=2, max_query_terms=20)
+    fn = lambda: packed_mlt_handler(spark, lt["seg"], [7], params, k=10)["docs"]
+    local, dist = _both(fn)
+    assert local == dist and local
+    sc = spark.sparkContext
+    sc.setJobGroup("mlt0", "mlt0")
+    try:
+        fn().collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup("mlt0")) == 0

@@ -89,9 +89,20 @@ def test_collapse_dict_join_is_broadcast(spark, plan_segments, hot_query):
 
 
 def test_grouping_dict_join_is_broadcast(spark, plan_segments, hot_query):
-    plan = _plan(
-        wand_group_search(spark, plan_segments, hot_query, "tool", k_groups=4, group_limit=2)
+    # local tier: the whole tail is driver-side — a bare local relation
+    local = _plan(
+        wand_group_search(
+            spark, plan_segments, hot_query, "tool", k_groups=4, group_limit=2
+        )
     )
+    assert "LocalTableScan" in local and "Join" not in local
+    with _tier_off():
+        plan = _plan(
+            wand_group_search(
+                spark, plan_segments, hot_query, "tool",
+                k_groups=4, group_limit=2,
+            )
+        )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
