@@ -269,7 +269,7 @@ def packed_select_handler(
             else:
                 docs = spark.createDataFrame(merged)
         else:
-            docs = spark.createDataFrame(rows, top.schema)
+            docs = empty_df(spark, top.schema)
     out: dict[str, DataFrame] = {"docs": docs}
     for field in facet_fields or []:
         out[f"facet_{field}"] = wand_facet_search(
@@ -507,7 +507,7 @@ def packed_mlt_handler(
         # re-execute the whole expansion search when the caller
         # collects it
         rows = docs.collect()
-        out["docs"] = spark.createDataFrame(rows, docs.schema)
+        out["docs"] = _local_page(spark, rows)
         ids = [int(r["doc_id"]) for r in rows]
         # facets count over the RESULT page (DiceMoreLikeThisHandler
         # .java:263-271): k rows — one DRIVER-SIDE docstore point read
